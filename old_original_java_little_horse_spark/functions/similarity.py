@@ -1,0 +1,143 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+Baseline: brute-force cosine top-k (broadcast the query set, one pass
+over the corpus, per-query top-k via window).  Scale path: LSH /
+label-blocked candidate pruning so the pair space stays linear.
+
+Determinism contract: embeddings are quantized to integers
+(round(x*1000)) before any arithmetic, so dot products and norms are
+*exact* in both engines; the only float ops are one sqrt + one divide
+on identical inputs → identical IEEE doubles → stable ranking with a
+vec_id tie-break.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+
+from ..registry import query
+from ..sources.parquet import load_table
+
+TOP_K = 5
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+
+
+def quantized(c: Column) -> Column:
+    """array<float> → array<long> of round(x*1000): exact integer space."""
+    return F.transform(c, lambda x: F.round(x.cast("double") * 1000, 0).cast("long"))
+
+
+def dot_q(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+
+
+def cosine_q(a: Column, b: Column) -> Column:
+    """Cosine over quantized vectors: exact int dot / sqrt(exact int norms)."""
+    return dot_q(a, b) / F.sqrt(dot_q(a, a).cast("double") * dot_q(b, b).cast("double"))
+
+
+_QUANT_ORACLE = """
+WITH q AS (
+  SELECT vec_id, [CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT) for x in embedding] AS v
+  FROM embeddings
+)
+"""
+
+
+@query(
+    "sim_topk_bruteforce",
+    oracle=_QUANT_ORACLE + f"""
+, pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         list_sum([a.v[i] * b.v[i] for i in generate_series(1, len(a.v))]) * 1.0 /
+         sqrt(CAST(list_sum([a.v[i] * a.v[i] for i in generate_series(1, len(a.v))]) AS DOUBLE)
+              * CAST(list_sum([b.v[i] * b.v[i] for i in generate_series(1, len(b.v))]) AS DOUBLE))
+           AS cosine
+  FROM q a JOIN q b ON a.vec_id < {N_QUERIES} AND a.vec_id <> b.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM pairs
+)
+SELECT query_id, neighbor_id, rnk, CAST(ROUND(cosine, 4) AS DOUBLE) AS cosine
+FROM ranked WHERE rnk <= {TOP_K}
+""",
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the (small) query set
+    against the corpus, rank per query.
+
+    Scale notes: the corpus side is never shuffled — queries are
+    broadcast, the dot product is a per-row map, and top-k per query
+    is a window over a tiny (|Q|·n) intermediate that AQE coalesces.
+    At 100 TB you first block candidates (see `sim_lsh_bucketed`),
+    then run exactly this verification kernel on the survivors.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", quantized(F.col("embedding")).alias("v")
+    )
+    qs = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    pairs = (
+        F.broadcast(qs)
+        .join(e, F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_q(F.col("qv"), F.col("v")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "rnk", F.round("cosine", 4).cast("double").alias("cosine"))
+    )
+
+
+@query(
+    "sim_label_blocked_neardup",
+    oracle=_QUANT_ORACLE + """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, l.label,
+       CAST(ROUND(
+         list_sum([a.v[i] * b.v[i] for i in generate_series(1, len(a.v))]) * 1.0 /
+         sqrt(CAST(list_sum([a.v[i] * a.v[i] for i in generate_series(1, len(a.v))]) AS DOUBLE)
+              * CAST(list_sum([b.v[i] * b.v[i] for i in generate_series(1, len(b.v))]) AS DOUBLE)),
+         4) AS DOUBLE) AS cosine
+FROM q a
+JOIN embeddings l ON a.vec_id = l.vec_id
+JOIN embeddings l2 ON l.label = l2.label AND l2.vec_id > l.vec_id
+JOIN q b ON b.vec_id = l2.vec_id
+WHERE list_sum([a.v[i] * b.v[i] for i in generate_series(1, len(a.v))]) * 1.0 /
+      sqrt(CAST(list_sum([a.v[i] * a.v[i] for i in generate_series(1, len(a.v))]) AS DOUBLE)
+           * CAST(list_sum([b.v[i] * b.v[i] for i in generate_series(1, len(b.v))]) AS DOUBLE)) >= 0.3
+""",
+)
+def sim_label_blocked_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs with candidate blocking.
+
+    The blocking key (here `label`; in production an LSH bucket or IVF
+    centroid id) turns the n² pair space into sum-of-bucket², and the
+    self-join shuffles on that key only.  Cosine >= 0.3 survivors are
+    emitted.  This is the scale path an IVF index compiles to: assign
+    → shuffle on centroid → verify within bucket.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", quantized(F.col("embedding")).alias("v")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cos = cosine_q(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .where(cos >= 0.3)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            F.round(cos, 4).cast("double").alias("cosine"),
+        )
+    )

@@ -1,0 +1,503 @@
+"""Relational parity operators (SURVEY.md §2.2, §2.4–§2.7).
+
+Each query is the Spark-first re-expression of a reference dataflow:
+
+- P1/P2 fanout & projection filters  (`SchedulerFanoutProcessor.java:24-39`,
+  `SchedulerWFRunSinkProcessor.java:20-30`): plain `filter` + `select` —
+  Catalyst pushes both into the parquet scan.
+- J2 broadcast spec join (`SchedulerProcessor.java:45-48`): stream/fact ⋈
+  small dim via `broadcast()`.
+- J3 lookup join (`APIStreamsContext.java:147-166`): index ids ⋈ id store.
+- J4 FIFO/as-of correlation (`WFRun.java:181-199`, `ThreadRun.java:942-978`):
+  k-th event of type A matches k-th event of type B per key — a
+  `row_number()` equi-join, shuffle-partitioned by the correlation key.
+- A2/A3 status rollups (`WFRun.java:266-299`): `bool_and`/`bool_or` folds.
+- A5 all-ids scan (`APIStreamsContext.java:85-133`): distinct projection.
+- W1/W2/W3 ordered analytics (`ThreadRun.java:246-269`,
+  `IndexEntryCollection.java:21-24`, `SchedulerProcessor.java:88-126`).
+- Headline TPC-H-shaped aggregation/join plans (q1/q3/q5) exercise the
+  scan→partial-agg→exchange→final-agg and broadcast-join physical shapes
+  the engine relies on at 100 TB.
+
+Determinism contract with the DuckDB oracle: money math is done in
+DECIMAL (exact, associative — safe under Spark's parallel partial
+aggregation), then rounded and cast to DOUBLE on both sides.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..registry import query
+from ..sources.parquet import load_table
+
+
+def _dec12(c):  # prices: fits max ~1e10 with 2 decimals
+    return c.cast("decimal(12,2)")
+
+
+def _dec4(c):  # rates in [0,1]
+    return c.cast("decimal(4,2)")
+
+
+# --------------------------------------------------------------------------
+# Headline aggregation: TPC-H Q1 shape (scan → partial agg → final agg)
+# --------------------------------------------------------------------------
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)             AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)        AS sum_base_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                      * (1 + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE)      AS sum_charge,
+       CAST(ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS DOUBLE) AS avg_qty,
+       CAST(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS DOUBLE) AS avg_price,
+       CAST(ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*), 6) AS DOUBLE) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing-summary rollup; the canonical partial-agg plan.
+
+    Scale notes: filter + column pruning reach the scan (PushedFilters
+    on l_shipdate); DECIMAL sums are associative so map-side partial
+    aggregation is exact; output cardinality is tiny (|flag|x|status|).
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    l = l.where(F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp"))
+    qty, price = _dec12(F.col("l_quantity")), _dec12(F.col("l_extendedprice"))
+    disc, tax = _dec4(F.col("l_discount")), _dec4(F.col("l_tax"))
+    one = F.lit(1)
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.round(F.sum(price * (one - disc)), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(price * (one - disc) * (one + tax)), 2).cast("double").alias("sum_charge"),
+            F.round(F.sum(qty).cast("double") / F.count(F.lit(1)), 6).cast("double").alias("avg_qty"),
+            F.round(F.sum(price).cast("double") / F.count(F.lit(1)), 6).cast("double").alias("avg_price"),
+            F.round(F.sum(disc).cast("double") / F.count(F.lit(1)), 6).cast("double").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Headline join: TPC-H Q3 shape (selective joins + top-N)
+# --------------------------------------------------------------------------
+
+@query(
+    "q3_shipping_priority",
+    oracle="""
+SELECT l_orderkey,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
+       CAST(o_orderdate AS DATE) AS orderdate, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) DESC,
+         o_orderdate, l_orderkey
+LIMIT 10
+""",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective join + group + exact-decimal top-N.
+
+    Scale notes: both filters push to their scans; the filtered
+    customer side is small → Catalyst broadcast-joins it; the top-N
+    is a TakeOrderedAndProject (no full sort of the agg output).
+    Ordering ties are broken by (o_orderdate, l_orderkey) so LIMIT is
+    deterministic across engines.
+    """
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    l = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    rev = _dec12(F.col("l_extendedprice")) * (F.lit(1) - _dec4(F.col("l_discount")))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).alias("_rev_exact"))
+        .orderBy(F.col("_rev_exact").desc(), F.col("o_orderdate"), F.col("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.round(F.col("_rev_exact"), 2).cast("double").alias("revenue"),
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            "o_orderpriority",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Headline multi-join: TPC-H Q5 shape (star join through dims)
+# --------------------------------------------------------------------------
+
+@query(
+    "q5_local_supplier_volume",
+    oracle="""
+SELECT n_name,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+""",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join through region→nation dims with explicit broadcasts.
+
+    Scale notes: region/nation are broadcast (no shuffle); the big
+    fact-fact joins (orders⋈lineitem) shuffle on the join key once;
+    AQE handles skew. At 100 TB the orders⋈lineitem co-location would
+    come from bucketing both tables on orderkey.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    rev = _dec12(F.col("l_extendedprice")) * (F.lit(1) - _dec4(F.col("l_discount")))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(s, (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# P1 — fanout filter per task queue (SchedulerFanoutProcessor.java:24-39)
+# --------------------------------------------------------------------------
+
+@query(
+    "p1_fanout_filter",
+    oracle="""
+SELECT event_id, user_id, CAST(ROUND(value, 4) AS DOUBLE) AS value
+FROM events WHERE event_type = 'purchase'
+""",
+)
+def p1_fanout_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep one task-queue's records and project the request payload.
+
+    The reference replicates one processor per TaskDef; Spark-first
+    this is a single pushed-down predicate (PushedFilters: event_type)
+    + column pruning — strictly better physically.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.where(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", F.round("value", 4).cast("double").alias("value"))
+    )
+
+
+# --------------------------------------------------------------------------
+# P2 — non-null projection (SchedulerWFRunSinkProcessor.java:20-30)
+# --------------------------------------------------------------------------
+
+@query(
+    "p2_nonnull_projection",
+    oracle="""
+SELECT event_id, props FROM events
+WHERE props IS NOT NULL AND event_type <> 'error'
+""",
+)
+def p2_nonnull_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop null-payload records, project the payload."""
+    e = load_table(spark, sf_dir, "events")
+    return e.where(F.col("props").isNotNull() & (F.col("event_type") != "error")).select(
+        "event_id", "props"
+    )
+
+
+# --------------------------------------------------------------------------
+# J2 — broadcast dim join (SchedulerProcessor.java:45-48 spec binding)
+# --------------------------------------------------------------------------
+
+@query(
+    "j2_broadcast_enrich",
+    oracle="""
+SELECT e.event_id, e.event_type, c.c_mktsegment, n.n_name
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+WHERE e.event_type IN ('click','purchase')
+""",
+)
+def j2_broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact stream enriched against broadcast dimension state — the
+    Spark shape of the reference's per-instance spec binding.
+
+    customer/nation are broadcast: zero shuffle on the fact side, the
+    plan is scan→filter→BroadcastHashJoin×2 in one codegen stage.
+    """
+    e = load_table(spark, sf_dir, "events").where(F.col("event_type").isin("click", "purchase"))
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        e.join(F.broadcast(c), e.user_id == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("event_id", "event_type", "c_mktsegment", "n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# J3 — index → id-store lookup join (APIStreamsContext.java:147-166)
+# --------------------------------------------------------------------------
+
+@query(
+    "j3_lookup_join",
+    oracle="""
+WITH ids AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup')
+SELECT c.c_custkey, c.c_name, c.c_acctbal
+FROM ids JOIN customer c ON ids.user_id = c.c_custkey
+""",
+)
+def j3_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search returns ids; fetch full objects by id (point-lookup join).
+
+    The id set is small → broadcast hash join against the id store, no
+    shuffle of the store side.
+    """
+    e = load_table(spark, sf_dir, "events")
+    ids = e.where(F.col("event_type") == "signup").select("user_id").distinct()
+    c = load_table(spark, sf_dir, "customer")
+    return F.broadcast(ids).join(c, ids.user_id == c.c_custkey).select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+# --------------------------------------------------------------------------
+# J4 — FIFO/as-of event correlation (WFRun.java:181-199,
+# ThreadRun.java:942-978): k-th 'click' matches k-th 'purchase' per user
+# --------------------------------------------------------------------------
+
+@query(
+    "j4_fifo_correlation",
+    oracle="""
+WITH a AS (
+  SELECT user_id, event_id AS wait_event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events WHERE event_type = 'click'
+), b AS (
+  SELECT user_id, event_id AS ext_event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT a.user_id, a.rn AS seq, a.wait_event_id, b.ext_event_id
+FROM a JOIN b ON a.user_id = b.user_id AND a.rn = b.rn
+""",
+)
+def j4_fifo_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-to-one FIFO match of waiting nodes to external events.
+
+    Batch parity of the reference's correlation buffer: the k-th
+    waiting node per key consumes the k-th buffered event.  Both
+    row_number windows and the join share one hash-partitioning on
+    user_id, so Catalyst plans a single exchange per side.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    a = (
+        e.where(F.col("event_type") == "click")
+        .select("user_id", "ts", F.col("event_id").alias("wait_event_id"))
+        .withColumn("seq", F.row_number().over(w.orderBy("ts", "wait_event_id")))
+    )
+    b = (
+        e.where(F.col("event_type") == "purchase")
+        .select("user_id", "ts", F.col("event_id").alias("ext_event_id"))
+        .withColumn("seq", F.row_number().over(w.orderBy("ts", "ext_event_id")))
+    )
+    return a.join(b, ["user_id", "seq"]).select("user_id", "seq", "wait_event_id", "ext_event_id")
+
+
+# --------------------------------------------------------------------------
+# A2/A3 — status rollup folds (WFRun.java:266-299, ThreadRun.java:505-549)
+# --------------------------------------------------------------------------
+
+@query(
+    "a2_status_rollup",
+    oracle="""
+SELECT o_custkey AS wf_run_key,
+       COUNT(*) AS n_threads,
+       BOOL_AND(o_orderstatus = 'F') AS all_completed,
+       BOOL_OR(o_orderstatus = 'P')  AS any_running,
+       CASE WHEN BOOL_AND(o_orderstatus = 'F') THEN 'COMPLETED'
+            WHEN BOOL_OR(o_orderstatus = 'P')  THEN 'RUNNING'
+            ELSE 'HALTED' END AS rollup_status
+FROM orders GROUP BY o_custkey
+""",
+)
+def a2_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WFRun status = boolean fold over child thread statuses."""
+    o = load_table(spark, sf_dir, "orders")
+    all_c = F.bool_and(F.col("o_orderstatus") == "F")
+    any_r = F.bool_or(F.col("o_orderstatus") == "P")
+    return o.groupBy(F.col("o_custkey").alias("wf_run_key")).agg(
+        F.count(F.lit(1)).alias("n_threads"),
+        all_c.alias("all_completed"),
+        any_r.alias("any_running"),
+        F.when(all_c, "COMPLETED").when(any_r, "RUNNING").otherwise("HALTED").alias("rollup_status"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A5 — all-ids scatter-gather (APIStreamsContext.java:85-133)
+# --------------------------------------------------------------------------
+
+@query("a5_all_ids", oracle="SELECT DISTINCT user_id AS object_id FROM events")
+def a5_all_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """getAllIds: distinct id projection; distribution is Spark's job."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(F.col("user_id").alias("object_id")).distinct()
+
+
+# --------------------------------------------------------------------------
+# W1 — task position / retry numbering (ThreadRun.java:246-269)
+# --------------------------------------------------------------------------
+
+@query(
+    "w1_position_numbering",
+    oracle="""
+SELECT event_id, user_id,
+       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS position,
+       DENSE_RANK() OVER (PARTITION BY user_id ORDER BY event_type)   AS number
+FROM events
+""",
+)
+def w1_position_numbering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """position = append index; number = logical node counter."""
+    e = load_table(spark, sf_dir, "events")
+    byu = Window.partitionBy("user_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(byu.orderBy("ts", "event_id")).alias("position"),
+        F.dense_rank().over(byu.orderBy("event_type")).alias("number"),
+    )
+
+
+# --------------------------------------------------------------------------
+# W2 — latest-entry selection (IndexEntryCollection.java:21-24)
+# --------------------------------------------------------------------------
+
+@query(
+    "w2_latest_entry",
+    oracle="""
+SELECT user_id, event_id AS latest_event_id, event_type AS latest_type
+FROM (
+  SELECT user_id, event_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+)
+def w2_latest_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """getLatestEntry: top-1-per-group by recency."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("latest_event_id"),
+            F.col("event_type").alias("latest_type"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# W3 — timer range scan (SchedulerProcessor.java:88-126)
+# --------------------------------------------------------------------------
+
+@query(
+    "w3_timer_scan",
+    oracle="""
+SELECT event_id AS timer_id, user_id, CAST(ts AS DATE) AS maturation_date
+FROM events
+WHERE ts <= TIMESTAMP '2024-01-03 00:00:00'
+""",
+)
+def w3_timer_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fire all timers with maturation <= now: a pushed-down range scan."""
+    e = load_table(spark, sf_dir, "events")
+    return e.where(F.col("ts") <= F.lit("2024-01-03 00:00:00").cast("timestamp")).select(
+        F.col("event_id").alias("timer_id"),
+        "user_id",
+        F.col("ts").cast("date").alias("maturation_date"),
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.7 — set ops (alias diffing EXCEPT; ResourceByKeyProcessor.java:118-124)
+# --------------------------------------------------------------------------
+
+@query(
+    "s_alias_diff_except",
+    oracle="""
+SELECT user_id FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+""",
+)
+def s_alias_diff_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog alias diff: old EXCEPT new → deletes."""
+    e = load_table(spark, sf_dir, "events")
+    clickers = e.where(F.col("event_type") == "click").select("user_id")
+    buyers = e.where(F.col("event_type") == "purchase").select("user_id")
+    return clickers.subtract(buyers)  # EXCEPT (distinct) in both engines
+
+
+# --------------------------------------------------------------------------
+# §2.7 — deterministic sort + limit
+# --------------------------------------------------------------------------
+
+@query(
+    "sort_limit_topn",
+    oracle="""
+SELECT o_orderkey, CAST(ROUND(o_totalprice, 2) AS DOUBLE) AS o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+""",
+)
+def sort_limit_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N with full tie-break: TakeOrderedAndProject, no global sort."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
+        .select("o_orderkey", F.round("o_totalprice", 2).cast("double").alias("o_totalprice"))
+    )

@@ -1,0 +1,81 @@
+"""SparkSession construction tuned for the engine.
+
+Defaults are chosen for local[N] testing but every knob is the one you
+would set on a 1000-executor cluster too: AQE on (runtime re-planning,
+skew-join splitting, shuffle-partition coalescing), a shuffle
+partition count sized to the local core count (on a real cluster this
+is overridden by AQE's coalescing + `spark.sql.shuffle.partitions`
+set to ~2-3x total cores), and Arrow enabled for every
+pandas-interchange path (the engine fold runs as Arrow-batched
+``applyInPandas``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(app_name: str = "old-original-java-little-horse-spark",
+              extra_conf: dict | None = None) -> SparkSession:
+    cpus = default_parallelism()
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        # Shuffle sizing: one partition per core locally; AQE coalesces
+        # small post-shuffle partitions so over-provisioning is safe at
+        # cluster scale.
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow for all pandas UDF / applyInPandas paths (the engine fold).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Broadcast small dimension tables (region/nation/spec tables).
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # Local mode memory; harmless on cluster (overridden by deploy).
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        # The driver testdata stores TIMESTAMP(NANOS); Spark has no nanos
+        # type — read as long and convert in the loader (sources/parquet.py).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers.
+
+    Any Pandas-UDF / mapInPandas / applyInPandas function defined in
+    this package is pickled *by reference* — workers must be able to
+    import it.  Zipping the package and `addPyFile`-ing it works the
+    same on local[N] and on a 1000-executor cluster, so call this
+    before running any Python-side operator.  Idempotent per session.
+    """
+    import pathlib
+    import tempfile
+    import zipfile
+
+    pkg_dir = pathlib.Path(__file__).resolve().parent
+    zip_path = pathlib.Path(tempfile.gettempdir()) / f"{pkg_dir.name}_pyfiles.zip"
+    newest_src = max(p.stat().st_mtime for p in pkg_dir.rglob("*.py"))
+    if not zip_path.exists() or zip_path.stat().st_mtime < newest_src:
+        tmp = zip_path.with_suffix(".tmp")
+        with zipfile.ZipFile(tmp, "w") as z:
+            for p in sorted(pkg_dir.rglob("*.py")):
+                z.write(p, f"{pkg_dir.name}/{p.relative_to(pkg_dir)}")
+        tmp.replace(zip_path)
+    shipped = getattr(spark, "_oojlh_shipped", None)
+    if shipped != str(zip_path):
+        spark.sparkContext.addPyFile(str(zip_path))
+        spark._oojlh_shipped = str(zip_path)

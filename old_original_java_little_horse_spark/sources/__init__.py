@@ -1,0 +1,1 @@
+from .parquet import TABLES, load_table, load_tables  # noqa: F401
