@@ -53,5 +53,6 @@ def all_queries() -> dict[str, QuerySpec]:
     from .operators import indexing, relational  # noqa: F401
     from .functions import dedup, expressions, multimodal, similarity, text  # noqa: F401
     from .engine import queries as engine_queries  # noqa: F401
+    from .streaming import queries as streaming_queries  # noqa: F401
 
     return dict(_REGISTRY)

@@ -1,0 +1,181 @@
+"""Streaming engine: the same pure fold under Structured Streaming.
+
+SURVEY.md §3.2 / §7 step 4 — the reference's Kafka Streams topology
+(`J/scheduler/SchedulerTopology.java:23-154`) re-expressed as ONE
+streaming query:
+
+    events → groupBy(wf_run_id) → applyInPandasWithState(fold)
+           → tagged output rows → filter-split → sinks
+
+- Per-key state is the WFRun JSON document (the reference's RocksDB
+  value, `SchedulerProcessor.java:133-231`); Structured Streaming's
+  state store (RocksDB-backed in prod) replaces the store + changelog
+  topic pair — the write-amplification the reference laments in
+  `SchedulerTopology.java:33-46` disappears.
+- Intra-key ordering: events are sorted by `offset` inside each
+  micro-batch group (Structured Streaming does not guarantee
+  intra-batch order — SURVEY §2.10).
+- Outputs are a single tagged stream: `kind` ∈ {snapshot,
+  task_schedule, timer}; the per-TaskDef fanout (S4) becomes a filter
+  or a Kafka sink with a `topic` column — strictly better than the
+  reference's one-processor-per-TaskDef (§2.2 P1).
+- Timers (`kind='timer'`) are re-injected as TIMER_EVENTs by the
+  driver loop (`run_streaming_availablenow`) between passes; the
+  punctuator equivalent for continuous mode is a
+  `Trigger.ProcessingTime("1 second")` re-injection query, matching
+  the reference's 1 s resolution (`Constants.java:36`).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    IntegerType, LongType, StringType, StructField, StructType,
+)
+
+from ..engine.fold import TaskExecutor, process_event
+
+OUTPUT_SCHEMA = StructType([
+    StructField("wf_run_id", StringType()),
+    StructField("kind", StringType()),       # snapshot | task_schedule | timer
+    StructField("status", StringType()),     # snapshot only
+    StructField("task_def_name", StringType()),   # task_schedule only
+    StructField("thread_id", IntegerType()),
+    StructField("task_run_position", IntegerType()),
+    StructField("maturation_timestamp", LongType()),  # timer only
+    StructField("payload", StringType()),    # full JSON of the row's object
+])
+
+STATE_SCHEMA = StructType([StructField("state_json", StringType())])
+
+
+def make_update_fn(spec: dict, executor: TaskExecutor | None = None):
+    """Build the applyInPandasWithState update function for a spec."""
+
+    def update(key: tuple, pdf_iter: Iterator[pd.DataFrame],
+               group_state: GroupState) -> Iterator[pd.DataFrame]:
+        (wf_run_id,) = key
+        state = None
+        if group_state.exists:
+            (state_json,) = group_state.get
+            state = json.loads(state_json)
+
+        events: list[dict] = []
+        for pdf in pdf_iter:
+            events.extend(pdf.to_dict("records"))
+        # Structured Streaming gives no intra-batch order — sort by the
+        # per-key offset (Kafka partition order in the reference).
+        events.sort(key=lambda e: e.get("offset") or 0)
+
+        out_rows = []
+        for ev in events:
+            state, ctx = process_event(spec, state, ev, executor=executor)
+            for tsr in ctx.to_schedule:
+                out_rows.append({
+                    "wf_run_id": wf_run_id, "kind": "task_schedule",
+                    "status": None,
+                    "task_def_name": tsr["task_def_name"],
+                    "thread_id": tsr["thread_id"],
+                    "task_run_position": tsr["task_run_position"],
+                    "maturation_timestamp": None,
+                    "payload": json.dumps(tsr, separators=(",", ":")),
+                })
+            for timer in ctx.timers:
+                out_rows.append({
+                    "wf_run_id": wf_run_id, "kind": "timer",
+                    "status": None, "task_def_name": None,
+                    "thread_id": timer["thread_run_id"],
+                    "task_run_position": timer["task_run_id"],
+                    "maturation_timestamp": timer["maturation_timestamp"],
+                    "payload": json.dumps(timer, separators=(",", ":")),
+                })
+
+        if state is not None:
+            group_state.update((json.dumps(state, separators=(",", ":")),))
+            # One snapshot per batch with events for this key — the S5
+            # contract (SchedulerTopology.java:74-87).
+            out_rows.append({
+                "wf_run_id": wf_run_id, "kind": "snapshot",
+                "status": state["status"], "task_def_name": None,
+                "thread_id": None, "task_run_position": None,
+                "maturation_timestamp": None,
+                "payload": json.dumps(state, separators=(",", ":")),
+            })
+        cols = [f.name for f in OUTPUT_SCHEMA.fields]
+        yield pd.DataFrame(out_rows, columns=cols)
+
+    return update
+
+
+def streaming_engine(events: DataFrame, spec: dict,
+                     executor: TaskExecutor | None = None) -> DataFrame:
+    """events (streaming DF, WF_EVENT_SCHEMA) → tagged output stream."""
+    from ..session import ship_package
+
+    ship_package(events.sparkSession)
+    return events.groupBy("wf_run_id").applyInPandasWithState(
+        make_update_fn(spec, executor),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def split_outputs(tagged: DataFrame) -> dict[str, DataFrame]:
+    """S4/S5 split: one tagged stream → per-sink streams (P1/P2)."""
+    return {
+        "snapshots": tagged.where(F.col("kind") == "snapshot")
+                           .select("wf_run_id", "status", "payload"),
+        "task_schedule": tagged.where(F.col("kind") == "task_schedule")
+                               .select("wf_run_id", "task_def_name",
+                                       "thread_id", "task_run_position", "payload"),
+        "timers": tagged.where(F.col("kind") == "timer")
+                        .select("wf_run_id", "thread_id", "task_run_position",
+                                "maturation_timestamp", "payload"),
+    }
+
+
+def run_streaming_availablenow(spark: SparkSession, events_dir: str, spec: dict,
+                               checkpoint_dir: str, output_dir: str,
+                               executor: TaskExecutor | None = None,
+                               max_files_per_trigger: int | None = None) -> DataFrame:
+    """Run the engine over a parquet directory of events with an
+    Available-Now trigger, appending tagged outputs to `output_dir`
+    via foreachBatch (fault-tolerant: the checkpoint is recoverable,
+    unlike a memory sink); returns the accumulated output DataFrame.
+
+    This is the replay/backfill harness and the integration-test
+    driver: with `max_files_per_trigger=1` each file becomes its own
+    micro-batch, exercising cross-batch state persistence exactly as
+    a live Kafka feed would.  In production the foreachBatch body is
+    the idempotent Kafka/Delta dual-sink (exactly-once via dedupe on
+    (wf_run_id, thread_id, task_run_position, attempt_number) —
+    BASELINE.md part B).
+    """
+    from ..engine.batch import WF_EVENT_SCHEMA
+
+    reader = spark.readStream.schema(WF_EVENT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    events = reader.parquet(events_dir)
+    tagged = streaming_engine(events, spec, executor=executor)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(output_dir)
+
+    q = (
+        tagged.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(output_dir)

@@ -1,0 +1,147 @@
+"""Streaming engine integration tests: the same fold under
+applyInPandasWithState must agree with the batch engine, including
+state persisted across micro-batches."""
+
+from __future__ import annotations
+
+import json
+import shutil
+import tempfile
+from pathlib import Path
+
+import pyspark.sql.functions as F
+
+from old_original_java_little_horse_spark.engine.batch import WF_EVENT_SCHEMA
+from old_original_java_little_horse_spark.engine.batch_queries import (
+    pipeline_executor, pipeline_spec, _wf_events_from_users,
+)
+from old_original_java_little_horse_spark.streaming.engine import (
+    run_streaming_availablenow, split_outputs,
+)
+
+from .conftest import SF_SMOKE
+
+
+def test_streaming_matches_batch(spark):
+    """Streaming fold over the per-user pipeline == batch closed form."""
+    workdir = Path(tempfile.mkdtemp(prefix="stream-test-"))
+    try:
+        events_dir = workdir / "events"
+        _wf_events_from_users(spark, SF_SMOKE).coalesce(1).write.parquet(str(events_dir))
+        tagged = run_streaming_availablenow(
+            spark, str(events_dir), pipeline_spec(),
+            checkpoint_dir=str(workdir / "ckpt"),
+            output_dir=str(workdir / "out"),
+            executor=pipeline_executor,
+        )
+        snaps = tagged.where(F.col("kind") == "snapshot")
+        rows = {r["wf_run_id"]: r for r in snaps.collect()}
+        assert len(rows) == 15  # 15 users at sf0.001
+        for run_id, r in rows.items():
+            st = json.loads(r["payload"])
+            assert r["status"] == "COMPLETED"
+            vs = st["thread_runs"][0]["variables"]
+            assert vs["score"] == 2 * vs["n_purch"] + vs["n_click"] + 7
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_streaming_state_across_microbatches(spark):
+    """Events split across files with maxFilesPerTrigger=1: run state
+    must persist in the state store between micro-batches."""
+    workdir = Path(tempfile.mkdtemp(prefix="stream-mb-"))
+    try:
+        events_dir = workdir / "events"
+        events_dir.mkdir()
+        start = [("r1", "s", "s", "WF_RUN_STARTED", 0, 1000, 0,
+                  json.dumps({"variables": {"n_purch": 2, "n_click": 5}}))]
+        df1 = spark.createDataFrame(start, schema=WF_EVENT_SCHEMA)
+        df1.coalesce(1).write.parquet(str(events_dir / "wave1"))
+
+        tagged = run_streaming_availablenow(
+            spark, str(events_dir) + "/*", pipeline_spec(),
+            checkpoint_dir=str(workdir / "ckpt"),
+            output_dir=str(workdir / "out"),
+            executor=pipeline_executor,
+            max_files_per_trigger=1,
+        )
+        snap = tagged.where(F.col("kind") == "snapshot").collect()
+        assert len(snap) == 1
+        state = json.loads(snap[0]["payload"])
+        assert state["status"] == "COMPLETED"
+        assert state["thread_runs"][0]["variables"]["score"] == 2 * 2 + 5 + 7
+
+        # Wave 2: a second run arrives later; resuming from the same
+        # checkpoint must keep r1's state and fold r2 fresh.
+        start2 = [("r2", "s", "s", "WF_RUN_STARTED", 0, 2000, 0,
+                   json.dumps({"variables": {"n_purch": 1, "n_click": 1}}))]
+        spark.createDataFrame(start2, schema=WF_EVENT_SCHEMA) \
+             .coalesce(1).write.parquet(str(events_dir / "wave2"))
+        tagged2 = run_streaming_availablenow(
+            spark, str(events_dir) + "/*", pipeline_spec(),
+            checkpoint_dir=str(workdir / "ckpt"),
+            output_dir=str(workdir / "out2"),
+            executor=pipeline_executor,
+            max_files_per_trigger=1,
+        )
+        snaps2 = {r["wf_run_id"]: json.loads(r["payload"])
+                  for r in tagged2.where(F.col("kind") == "snapshot").collect()}
+        # Update mode emits only keys touched in the new batches.
+        assert "r2" in snaps2
+        assert snaps2["r2"]["thread_runs"][0]["variables"]["score"] == 2 * 1 + 1 + 7
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_streaming_split_and_async_tasks(spark):
+    """Without an inline executor the engine emits task_schedule rows;
+    feeding worker TASK_EVENTs back in a later wave completes the run
+    — the full Kafka round-trip shape, minus Kafka."""
+    workdir = Path(tempfile.mkdtemp(prefix="stream-async-"))
+    try:
+        from old_original_java_little_horse_spark.sdk.builder import Workflow
+
+        wf = Workflow("basic")
+        t = wf.thread("entrypoint")
+        t.execute("echo", x="Hello, there!")
+        spec = wf.build()
+
+        events_dir = workdir / "events"
+        events_dir.mkdir()
+        start = [("r1", "s", "s", "WF_RUN_STARTED", 0, 1000, 0,
+                  json.dumps({"variables": {}}))]
+        spark.createDataFrame(start, schema=WF_EVENT_SCHEMA) \
+             .coalesce(1).write.parquet(str(events_dir / "wave1"))
+        tagged = run_streaming_availablenow(
+            spark, str(events_dir) + "/*", spec,
+            checkpoint_dir=str(workdir / "ckpt"),
+            output_dir=str(workdir / "out"),
+        )
+        outs = split_outputs(tagged)
+        scheds = outs["task_schedule"].collect()
+        assert len(scheds) == 1
+        tsr = json.loads(scheds[0]["payload"])
+        assert tsr["task_def_name"] == "echo"
+        assert tsr["variable_substitutions"] == {"x": "Hello, there!"}
+
+        # "Worker" responds: ended event in wave 2.
+        ended = [("r1", "s", "s", "TASK_EVENT", 0, 1500, 1,
+                  json.dumps({"thread_id": 0,
+                              "task_run_position": tsr["task_run_position"],
+                              "ended_event": {"result": {
+                                  "stdout": "Hello, there!", "stderr": None,
+                                  "success": True, "returncode": 0}}}))]
+        spark.createDataFrame(ended, schema=WF_EVENT_SCHEMA) \
+             .coalesce(1).write.parquet(str(events_dir / "wave2"))
+        tagged2 = run_streaming_availablenow(
+            spark, str(events_dir) + "/*", spec,
+            checkpoint_dir=str(workdir / "ckpt"),
+            output_dir=str(workdir / "out2"),
+        )
+        snaps = [r for r in tagged2.collect() if r["kind"] == "snapshot"]
+        assert len(snaps) == 1
+        state = json.loads(snaps[0]["payload"])
+        assert state["status"] == "COMPLETED"
+        assert state["thread_runs"][0]["task_runs"][0]["stdout"] == "Hello, there!"
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
