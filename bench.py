@@ -35,6 +35,8 @@ HEADLINE = [
     "t_quality_score",
     "t_token_count",
     "mm_metadata_extract",
+    "engine_pipeline_fold",
+    "engine_run_index",
 ]
 
 

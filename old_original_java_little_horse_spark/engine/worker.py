@@ -1,0 +1,92 @@
+"""Task worker: executes scheduled tasks and produces result events.
+
+Port of the reference worker loop (`J/deployers/examples/common/
+taskimpl/TaskWorker.java:58-145`, Python twin `lhctl/executor/
+worker.py:48-120`).  The reference gets exactly-once by committing
+the consumer offset and the result event in one Kafka transaction
+(TaskWorker.java:102-142); Spark's checkpoint gives at-least-once
+delivery of schedule rows, so exactly-once here is an *idempotent
+consumer*: results are deduped on the task-run identity key
+`(wf_run_id, thread_id, task_run_position, attempt_number)` —
+BASELINE.md part B's "no lost/duplicate TaskRuns" target — and the
+fold's stale-result guard drops anything that still slips through.
+
+The worker is deliberately out-of-engine (plain Python over rows),
+mirroring the reference's architecture: engine ⇄ worker only via the
+schedule/result streams.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Callable
+
+TaskFn = Callable[[dict], dict]
+
+
+class TaskWorker:
+    """Executes task_schedule payloads with registered functions."""
+
+    def __init__(self, tasks: dict[str, TaskFn], worker_id: str = "pyworker-1"):
+        self.tasks = tasks
+        self.worker_id = worker_id
+        self._seen: set[tuple] = set()  # idempotency keys
+
+    def _key(self, tsr: dict) -> tuple:
+        return (tsr["wf_run_id"], tsr["thread_id"],
+                tsr["task_run_position"], tsr.get("attempt_number", 0))
+
+    def handle(self, tsr: dict, timestamp: int, base_offset: int) -> list[dict]:
+        """One schedule request → [started_event, ended_event] wf_events
+        (or [] if this task-run attempt was already executed)."""
+        key = self._key(tsr)
+        if key in self._seen:
+            return []  # duplicate delivery — idempotent skip
+        self._seen.add(key)
+
+        fn = self.tasks.get(tsr["task_def_name"])
+        base = {
+            "wf_run_id": tsr["wf_run_id"],
+            "wf_spec_id": tsr.get("wf_spec_id"),
+            "wf_spec_name": tsr.get("wf_spec_name"),
+            "event_type": "TASK_EVENT",
+            "thread_id": tsr["thread_id"],
+        }
+        started = dict(base, timestamp=timestamp, offset=base_offset, content=json.dumps({
+            "thread_id": tsr["thread_id"],
+            "task_run_position": tsr["task_run_position"],
+            "started_event": {"worker_id": self.worker_id, "stdin": None},
+        }))
+        if fn is None:
+            result = {"stdout": None, "stderr":
+                      f"No task function registered for {tsr['task_def_name']}",
+                      "success": False, "returncode": 127}
+        else:
+            try:
+                result = fn(tsr.get("variable_substitutions") or {})
+            except Exception as e:  # noqa: BLE001 — worker errors = task failure
+                result = {"stdout": None, "stderr": str(e),
+                          "success": False, "returncode": 1}
+        ended = dict(base, timestamp=timestamp + 1, offset=base_offset + 1,
+                     content=json.dumps({
+                         "thread_id": tsr["thread_id"],
+                         "task_run_position": tsr["task_run_position"],
+                         "ended_event": {"result": {
+                             "stdout": result.get("stdout"),
+                             "stderr": result.get("stderr"),
+                             "success": bool(result.get("success", True)),
+                             "returncode": result.get("returncode", 0),
+                         }},
+                     }))
+        return [started, ended]
+
+    def drain(self, schedule_rows: list[dict], start_offset: int = 1000,
+              timestamp: int = 2000) -> list[dict]:
+        """Process a batch of schedule payloads → wf_event dicts."""
+        out: list[dict] = []
+        off = start_offset
+        for tsr in schedule_rows:
+            evs = self.handle(tsr, timestamp, off)
+            out.extend(evs)
+            off += len(evs)
+        return out

@@ -1,0 +1,68 @@
+"""Physical-plan regression tests: the plan each operator *should*
+produce at scale, asserted (pushdown reaches the scan, small dims
+broadcast, no stray shuffles) — not eyeballed."""
+
+from __future__ import annotations
+
+from old_original_java_little_horse_spark.plans.inspect import (
+    count_exchanges, explain_str, physical_ops, pushed_filters,
+)
+from old_original_java_little_horse_spark.registry import all_queries
+
+from .conftest import SF_SMOKE
+
+Q = all_queries()
+
+
+def test_p1_filter_pushed_to_scan(spark):
+    df = Q["p1_fanout_filter"].fn(spark, SF_SMOKE)
+    filters = " ".join(pushed_filters(df))
+    assert "event_type" in filters, filters
+
+
+def test_q1_prunes_columns_and_single_shuffle(spark):
+    df = Q["q1_pricing_summary"].fn(spark, SF_SMOKE)
+    txt = explain_str(df)
+    # Column pruning: the scan must not read join keys it doesn't need.
+    assert "l_partkey" not in txt and "l_suppkey" not in txt, "scan reads unused columns"
+    # Shuffle date filter pushed down.
+    assert "l_shipdate" in " ".join(pushed_filters(df))
+    # One exchange: partial agg → final agg.
+    assert count_exchanges(df) <= 1, explain_str(df)
+    assert "HashAggregate" in physical_ops(df)
+
+
+def test_j2_dims_broadcast(spark):
+    df = Q["j2_broadcast_enrich"].fn(spark, SF_SMOKE)
+    ops = physical_ops(df)
+    assert "BroadcastHashJoin" in ops, ops
+    assert "SortMergeJoin" not in ops, "dim join fell back to sort-merge"
+    # Fact side never shuffles: only broadcast exchanges allowed.
+    txt = explain_str(df)
+    assert "Exchange hashpartitioning" not in txt, txt
+
+
+def test_q5_region_nation_broadcast(spark):
+    df = Q["q5_local_supplier_volume"].fn(spark, SF_SMOKE)
+    assert "BroadcastHashJoin" in physical_ops(df)
+
+
+def test_w1_single_window_exchange(spark):
+    df = Q["w1_position_numbering"].fn(spark, SF_SMOKE)
+    # Both window functions partition by user_id → one hash exchange.
+    assert count_exchanges(df) == 1, explain_str(df)
+
+
+def test_minhash_sigs_partial_aggregation(spark):
+    """The minhash groupBy must partial-aggregate (map-side combine)
+    before its exchange — the property that makes it scale."""
+    df = Q["d_minhash_signatures"].fn(spark, SF_SMOKE)
+    ops = physical_ops(df)
+    assert ops.count("HashAggregate") >= 2 or "SortAggregate" in ops, ops
+
+
+def test_whole_stage_codegen_on_expressions(spark):
+    """Scalar-expression operators stay inside whole-stage codegen."""
+    df = Q["x_mutation_arith"].fn(spark, SF_SMOKE)
+    # In formatted explain, a leading '*' marks codegen'd operators.
+    assert "* Project" in explain_str(df), explain_str(df)
