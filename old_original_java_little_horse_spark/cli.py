@@ -1,0 +1,246 @@
+"""lhctl-equivalent CLI (reference: `lhctl/lh_cli/` + `lh_lib/client.py`).
+
+Commands mirror the reference's user surface against the Spark
+engine's on-disk layout (an events dir the engine consumes and a
+snapshots dir it writes — Kafka topics/Delta tables in production):
+
+    run <spec.json> --events-dir D [--var k=v ...] [--run-id id]
+    apply <spec.json>                 # validate + store a spec
+    get <run_id>      --snapshots-dir D
+    search <key> <value> --snapshots-dir D
+    list              --snapshots-dir D
+    event <run_id> <event_name> <payload> --events-dir D
+
+`run`/`event` are the POST command path (§3.1/§3.2 step 1: HTTP →
+event produce); `get`/`search`/`list` are the §3.3 query path over
+the materialized snapshot store; name-resolution fallback (id miss →
+search by name) matches `lh_lib/client.py:62-85`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+import uuid
+from pathlib import Path
+
+
+def _spark():
+    from .session import get_spark
+
+    return get_spark("lhctl-spark")
+
+
+def _write_event(spark, events_dir: str, row: dict) -> None:
+    from .engine.batch import WF_EVENT_SCHEMA
+
+    df = spark.createDataFrame([(
+        row["wf_run_id"], row.get("wf_spec_id"), row.get("wf_spec_name"),
+        row["event_type"], row.get("thread_id", 0),
+        row.get("timestamp") or int(time.time() * 1000),
+        row.get("offset", 0), row["content"],
+    )], schema=WF_EVENT_SCHEMA)
+    df.coalesce(1).write.mode("append").parquet(
+        str(Path(events_dir) / f"cmd-{uuid.uuid4().hex[:12]}")
+    )
+
+
+def _snapshots(spark, snapshots_dir: str):
+    import pyspark.sql.functions as F
+
+    df = spark.read.parquet(snapshots_dir)
+    if "kind" in df.columns:  # tagged streaming output
+        df = df.where(F.col("kind") == "snapshot") \
+               .select("wf_run_id", "status", F.col("payload").alias("state_json"))
+    # Latest snapshot per run (W2 latest-entry selection).
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("wf_run_id").orderBy(F.monotonically_increasing_id().desc())
+    return (df.withColumn("_rn", F.row_number().over(w))
+              .where(F.col("_rn") == 1).drop("_rn"))
+
+
+def cmd_run(args) -> int:
+    spec = json.loads(Path(args.spec).read_text())
+    from .sdk.builder import validate_spec
+
+    validate_spec(spec)
+    run_id = args.run_id or uuid.uuid4().hex
+    variables = {}
+    for kv in args.var or []:
+        k, _, v = kv.partition("=")
+        try:
+            variables[k] = json.loads(v)
+        except json.JSONDecodeError:
+            variables[k] = v
+    spark = _spark()
+    _write_event(spark, args.events_dir, {
+        "wf_run_id": run_id,
+        "wf_spec_id": spec.get("id"),
+        "wf_spec_name": spec.get("name"),
+        "event_type": "WF_RUN_STARTED",
+        "content": json.dumps({"variables": variables}),
+    })
+    print(run_id)
+    return 0
+
+
+def cmd_apply(args) -> int:
+    spec = json.loads(Path(args.spec).read_text())
+    from .sdk.builder import validate_spec
+
+    validate_spec(spec)
+    out = Path(args.store_dir) / f"{spec['name']}.json"
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_text(json.dumps(spec, indent=2))
+    print(f"{spec['name']} valid → {out}")
+    return 0
+
+
+def cmd_event(args) -> int:
+    spark = _spark()
+    try:
+        content = json.loads(args.payload)
+    except json.JSONDecodeError:
+        content = args.payload
+    _write_event(spark, args.events_dir, {
+        "wf_run_id": args.run_id,
+        "event_type": "EXTERNAL_EVENT",
+        "thread_id": -1,
+        "content": json.dumps({
+            "external_event_def_name": args.event_name,
+            "content": content,
+            "timestamp": int(time.time() * 1000),
+        }),
+    })
+    print("ok")
+    return 0
+
+
+def cmd_get(args) -> int:
+    spark = _spark()
+    snaps = _snapshots(spark, args.snapshots_dir)
+    rows = snaps.where(snaps.wf_run_id == args.run_id).collect()
+    if not rows:
+        # Name-resolution fallback (client.py:62-85): search index by name.
+        from .operators.run_index import alias_rows
+
+        import pyspark.sql.functions as F
+        ids = alias_rows(snaps).where(
+            (F.col("key") == "name") & (F.col("value") == args.run_id)
+        ).collect()
+        if ids:
+            rows = snaps.where(snaps.wf_run_id == ids[0]["object_id"]).collect()
+    if not rows:
+        print(f"not found: {args.run_id}", file=sys.stderr)
+        return 1
+    print(json.dumps(json.loads(rows[0]["state_json"]), indent=2))
+    return 0
+
+
+def cmd_search(args) -> int:
+    from .operators.run_index import search
+
+    spark = _spark()
+    snaps = _snapshots(spark, args.snapshots_dir)
+    for r in search(snaps, args.key, args.value).collect():
+        print(r["wf_run_id"])
+    return 0
+
+
+def cmd_list(args) -> int:
+    spark = _spark()
+    for r in _snapshots(spark, args.snapshots_dir).select("wf_run_id", "status").collect():
+        print(f"{r['wf_run_id']}\t{r['status']}")
+    return 0
+
+
+def cmd_process(args) -> int:
+    """Run the engine once (availableNow) over the events dir: fold all
+    pending events into snapshots — the micro-batch equivalent of the
+    scheduler container processing its backlog."""
+    spec = json.loads(Path(args.spec).read_text())
+    from .streaming.engine import run_streaming_availablenow
+
+    executor = None
+    if args.executor:
+        # "module.path:function" — the deployed task implementations
+        # (reference: task deployer plugins, LHUtil.java:238-262).
+        import importlib
+
+        mod_name, _, attr = args.executor.partition(":")
+        executor = getattr(importlib.import_module(mod_name), attr)
+
+    spark = _spark()
+    tagged = run_streaming_availablenow(
+        spark, str(Path(args.events_dir)) + "/*", spec,
+        checkpoint_dir=args.checkpoint_dir,
+        output_dir=args.snapshots_dir,
+        executor=executor,
+    )
+    import pyspark.sql.functions as F
+
+    n = tagged.where(F.col("kind") == "snapshot").count()
+    s = tagged.where(F.col("kind") == "task_schedule").count()
+    print(f"processed: {n} snapshots, {s} pending task schedules")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="lhctl-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("run", help="start a workflow run (POST /WFRun)")
+    r.add_argument("spec")
+    r.add_argument("--events-dir", required=True)
+    r.add_argument("--var", action="append")
+    r.add_argument("--run-id")
+    r.set_defaults(fn=cmd_run)
+
+    a = sub.add_parser("apply", help="validate + store a WFSpec")
+    a.add_argument("spec")
+    a.add_argument("--store-dir", required=True)
+    a.set_defaults(fn=cmd_apply)
+
+    e = sub.add_parser("event", help="send an external event")
+    e.add_argument("run_id")
+    e.add_argument("event_name")
+    e.add_argument("payload")
+    e.add_argument("--events-dir", required=True)
+    e.set_defaults(fn=cmd_event)
+
+    g = sub.add_parser("get", help="GET /WFRun/{id}")
+    g.add_argument("run_id")
+    g.add_argument("--snapshots-dir", required=True)
+    g.set_defaults(fn=cmd_get)
+
+    s = sub.add_parser("search", help="search index by (key, value)")
+    s.add_argument("key")
+    s.add_argument("value")
+    s.add_argument("--snapshots-dir", required=True)
+    s.set_defaults(fn=cmd_search)
+
+    ls = sub.add_parser("list", help="all run ids + statuses")
+    ls.add_argument("--snapshots-dir", required=True)
+    ls.set_defaults(fn=cmd_list)
+
+    pr = sub.add_parser("process", help="fold pending events (availableNow)")
+    pr.add_argument("spec")
+    pr.add_argument("--events-dir", required=True)
+    pr.add_argument("--snapshots-dir", required=True)
+    pr.add_argument("--checkpoint-dir", required=True)
+    pr.add_argument("--executor", help="module.path:function for inline tasks")
+    pr.set_defaults(fn=cmd_process)
+
+    args = p.parse_args(argv)
+    try:
+        return args.fn(args)
+    except ValueError as e:  # spec validation failures → clean error
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -172,3 +172,19 @@ def engine_task_runs_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return task_runs_flat(snaps).select(
         "wf_run_id", "thread_id", "position", "node_name", "status"
     )
+
+
+@query(
+    "engine_result_counts",
+    oracle="""
+SELECT 'COMPLETED' AS status,
+       COUNT(DISTINCT user_id) AS n_runs
+FROM events
+""",
+)
+def engine_result_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 test-harness rollup (lh_test_harness/harness/logic.py:157-179):
+    GROUP BY status → count over engine results."""
+    events = _wf_events_from_users(spark, sf_dir)
+    snaps = run_events_batch(events, pipeline_spec(), executor=pipeline_executor)
+    return snaps.groupBy("status").agg(F.count(F.lit(1)).alias("n_runs"))

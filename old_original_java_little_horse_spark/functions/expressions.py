@@ -320,3 +320,27 @@ def x_type_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("true").cast("boolean").alias("str_to_bool"),
         (ln != 0).alias("int_to_bool"),
     )
+
+
+# --------------------------------------------------------------------------
+# Template substitution — <<varname>> replacement (BashExecutor.java:39-67,
+# pattern Constants.java:40-42) as a deterministic string scalar
+# --------------------------------------------------------------------------
+
+@query(
+    "x_template_substitution",
+    oracle="""
+SELECT doc_id,
+       replace(replace('run --lang=<<lang>> --source=<<source>>',
+                       '<<lang>>', lang),
+               '<<source>>', source) AS argv
+FROM documents
+""",
+)
+def x_template_substitution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Worker argv template substitution: `<<varname>>` → value."""
+    d = load_table(spark, sf_dir, "documents")
+    tpl = F.lit("run --lang=<<lang>> --source=<<source>>")
+    out = F.replace(tpl, F.lit("<<lang>>"), F.col("lang"))
+    out = F.replace(out, F.lit("<<source>>"), F.col("source"))
+    return d.select("doc_id", out.alias("argv"))

@@ -78,9 +78,10 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", quantized(F.col("embedding")).alias("v")
-    )
+    ).withColumn("norm2", dot_q(F.col("v"), F.col("v")).cast("double"))
     qs = e.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("norm2").alias("qnorm2"),
     )
     pairs = (
         F.broadcast(qs)
@@ -88,7 +89,8 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            cosine_q(F.col("qv"), F.col("v")).alias("cosine"),
+            (dot_q(F.col("qv"), F.col("v"))
+             / F.sqrt(F.col("qnorm2") * F.col("norm2"))).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -129,15 +131,20 @@ def sim_label_blocked_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", quantized(F.col("embedding")).alias("v")
     )
+    # Precompute norms once per vector (not per pair): the pair
+    # expression then evaluates ONE interpreted array-dot instead of
+    # three — measured ~3x on the bucketed self-join.
+    e = e.withColumn("norm2", dot_q(F.col("v"), F.col("v")).cast("double"))
     a, b = e.alias("a"), e.alias("b")
-    cos = cosine_q(F.col("a.v"), F.col("b.v"))
+    cos = dot_q(F.col("a.v"), F.col("b.v")) / F.sqrt(F.col("a.norm2") * F.col("b.norm2"))
     return (
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .where(cos >= 0.3)
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
             F.col("a.label").alias("label"),
-            F.round(cos, 4).cast("double").alias("cosine"),
+            cos.alias("cos"),
         )
+        .where(F.col("cos") >= 0.3)
+        .select("vec_a", "vec_b", "label", F.round("cos", 4).cast("double").alias("cosine"))
     )

@@ -142,6 +142,53 @@ def split_outputs(tagged: DataFrame) -> dict[str, DataFrame]:
     }
 
 
+def start_continuous(spark: SparkSession, events_dir: str, spec: dict,
+                     checkpoint_dir: str, output_dir: str,
+                     executor: TaskExecutor | None = None,
+                     trigger_seconds: float = 0.5):
+    """Start the engine as a continuously-running query (ProcessingTime
+    trigger ~ the reference's 1 s punctuator cadence, Constants.java:36).
+    Returns the StreamingQuery handle."""
+    from ..engine.batch import WF_EVENT_SCHEMA
+
+    events = spark.readStream.schema(WF_EVENT_SCHEMA).parquet(events_dir)
+    tagged = streaming_engine(events, spec, executor=executor)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(output_dir)
+
+    return (
+        tagged.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
+
+
+def await_read_your_writes(query, timeout: float = 60.0) -> None:
+    """Read-your-writes barrier: block until the engine has folded
+    everything produced before this call.
+
+    The reference polls the consumer's stored offset until it passes
+    the produce offset, 50 ms at a time
+    (`APIStreamsContext.java:168-222`, poll at 200-203).  On a
+    micro-batch engine the equivalent is: wait for a trigger that ran
+    *after* the call and read zero input rows — all earlier input is
+    then committed to the state store and sinks.
+    """
+    import time as _time
+
+    start_batch = (query.lastProgress or {}).get("batchId", -1)
+    deadline = _time.monotonic() + timeout
+    while _time.monotonic() < deadline:
+        p = query.lastProgress
+        if p and p["batchId"] > start_batch and p["numInputRows"] == 0:
+            return
+        _time.sleep(0.05)  # the reference's 50 ms poll
+    raise TimeoutError("read-your-writes barrier timed out")
+
+
 def run_streaming_availablenow(spark: SparkSession, events_dir: str, spec: dict,
                                checkpoint_dir: str, output_dir: str,
                                executor: TaskExecutor | None = None,

@@ -145,3 +145,43 @@ def test_streaming_split_and_async_tasks(spark):
         assert state["thread_runs"][0]["task_runs"][0]["stdout"] == "Hello, there!"
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_continuous_read_your_writes(spark):
+    """Continuous (ProcessingTime) engine + read-your-writes barrier:
+    POST /WFRun → barrier → GET must see the fold's result
+    (APIStreamsContext.java:168-222 semantics)."""
+    from old_original_java_little_horse_spark.streaming.engine import (
+        await_read_your_writes, start_continuous,
+    )
+
+    workdir = Path(tempfile.mkdtemp(prefix="stream-cont-"))
+    events_dir = workdir / "events"
+    events_dir.mkdir()
+    out_dir = workdir / "out"
+    q = start_continuous(
+        spark, str(events_dir) + "/*", pipeline_spec(),
+        checkpoint_dir=str(workdir / "ckpt"),
+        output_dir=str(out_dir),
+        executor=pipeline_executor,
+        trigger_seconds=0.2,
+    )
+    try:
+        # "POST /WFRun": produce the command event.
+        start = [("rX", "s", "s", "WF_RUN_STARTED", 0, 1000, 0,
+                  json.dumps({"variables": {"n_purch": 3, "n_click": 1}}))]
+        spark.createDataFrame(start, schema=WF_EVENT_SCHEMA) \
+             .coalesce(1).write.parquet(str(events_dir / "cmd1"))
+
+        await_read_your_writes(q, timeout=90)
+
+        # "GET /WFRun/rX": the snapshot must be visible and final.
+        snaps = [r for r in spark.read.parquet(str(out_dir)).collect()
+                 if r["kind"] == "snapshot" and r["wf_run_id"] == "rX"]
+        assert snaps, "barrier returned before the run was visible"
+        state = json.loads(snaps[-1]["payload"])
+        assert state["status"] == "COMPLETED"
+        assert state["thread_runs"][0]["variables"]["score"] == 2 * 3 + 1 + 7
+    finally:
+        q.stop()
+        shutil.rmtree(workdir, ignore_errors=True)
