@@ -501,3 +501,41 @@ def sort_limit_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(25)
         .select("o_orderkey", F.round("o_totalprice", 2).cast("double").alias("o_totalprice"))
     )
+
+
+# --------------------------------------------------------------------------
+# S2 — metadata changelog upsert with tombstones
+# (ApiTopologyBuilder.java:40-45; null value = delete)
+# --------------------------------------------------------------------------
+
+@query(
+    "s2_changelog_upsert",
+    oracle="""
+WITH ranked AS (
+  SELECT user_id, event_type, props, ts, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id AS resource_id, props AS value, event_type AS last_op
+FROM ranked WHERE rn = 1 AND event_type <> 'error'
+""",
+)
+def s2_changelog_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a metadata changelog to the id store: last write per key
+    wins; a tombstone (here: 'error' records) as the last write
+    deletes the row — the batch form of the streaming
+    `foreachBatch MERGE ... WHEN MATCHED AND value IS NULL THEN
+    DELETE`.  One shuffle (the window partition), which a MERGE into
+    a key-bucketed table would also pay.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            F.col("user_id").alias("resource_id"),
+            F.col("props").alias("value"),
+            F.col("event_type").alias("last_op"),
+        )
+    )

@@ -55,8 +55,16 @@ OUTPUT_SCHEMA = StructType([
 STATE_SCHEMA = StructType([StructField("state_json", StringType())])
 
 
-def make_update_fn(spec: dict, executor: TaskExecutor | None = None):
-    """Build the applyInPandasWithState update function for a spec."""
+def make_update_fn(spec: dict, executor: TaskExecutor | None = None,
+                   allowed_lateness_ms: int | None = None):
+    """Build the applyInPandasWithState update function for a spec.
+
+    `allowed_lateness_ms`: Spark's watermark does NOT filter input
+    rows for arbitrary stateful ops (it only drives state-timeout
+    eviction), so event-time lateness is enforced here — events whose
+    timestamp trails the key's max seen event-time by more than the
+    allowance are dropped, deterministically per key.
+    """
 
     def update(key: tuple, pdf_iter: Iterator[pd.DataFrame],
                group_state: GroupState) -> Iterator[pd.DataFrame]:
@@ -72,6 +80,16 @@ def make_update_fn(spec: dict, executor: TaskExecutor | None = None):
         # Structured Streaming gives no intra-batch order — sort by the
         # per-key offset (Kafka partition order in the reference).
         events.sort(key=lambda e: e.get("offset") or 0)
+
+        if allowed_lateness_ms is not None:
+            max_seen = (state or {}).get("_max_event_ts") or 0
+            kept = []
+            for e in events:
+                ts = e.get("timestamp") or 0
+                max_seen = max(max_seen, ts)
+                if ts >= max_seen - allowed_lateness_ms:
+                    kept.append(e)
+            events = kept
 
         out_rows = []
         for ev in events:
@@ -97,6 +115,11 @@ def make_update_fn(spec: dict, executor: TaskExecutor | None = None):
                 })
 
         if state is not None:
+            if allowed_lateness_ms is not None:
+                state["_max_event_ts"] = max(
+                    [state.get("_max_event_ts") or 0]
+                    + [e.get("timestamp") or 0 for e in events]
+                )
             group_state.update((json.dumps(state, separators=(",", ":")),))
             # One snapshot per batch with events for this key — the S5
             # contract (SchedulerTopology.java:74-87).
@@ -114,13 +137,28 @@ def make_update_fn(spec: dict, executor: TaskExecutor | None = None):
 
 
 def streaming_engine(events: DataFrame, spec: dict,
-                     executor: TaskExecutor | None = None) -> DataFrame:
-    """events (streaming DF, WF_EVENT_SCHEMA) → tagged output stream."""
+                     executor: TaskExecutor | None = None,
+                     watermark_delay: str | None = None,
+                     allowed_lateness_ms: int | None = None) -> DataFrame:
+    """events (streaming DF, WF_EVENT_SCHEMA) → tagged output stream.
+
+    Late-data bound (SURVEY §2.10): `allowed_lateness_ms` drops
+    events trailing the key's max event-time — enforced in the
+    update function because Spark's watermark does not filter input
+    rows for arbitrary stateful ops.  `watermark_delay` additionally
+    declares the watermark on the stream (state-timeout eviction +
+    downstream aggregations); both complement the fold's own
+    stale-result guard for in-window out-of-order arrivals.
+    """
     from ..session import ship_package
 
     ship_package(events.sparkSession)
+    if watermark_delay is not None:
+        events = events.withColumn(
+            "event_time", F.timestamp_millis(F.col("timestamp"))
+        ).withWatermark("event_time", watermark_delay)
     return events.groupBy("wf_run_id").applyInPandasWithState(
-        make_update_fn(spec, executor),
+        make_update_fn(spec, executor, allowed_lateness_ms=allowed_lateness_ms),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",

@@ -185,3 +185,63 @@ def test_continuous_read_your_writes(spark):
     finally:
         q.stop()
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_watermark_drops_late_events(spark):
+    """With a watermark, an event arriving far behind event-time is
+    dropped before the fold (SURVEY §2.10 late-data bound)."""
+    from old_original_java_little_horse_spark.sdk.builder import Workflow
+    from old_original_java_little_horse_spark.streaming.engine import (
+        streaming_engine,
+    )
+
+    wf = Workflow("wm")
+    t = wf.thread("entrypoint")
+    t.execute("echo", x="hi")
+    spec = wf.build()
+
+    workdir = Path(tempfile.mkdtemp(prefix="stream-wm-"))
+    try:
+        events_dir = workdir / "events"
+        events_dir.mkdir()
+        now_ms = 10_000_000_000
+        start = [("r1", "s", "s", "WF_RUN_STARTED", 0, now_ms, 0,
+                  json.dumps({"variables": {}}))]
+        spark.createDataFrame(start, schema=WF_EVENT_SCHEMA) \
+             .coalesce(1).write.parquet(str(events_dir / "wave1"))
+        # Ancient task result: event-time far behind the watermark set
+        # by wave1 — must be dropped, leaving the run incomplete.
+        late = [("r1", "s", "s", "TASK_EVENT", 0, 1_000, 1,
+                 json.dumps({"thread_id": 0, "task_run_position": 0,
+                             "ended_event": {"result": {
+                                 "stdout": "late", "stderr": None,
+                                 "success": True, "returncode": 0}}}))]
+        spark.createDataFrame(late, schema=WF_EVENT_SCHEMA) \
+             .coalesce(1).write.parquet(str(events_dir / "wave2"))
+
+        events = (spark.readStream.schema(WF_EVENT_SCHEMA)
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(str(events_dir) + "/*"))
+        tagged = streaming_engine(events, spec, watermark_delay="10 seconds",
+                                  allowed_lateness_ms=10_000)
+
+        out_dir = str(workdir / "out")
+
+        q = (tagged.writeStream
+             .foreachBatch(lambda df, bid: df.write.mode("append").parquet(out_dir))
+             .outputMode("update")
+             .option("checkpointLocation", str(workdir / "ckpt"))
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination(300)
+
+        snaps = [json.loads(r["payload"])
+                 for r in spark.read.parquet(out_dir).collect()
+                 if r["kind"] == "snapshot"]
+        assert snaps, "no snapshots"
+        final = max(snaps, key=lambda s: len(json.dumps(s)))
+        # The late result was dropped: the task is still outstanding.
+        assert final["status"] == "RUNNING"
+        assert final["thread_runs"][0]["task_runs"][0]["status"] == "SCHEDULED"
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
