@@ -68,31 +68,62 @@ STATE_PARSE_SCHEMA = StructType([
 ])
 
 
+def _fold_one(run_id: str, pdf: pd.DataFrame, spec: dict,
+              executor: TaskExecutor | None) -> dict | None:
+    events = pdf.to_dict("records")
+    state, schedules, timers = fold_events(spec, events, executor=executor)
+    if state is None:
+        return None
+    threads = state["thread_runs"]
+    return {
+        "wf_run_id": state["id"],
+        "status": state["status"],
+        "error_code": state.get("error_code"),
+        "n_threads": len(threads),
+        "n_tasks": sum(len(t["task_runs"]) for t in threads),
+        "n_scheduled": len(schedules),
+        "n_timers": len(timers),
+        "state_json": json.dumps(state, separators=(",", ":")),
+    }
+
+
 def run_events_batch(events_df: DataFrame, spec: dict,
-                     executor: TaskExecutor | None = None) -> DataFrame:
-    """Fold a wf_events DataFrame into one snapshot row per run."""
+                     executor: TaskExecutor | None = None,
+                     num_partitions: int | None = None) -> DataFrame:
+    """Fold a wf_events DataFrame into one snapshot row per run.
+
+    Physical shape: hash-repartition on wf_run_id (co-locates each
+    run's events) → `mapInPandas` folding every run in the partition
+    in one Python call.  This replaces per-group `applyInPandas`,
+    whose per-group Arrow/invoke overhead dominates when runs are
+    small (measured ~3 ms x |runs|); with partition-level batching
+    the Python cost is O(events), not O(runs).  Partition count
+    bounds per-task memory at scale (a partition's events must fit).
+    """
     from ..session import ship_package
 
-    ship_package(events_df.sparkSession)
+    spark = events_df.sparkSession
+    ship_package(spark)
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    cols = [f.name for f in SNAPSHOT_SCHEMA.fields]
 
-    def fold_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        events = pdf.to_dict("records")
-        state, schedules, timers = fold_events(spec, events, executor=executor)
-        if state is None:
-            return pd.DataFrame(columns=[f.name for f in SNAPSHOT_SCHEMA.fields])
-        threads = state["thread_runs"]
-        return pd.DataFrame([{
-            "wf_run_id": state["id"],
-            "status": state["status"],
-            "error_code": state.get("error_code"),
-            "n_threads": len(threads),
-            "n_tasks": sum(len(t["task_runs"]) for t in threads),
-            "n_scheduled": len(schedules),
-            "n_timers": len(timers),
-            "state_json": json.dumps(state, separators=(",", ":")),
-        }])
+    def fold_partition(batches):
+        chunks = list(batches)
+        if not chunks:
+            return
+        # A run's events may span Arrow chunks — concat the partition
+        # (bounded by the repartition count) before grouping.
+        pdf = pd.concat(chunks, ignore_index=True)
+        rows = []
+        for run_id, grp in pdf.groupby("wf_run_id", sort=False):
+            row = _fold_one(run_id, grp, spec, executor)
+            if row is not None:
+                rows.append(row)
+        yield pd.DataFrame(rows, columns=cols)
 
-    return events_df.groupBy("wf_run_id").applyInPandas(fold_group, SNAPSHOT_SCHEMA)
+    return events_df.repartition(n, "wf_run_id").mapInPandas(
+        fold_partition, SNAPSHOT_SCHEMA
+    )
 
 
 def task_runs_flat(snapshots: DataFrame) -> DataFrame:

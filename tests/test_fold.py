@@ -531,3 +531,49 @@ def test_stale_task_result_dropped():
     state, _ = E.process_event(spec, state, ended_ev("r1", 0, 0, "late!", offset=2))
     assert state["thread_runs"][0]["task_runs"][0]["failure_reason"] == "TIMEOUT"
     assert state["thread_runs"][0]["variables"]["out"] is None
+
+
+# ---------------------------------------------------------------------------
+# WAIT_FOR_THREAD failure paths (ThreadRun.java:1038-1070)
+# ---------------------------------------------------------------------------
+
+def test_wait_for_failed_child_subthread_failure():
+    """Child thread throws; parent's wait node fails with
+    SUBTHREAD_FAILURE when no handler is attached."""
+    wf = Workflow("subfail")
+    t = wf.thread("entrypoint")
+    c = t.spawn_thread("child")
+    t.wait_for_thread(c)
+    ch = wf.thread("child")
+    ch.throw_exception("kaboom")
+    wf.entrypoint = "entrypoint"
+    state = run_inline(wf.build())
+    assert state["status"] == "HALTED"
+    parent = state["thread_runs"][0]
+    wait_tr = [tr for tr in parent["task_runs"] if tr["node_name"] == "wait-thread"][0]
+    assert wait_tr["failure_reason"] == "SUBTHREAD_FAILURE"
+    assert state["thread_runs"][1]["exception_name"] == "kaboom"
+
+
+def test_wait_for_failed_child_with_exception_handler():
+    """catch_exception routes the named child exception to a handler
+    thread instead of failing the run outright."""
+    wf = Workflow("subhandled")
+    t = wf.thread("entrypoint")
+    t.add_variable("handled", "INT", default=0)
+    c = t.spawn_thread("child")
+    w = t.wait_for_thread(c)
+    w.catch_exception("handler", exception_name="kaboom")
+    ch = wf.thread("child")
+    ch.throw_exception("kaboom")
+    h = wf.thread("handler")
+    hn = h.execute("echo", x="handled!")
+    h.mutate(hn, "handled", "ADD", literal=1)
+    wf.entrypoint = "entrypoint"
+    state = run_inline(wf.build())
+    # The handler thread ran to completion.
+    handlers = [t for t in state["thread_runs"]
+                if t["thread_spec_name"] == "handler"]
+    assert len(handlers) == 1
+    assert handlers[0]["status"] == "COMPLETED"
+    assert state["thread_runs"][0]["variables"]["handled"] == 1
