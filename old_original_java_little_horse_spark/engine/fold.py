@@ -292,19 +292,6 @@ def needed_vars(node: dict) -> set[str]:
 # (ThreadRun.java:551-604)
 # ---------------------------------------------------------------------------
 
-def _lookup_variable(thread: dict, state: dict) -> Callable[[str], tuple]:
-    def lookup(name: str):
-        t = thread
-        while t is not None:
-            if name in t["variables"]:
-                tspec_vars = None
-                return t, t["variables"][name]
-            pid = t.get("parent_thread_id")
-            t = state["thread_runs"][pid] if pid is not None else None
-        return None, None
-    return lookup
-
-
 def get_variable(thread: dict, state: dict, spec: dict, name: str):
     """Returns (owning_thread, var_def, value) or (None, None, None)."""
     t = thread

@@ -98,7 +98,7 @@ SELECT doc_id,
          AND len(list_filter(w, x -> list_contains({list(QUALITY_STOPWORDS)!r}, x))) * 1.0 / len(w) > 0.05
                                                       AS passes_filter
 FROM t
-""".replace("'", "'"),
+""",
 )
 def t_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length / word-shape / stopword-ratio quality signals + a

@@ -577,3 +577,34 @@ def test_wait_for_failed_child_with_exception_handler():
     assert len(handlers) == 1
     assert handlers[0]["status"] == "COMPLETED"
     assert state["thread_runs"][0]["variables"]["handled"] == 1
+
+
+def test_interrupt_with_payload():
+    """interrupts_with_payload.py: the interrupt payload's keys become
+    the handler thread's input variables (LHUtil.unsplat)."""
+    wf = Workflow("irq-payload")
+    t = wf.thread("entrypoint")
+    t.add_variable("seen", "STRING", default="")
+    t.handle_interrupt("some-event", "handler")
+    t.execute("echo", x="task1")
+    t.sleep_for(5)
+
+    h = wf.thread("handler")
+    h.add_variable("some_input", "STRING", default="")
+    hn = h.execute("echo", x=var("some_input"))
+    h.mutate(hn, "seen", "ASSIGN")
+    wf.entrypoint = "entrypoint"
+    spec = wf.build()
+
+    state, ctx = E.process_event(spec, None, start_ev("r1"), executor=executor)
+    payload = {"wf_run_id": "r1", "event_type": "EXTERNAL_EVENT", "thread_id": -1,
+               "timestamp": 2000, "offset": 1,
+               "content": {"external_event_def_name": "some-event",
+                           "content": {"some_input": "BOLD ONE"},
+                           "timestamp": 2000}}
+    state, _ = E.process_event(spec, state, payload, executor=executor)
+    handler = state["thread_runs"][1]
+    assert handler["is_interrupt_thread"]
+    assert handler["status"] == "COMPLETED"
+    assert handler["variables"]["some_input"] == "BOLD ONE"
+    assert state["thread_runs"][0]["variables"]["seen"] == "BOLD ONE"

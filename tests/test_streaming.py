@@ -245,3 +245,44 @@ def test_watermark_drops_late_events(spark):
         assert final["thread_runs"][0]["task_runs"][0]["status"] == "SCHEDULED"
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_timer_pump_completes_sleep_workflow(spark):
+    """ST2 end-to-end: a SLEEP workflow completes with no manual timer
+    injection — the pump punctuates, re-injects matured timers, and a
+    second engine pass folds them.  Duplicate ticks are harmless."""
+    from old_original_java_little_horse_spark.sdk.builder import Workflow
+    from old_original_java_little_horse_spark.streaming.timers import TimerPump
+
+    wf = Workflow("sleepy")
+    t = wf.thread("entrypoint")
+    t.sleep_for(1)
+    spec = wf.build()
+
+    workdir = Path(tempfile.mkdtemp(prefix="stream-pump-"))
+    try:
+        events_dir = workdir / "events"
+        events_dir.mkdir()
+        out_dir = str(workdir / "out")
+        start = [("r1", "s", "s", "WF_RUN_STARTED", 0, 1_000, 0,
+                  json.dumps({"variables": {}}))]
+        spark.createDataFrame(start, schema=WF_EVENT_SCHEMA) \
+             .coalesce(1).write.parquet(str(events_dir / "wave1"))
+        run_streaming_availablenow(
+            spark, str(events_dir) + "/*", spec,
+            checkpoint_dir=str(workdir / "ckpt"), output_dir=out_dir)
+
+        pump = TimerPump(spark, out_dir, str(events_dir), str(workdir / "ledger"))
+        fired = pump.tick(now_ms=10_000)   # sleep matured (1000+1000ms <= 10s)
+        assert fired == 1
+        assert pump.tick(now_ms=10_000) == 0  # idempotent: already fired
+
+        tagged = run_streaming_availablenow(
+            spark, str(events_dir) + "/*", spec,
+            checkpoint_dir=str(workdir / "ckpt"), output_dir=str(workdir / "out2"))
+        snaps = [json.loads(r["payload"]) for r in tagged.collect()
+                 if r["kind"] == "snapshot"]
+        assert snaps and snaps[-1]["status"] == "COMPLETED"
+        assert snaps[-1]["thread_runs"][0]["task_runs"][0]["status"] == "COMPLETED"
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
