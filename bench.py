@@ -64,8 +64,66 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "engine_fold_events_per_sec": fold_throughput(),
     }))
     spark.stop()
+
+
+def fold_throughput(min_seconds: float = 0.5) -> int:
+    """Single-threaded engine-fold throughput (events/sec), the
+    comparable for the reference's per-event cost model
+    (BASELINE.md part A: full WFRun JSON deser → fixpoint → reser per
+    event).  Measures the async 5-event lifecycle of a 2-task run;
+    Spark parallelism multiplies this per core."""
+    import json as _json
+
+    from old_original_java_little_horse_spark.engine.fold import process_event
+    from old_original_java_little_horse_spark.sdk.builder import Workflow, var
+
+    wf = Workflow("bench-wf")
+    t = wf.thread("entrypoint")
+    t.add_variable("n", "INT", default=0)
+    n1 = t.execute("t1", x=var("n"))
+    t.mutate(n1, "n", "ADD", literal=1)
+    n2 = t.execute("t2", x=var("n"))
+    t.mutate(n2, "n", "ADD", literal=1)
+    spec = wf.build()
+
+    def task_ev(rid: str, offset: int, position: int, sub: dict) -> dict:
+        return {"wf_run_id": rid, "event_type": "TASK_EVENT", "thread_id": 0,
+                "timestamp": 1000, "offset": offset,
+                "content": {"thread_id": 0, "task_run_position": position, **sub}}
+
+    ok = {"ended_event": {"result": {"stdout": "1", "success": True, "returncode": 0}}}
+    started = {"started_event": {"worker_id": "w"}}
+
+    def run_events(i: int):
+        rid = f"r{i}"
+        return [
+            {"wf_run_id": rid, "wf_spec_id": "s", "wf_spec_name": "s",
+             "event_type": "WF_RUN_STARTED", "thread_id": 0, "timestamp": 1000,
+             "offset": 0, "content": {"variables": {"n": i}}},
+            task_ev(rid, 1, 0, started),
+            task_ev(rid, 2, 0, ok),
+            task_ev(rid, 3, 1, started),
+            task_ev(rid, 4, 1, ok),
+        ]
+
+    n_events = 0
+    t0 = time.perf_counter()
+    i = 0
+    while time.perf_counter() - t0 < min_seconds:
+        state = None
+        for ev in run_events(i):
+            # Round-trip the state through JSON like the streaming
+            # engine does per micro-batch (the honest comparable).
+            if state is not None:
+                state = _json.loads(_json.dumps(state))
+            state, _ = process_event(spec, state, ev)
+            n_events += 1
+        assert state["status"] == "COMPLETED"
+        i += 1
+    return int(n_events / (time.perf_counter() - t0))
 
 
 if __name__ == "__main__":

@@ -539,3 +539,38 @@ def s2_changelog_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type").alias("last_op"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# GROUPING SETS / ROLLUP — §2.5 note: absent in the reference, parity
+# queries needing them use the stock SQL surface
+# --------------------------------------------------------------------------
+
+@query(
+    "agg_rollup_sets",
+    oracle="""
+SELECT COALESCE(o_orderstatus, 'ALL')    AS orderstatus,
+       COALESCE(o_orderpriority, 'ALL')  AS orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+""",
+)
+def agg_rollup_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP-shaped grouping sets over orders: the multi-granularity
+    aggregation surface the reference lacks, free via Catalyst's
+    Expand operator (one scan, one shuffle for all three levels)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(_dec12(F.col("o_totalprice"))), 2).cast("double").alias("total"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("orderstatus"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("orderpriority"),
+            "n_orders", "total",
+        )
+    )

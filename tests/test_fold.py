@@ -608,3 +608,23 @@ def test_interrupt_with_payload():
     assert handler["status"] == "COMPLETED"
     assert handler["variables"]["some_input"] == "BOLD ONE"
     assert state["thread_runs"][0]["variables"]["seen"] == "BOLD ONE"
+
+
+def test_duplicate_ended_event_is_idempotent():
+    """At-least-once delivery: a replayed TASK ended event must not
+    re-apply variable mutations (double ADD) or alter the task."""
+    wf = Workflow("dup")
+    t = wf.thread("entrypoint")
+    t.add_variable("n", "INT", default=0)
+    n1 = t.execute("echo", x="go")
+    t.mutate(n1, "n", "ADD", literal=5)
+    spec = wf.build()
+
+    state, _ = E.process_event(spec, None, start_ev("r1"))
+    state, _ = E.process_event(spec, state, ended_ev("r1", 0, 0, "go", offset=1))
+    assert state["thread_runs"][0]["variables"]["n"] == 5
+    # Replay the same ended event (source replay after failure).
+    state, _ = E.process_event(spec, state, ended_ev("r1", 0, 0, "go", offset=1))
+    assert state["thread_runs"][0]["variables"]["n"] == 5  # not 10
+    assert state["status"] == "COMPLETED"
+    assert len(state["thread_runs"][0]["task_runs"]) == 1
