@@ -628,3 +628,23 @@ def test_duplicate_ended_event_is_idempotent():
     assert state["thread_runs"][0]["variables"]["n"] == 5  # not 10
     assert state["status"] == "COMPLETED"
     assert len(state["thread_runs"][0]["task_runs"]) == 1
+
+
+def test_no_aliasing_between_variables():
+    """lhCopy parity (LHUtil.java:206-235): after `my_list ADD
+    my_obj.$.arr`, further mutations of my_obj must not leak into
+    my_list (no shared references across variables)."""
+    wf = Workflow("alias")
+    t = wf.thread("entrypoint")
+    t.add_variable("my_obj", "OBJECT")
+    t.add_variable("my_list", "ARRAY", default=[])
+    n1 = t.execute("echo", x="a")
+    t.mutate(n1, "my_list", "ADD", source=var("my_obj", "$.arr"))
+    n2 = t.execute("echo", x="b")
+    t.mutate(n2, "my_obj", "REMOVE_KEY", literal="arr")
+    spec = wf.build()
+    state = run_inline(spec, {"my_obj": {"arr": [1, 2], "keep": "x"}})
+    vs = state["thread_runs"][0]["variables"]
+    assert state["status"] == "COMPLETED"
+    assert vs["my_list"] == [[1, 2]]          # captured value survives
+    assert vs["my_obj"] == {"keep": "x"}      # key removed from obj only
