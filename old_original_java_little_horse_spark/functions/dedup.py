@@ -335,3 +335,75 @@ def d_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.where(F.col("jac") >= 0.02).select(
         "doc_a", "doc_b", F.round("jac", 4).cast("double").alias("jaccard")
     )
+
+
+# --------------------------------------------------------------------------
+# SimHash near-dup pairs — bucket by signature prefix, verify by Hamming
+# --------------------------------------------------------------------------
+
+_SIMHASH_EXPR_SPARK = """
+        array_join(
+          transform(sequence(1, 16),
+            i -> CASE WHEN 2 * size(filter(split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' '),
+                           x -> instr('89abcdef', substring(md5(x), i, 1)) > 0))
+                      > size(split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' '))
+                 THEN '1' ELSE '0' END),
+          '')
+"""
+
+
+@query(
+    "d_simhash_pairs",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+       array_to_string(
+         list_transform(generate_series(1, 16),
+           i -> CASE WHEN 2 * len(list_filter(w,
+                        x -> strpos('89abcdef', substr(md5(x), i, 1)) > 0))
+                     > len(w)
+                THEN '1' ELSE '0' END),
+         '') AS sig
+  FROM t
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       len(list_filter(generate_series(1, 16),
+           i -> substr(a.sig, i, 1) <> substr(b.sig, i, 1))) AS hamming
+FROM sh a JOIN sh b
+  ON substr(a.sig, 1, 8) = substr(b.sig, 1, 8) AND a.doc_id < b.doc_id
+WHERE len(list_filter(generate_series(1, 16),
+          i -> substr(a.sig, i, 1) <> substr(b.sig, i, 1))) <= 3
+""",
+)
+def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs: bucket on the signature's first
+    8 bits (the LSH blocking key — near-dups rarely differ there),
+    verify candidates by full 16-bit Hamming distance <= 3.
+
+    Scale notes: the self-join shuffles on the prefix bucket only;
+    Hamming verification runs per candidate pair, not per n² pair.
+    More prefix tables (rotated bit ranges) would raise recall the
+    same way the ANN query's OR'd tables do.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sigs = d.select("doc_id", F.expr(_SIMHASH_EXPR_SPARK).alias("sig"))
+    a, b = sigs.alias("a"), sigs.alias("b")
+    hamming = F.size(F.filter(
+        F.sequence(F.lit(1), F.lit(16)),
+        lambda i: F.substring(F.col("a.sig"), 1, 16).substr(i, F.lit(1))
+        != F.substring(F.col("b.sig"), 1, 16).substr(i, F.lit(1)),
+    ))
+    return (
+        a.join(b, (F.substring(F.col("a.sig"), 1, 8) == F.substring(F.col("b.sig"), 1, 8))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .where(F.col("hamming") <= 3)
+    )

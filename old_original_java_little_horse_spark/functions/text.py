@@ -194,3 +194,43 @@ def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(F.transform(sh, F.md5)).alias("min_shingle_hash"),
         F.size(F.array_distinct(sh)).alias("n_distinct_shingles"),
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus rollup: per-source quality/coverage stats (the reporting query
+# a curation pipeline runs after every filter pass)
+# --------------------------------------------------------------------------
+
+@query(
+    "t_corpus_stats",
+    oracle=f"""
+WITH t AS (
+  SELECT source, lang, length(text) AS n_chars_txt,
+         len(string_split(text, ' ')) AS n_words
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT lang) AS n_langs,
+       SUM(n_words) AS total_words,
+       CAST(ROUND(SUM(n_chars_txt) * 1.0 / COUNT(*), 4) AS DOUBLE) AS avg_chars,
+       MIN(n_words) AS min_words,
+       MAX(n_words) AS max_words
+FROM t GROUP BY source
+""",
+)
+def t_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus statistics: one partial-aggregated groupBy —
+    the post-filter reporting rollup of a curation pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    n_words = F.size(words_col(F.col("text")))
+    n_chars = F.length("text")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum(n_words).alias("total_words"),
+        F.round(F.sum(n_chars) * F.lit(1.0) / F.count(F.lit(1)), 4)
+         .cast("double").alias("avg_chars"),
+        F.min(n_words).alias("min_words"),
+        F.max(n_words).alias("max_words"),
+    )
