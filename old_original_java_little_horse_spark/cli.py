@@ -51,15 +51,29 @@ def _snapshots(spark, snapshots_dir: str):
     import pyspark.sql.functions as F
 
     df = spark.read.parquet(snapshots_dir)
+    order_col = None
     if "kind" in df.columns:  # tagged streaming output
-        df = df.where(F.col("kind") == "snapshot") \
-               .select("wf_run_id", "status", F.col("payload").alias("state_json"))
+        df = df.where(F.col("kind") == "snapshot")
+        # `seq` (max folded event offset) is the engine's monotonic
+        # per-run version: file-scan order is NOT write order (Spark
+        # bin-packs input files largest-first), so ordering by
+        # monotonically_increasing_id() would return stale snapshots
+        # after multi-batch append output.
+        if "seq" in df.columns:
+            order_col = F.col("seq").desc_nulls_last()
+        df = df.select("wf_run_id", "status",
+                       F.col("payload").alias("state_json"),
+                       *( [F.col("seq")] if order_col is not None else [] ))
     # Latest snapshot per run (W2 latest-entry selection).
     from pyspark.sql import Window
 
-    w = Window.partitionBy("wf_run_id").orderBy(F.monotonically_increasing_id().desc())
+    if order_col is None:
+        # Batch SNAPSHOT_SCHEMA output: one final row per run; the
+        # window is a no-op and any ordering works.
+        order_col = F.monotonically_increasing_id().desc()
+    w = Window.partitionBy("wf_run_id").orderBy(order_col)
     return (df.withColumn("_rn", F.row_number().over(w))
-              .where(F.col("_rn") == 1).drop("_rn"))
+              .where(F.col("_rn") == 1).drop("_rn", "seq"))
 
 
 def cmd_run(args) -> int:
@@ -123,16 +137,11 @@ def cmd_get(args) -> int:
     spark = _spark()
     snaps = _snapshots(spark, args.snapshots_dir)
     rows = snaps.where(snaps.wf_run_id == args.run_id).collect()
-    if not rows:
-        # Name-resolution fallback (client.py:62-85): search index by name.
-        from .operators.run_index import alias_rows
-
-        import pyspark.sql.functions as F
-        ids = alias_rows(snaps).where(
-            (F.col("key") == "name") & (F.col("value") == args.run_id)
-        ).collect()
-        if ids:
-            rows = snaps.where(snaps.wf_run_id == ids[0]["object_id"]).collect()
+    # (No name-resolution fallback: the `name` alias IS the run id, so
+    # a second lookup by name could never resolve anything the direct
+    # id lookup missed.  The reference's client.py:62-85 fallback
+    # resolves *WfSpec* names, which `apply` handles via the spec
+    # store, not the run index.)
     if not rows:
         print(f"not found: {args.run_id}", file=sys.stderr)
         return 1

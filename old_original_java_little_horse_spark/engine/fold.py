@@ -493,6 +493,12 @@ def create_thread(state: dict, spec: dict, thread_name: str,
         "thread_spec_name": thread_name,
         "status": RUNNING if parent is None else parent["status"],
         "variables": tvars,
+        # Declared types (spec variable_defs) travel with the document
+        # so the index layer can apply the reference's `instanceof
+        # String` alias rule (WFRun.java:328-330) on declared type, not
+        # on how the value happens to render.
+        "var_types": {v: (d.get("type") or "STRING")
+                      for v, d in (ts.get("variable_defs") or {}).items()},
         "up_next": [{"attempt": 0, "source_node_name": None,
                      "sink_node_name": ts["entrypoint_node_name"],
                      "condition": None, "already_activated": False}],

@@ -212,8 +212,8 @@ WITH t AS (
 SELECT source,
        COUNT(*) AS n_docs,
        COUNT(DISTINCT lang) AS n_langs,
-       SUM(n_words) AS total_words,
-       CAST(ROUND(SUM(n_chars_txt) * 1.0 / COUNT(*), 4) AS DOUBLE) AS avg_chars,
+       CAST(SUM(n_words) AS BIGINT) AS total_words,
+       CAST(FLOOR(SUM(n_chars_txt) * 10000.0 / COUNT(*)) AS BIGINT) AS avg_chars_x10k,
        MIN(n_words) AS min_words,
        MAX(n_words) AS max_words
 FROM t GROUP BY source
@@ -221,7 +221,12 @@ FROM t GROUP BY source
 )
 def t_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus statistics: one partial-aggregated groupBy —
-    the post-filter reporting rollup of a curation pipeline."""
+    the post-filter reporting rollup of a curation pipeline.
+
+    Cross-engine determinism: DuckDB SUM(INTEGER) yields HUGEINT, so the
+    oracle casts to BIGINT; the average is integer-quantized (x10k,
+    floored) instead of trusting double serialization on both engines.
+    """
     d = load_table(spark, sf_dir, "documents")
     n_words = F.size(words_col(F.col("text")))
     n_chars = F.length("text")
@@ -229,8 +234,8 @@ def t_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("lang").alias("n_langs"),
         F.sum(n_words).alias("total_words"),
-        F.round(F.sum(n_chars) * F.lit(1.0) / F.count(F.lit(1)), 4)
-         .cast("double").alias("avg_chars"),
+        F.floor(F.sum(n_chars) * F.lit(10000.0) / F.count(F.lit(1)))
+         .cast("bigint").alias("avg_chars_x10k"),
         F.min(n_words).alias("min_words"),
         F.max(n_words).alias("max_words"),
     )

@@ -25,14 +25,15 @@ from pyspark.sql.types import (
 
 from ..registry import query
 
-# variables maps are heterogeneous; parse values as strings for the
-# string-valued alias rule (non-strings render as JSON and are
-# filtered out below).
+# variables maps are heterogeneous; values parse as strings and the
+# declared-type map (written by the fold at thread creation) selects
+# which are STRING variables.
 _PARSE = StructType([
     StructField("id", StringType()),
     StructField("thread_runs", ArrayType(StructType([
         StructField("id", IntegerType()),
         StructField("variables", MapType(StringType(), StringType())),
+        StructField("var_types", MapType(StringType(), StringType())),
     ]))),
 ])
 
@@ -52,16 +53,19 @@ def alias_rows(snapshots: DataFrame) -> DataFrame:
     var_alias = (
         threads.select(
             F.col("wf_run_id").alias("object_id"),
+            F.col("t.var_types").alias("_types"),
             F.explode("t.variables").alias("key", "value"),
         )
-        # from_json renders non-string JSON values (numbers, bools,
-        # arrays, objects) in their JSON form; the reference indexes
-        # only `instanceof String` values — filter the JSON-looking
-        # renderings out.
+        # The reference indexes only `instanceof String` variable
+        # values (WFRun.java:328-330).  The declared type travels in
+        # the document (fold.create_thread), so a STRING variable whose
+        # *content* renders numeric/boolean/JSON ("42", "true") is
+        # still indexed — value-shape sniffing would drop it.
         .where(
             F.col("value").isNotNull()
-            & ~F.col("value").rlike(r"^(-?\d+(\.\d+)?|true|false|\[.*\]|\{.*\})$")
+            & (F.col("_types")[F.col("key")] == "STRING")
         )
+        .drop("_types")
     )
     return name_alias.unionByName(var_alias)
 

@@ -49,10 +49,20 @@ OUTPUT_SCHEMA = StructType([
     StructField("thread_id", IntegerType()),
     StructField("task_run_position", IntegerType()),
     StructField("maturation_timestamp", LongType()),  # timer only
+    StructField("seq", LongType()),          # snapshot only: max folded offset
     StructField("payload", StringType()),    # full JSON of the row's object
 ])
 
-STATE_SCHEMA = StructType([StructField("state_json", StringType())])
+# Engine bookkeeping lives in the state tuple, NOT inside the WFRun
+# JSON document: the document is the public surface (snapshots, index,
+# lhctl get) and must contain only reference fields.  `max_offset`
+# gives snapshots a monotonic sequence number (latest-wins selection
+# in the query layer); `max_event_ts` drives the lateness bound.
+STATE_SCHEMA = StructType([
+    StructField("state_json", StringType()),
+    StructField("max_offset", LongType()),
+    StructField("max_event_ts", LongType()),
+])
 
 
 def make_update_fn(spec: dict, executor: TaskExecutor | None = None,
@@ -70,9 +80,13 @@ def make_update_fn(spec: dict, executor: TaskExecutor | None = None,
                group_state: GroupState) -> Iterator[pd.DataFrame]:
         (wf_run_id,) = key
         state = None
+        max_offset = 0
+        max_event_ts = 0
         if group_state.exists:
-            (state_json,) = group_state.get
+            (state_json, max_offset, max_event_ts) = group_state.get
             state = json.loads(state_json)
+            max_offset = max_offset or 0
+            max_event_ts = max_event_ts or 0
 
         events: list[dict] = []
         for pdf in pdf_iter:
@@ -82,7 +96,7 @@ def make_update_fn(spec: dict, executor: TaskExecutor | None = None,
         events.sort(key=lambda e: e.get("offset") or 0)
 
         if allowed_lateness_ms is not None:
-            max_seen = (state or {}).get("_max_event_ts") or 0
+            max_seen = max_event_ts
             kept = []
             for e in events:
                 ts = e.get("timestamp") or 0
@@ -90,6 +104,9 @@ def make_update_fn(spec: dict, executor: TaskExecutor | None = None,
                 if ts >= max_seen - allowed_lateness_ms:
                     kept.append(e)
             events = kept
+        max_event_ts = max(
+            [max_event_ts] + [e.get("timestamp") or 0 for e in events])
+        max_offset = max([max_offset] + [e.get("offset") or 0 for e in events])
 
         out_rows = []
         for ev in events:
@@ -101,7 +118,7 @@ def make_update_fn(spec: dict, executor: TaskExecutor | None = None,
                     "task_def_name": tsr["task_def_name"],
                     "thread_id": tsr["thread_id"],
                     "task_run_position": tsr["task_run_position"],
-                    "maturation_timestamp": None,
+                    "maturation_timestamp": None, "seq": None,
                     "payload": json.dumps(tsr, separators=(",", ":")),
                 })
             for timer in ctx.timers:
@@ -111,23 +128,22 @@ def make_update_fn(spec: dict, executor: TaskExecutor | None = None,
                     "thread_id": timer["thread_run_id"],
                     "task_run_position": timer["task_run_id"],
                     "maturation_timestamp": timer["maturation_timestamp"],
+                    "seq": None,
                     "payload": json.dumps(timer, separators=(",", ":")),
                 })
 
         if state is not None:
-            if allowed_lateness_ms is not None:
-                state["_max_event_ts"] = max(
-                    [state.get("_max_event_ts") or 0]
-                    + [e.get("timestamp") or 0 for e in events]
-                )
-            group_state.update((json.dumps(state, separators=(",", ":")),))
+            group_state.update((json.dumps(state, separators=(",", ":")),
+                                max_offset, max_event_ts))
             # One snapshot per batch with events for this key — the S5
-            # contract (SchedulerTopology.java:74-87).
+            # contract (SchedulerTopology.java:74-87).  `seq` is the max
+            # folded offset: a monotonic per-key version the query layer
+            # orders by (file-scan order is NOT write order).
             out_rows.append({
                 "wf_run_id": wf_run_id, "kind": "snapshot",
                 "status": state["status"], "task_def_name": None,
                 "thread_id": None, "task_run_position": None,
-                "maturation_timestamp": None,
+                "maturation_timestamp": None, "seq": max_offset,
                 "payload": json.dumps(state, separators=(",", ":")),
             })
         cols = [f.name for f in OUTPUT_SCHEMA.fields]

@@ -31,8 +31,8 @@ def test_parse_wf_events_roundtrip(spark):
 
 def test_format_task_schedule_topic_column(spark):
     tagged = spark.createDataFrame(
-        [("r1", "task_schedule", None, "send-email", 0, 0, None, '{"a":1}'),
-         ("r1", "snapshot", "RUNNING", None, None, None, None, "{}")],
+        [("r1", "task_schedule", None, "send-email", 0, 0, None, None, '{"a":1}'),
+         ("r1", "snapshot", "RUNNING", None, None, None, None, 3, "{}")],
         OUTPUT_SCHEMA,
     )
     rows = format_task_schedule(tagged).collect()

@@ -243,6 +243,9 @@ def test_watermark_drops_late_events(spark):
         # The late result was dropped: the task is still outstanding.
         assert final["status"] == "RUNNING"
         assert final["thread_runs"][0]["task_runs"][0]["status"] == "SCHEDULED"
+        # Lateness bookkeeping lives in the state tuple, never in the
+        # public WFRun document (ADVICE r1: `_max_event_ts` leak).
+        assert all("_max_event_ts" not in s for s in snaps)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
