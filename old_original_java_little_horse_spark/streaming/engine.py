@@ -19,11 +19,13 @@ streaming query:
   task_schedule, timer}; the per-TaskDef fanout (S4) becomes a filter
   or a Kafka sink with a `topic` column — strictly better than the
   reference's one-processor-per-TaskDef (§2.2 P1).
-- Timers (`kind='timer'`) are re-injected as TIMER_EVENTs by the
-  driver loop (`run_streaming_availablenow`) between passes; the
-  punctuator equivalent for continuous mode is a
-  `Trigger.ProcessingTime("1 second")` re-injection query, matching
-  the reference's 1 s resolution (`Constants.java:36`).
+- Timers: the live path (`start_continuous`) fires its own stored
+  timers via group-state ProcessingTimeTimeout — the reference's 1 s
+  punctuator (`SchedulerProcessor.java:56-60`, `Constants.java:36`)
+  without any satellite process; a SLEEP completes with no further
+  input.  Replay paths keep timers as emitted `kind='timer'` rows +
+  explicit TIMER_EVENTs (deterministic: no wall-clock reads), served
+  by the legacy `TimerPump` when needed.
 """
 
 from __future__ import annotations
@@ -57,16 +59,34 @@ OUTPUT_SCHEMA = StructType([
 # JSON document: the document is the public surface (snapshots, index,
 # lhctl get) and must contain only reference fields.  `max_offset`
 # gives snapshots a monotonic sequence number (latest-wins selection
-# in the query layer); `max_event_ts` drives the lateness bound.
+# in the query layer); `max_event_ts` drives the lateness bound;
+# `pending_json` is the run's stored-timer list (the reference's timer
+# store, SchedulerProcessor.java:56-60) and `tomb` marks an evicted
+# terminal run (full document dropped, dedupe marker retained).
 STATE_SCHEMA = StructType([
     StructField("state_json", StringType()),
     StructField("max_offset", LongType()),
     StructField("max_event_ts", LongType()),
+    StructField("pending_json", StringType()),
+    StructField("tomb", IntegerType()),
 ])
+
+# A tombstone keeps exactly-once under redelivery (a duplicate
+# WF_RUN_STARTED for an evicted run must NOT restart it) at ~40 bytes
+# instead of the full multi-KB WFRun document — at 100× run
+# cardinality the state store holds markers, not history.
+_TOMB_STATE = ""
+
+
+def _timer_key(t: dict) -> tuple:
+    return (t["thread_run_id"], t["task_run_id"], t["maturation_timestamp"])
 
 
 def make_update_fn(spec: dict, executor: TaskExecutor | None = None,
-                   allowed_lateness_ms: int | None = None):
+                   allowed_lateness_ms: int | None = None,
+                   native_timers: bool = False,
+                   evict_completed: bool = False,
+                   tombstone_ttl_ms: int | None = None):
     """Build the applyInPandasWithState update function for a spec.
 
     `allowed_lateness_ms`: Spark's watermark does NOT filter input
@@ -74,23 +94,167 @@ def make_update_fn(spec: dict, executor: TaskExecutor | None = None,
     eviction), so event-time lateness is enforced here — events whose
     timestamp trails the key's max seen event-time by more than the
     allowance are dropped, deterministically per key.
+
+    `native_timers` (requires ProcessingTimeTimeout): the engine fires
+    its own stored timers — matured pending timers are folded as
+    TIMER_EVENTs inside the update function, and a group-state timeout
+    is armed for the earliest immature one, so a SLEEP completes with
+    NO further input (the reference punctuator's "fires with no
+    events" guarantee, SchedulerProcessor.java:56-60, 88-126).  Spark
+    schedules empty micro-batches while processing-time timeouts are
+    pending, which is what makes this self-contained.  Replay/parity
+    paths leave this off: a deterministic replay wants an explicit
+    TIMER_EVENT stream, not wall-clock reads.
+
+    `evict_completed`: once a run reaches COMPLETED and its final
+    snapshot is emitted, replace the state document with a tombstone.
+    Late/duplicate deliveries for the run are dropped (exactly-once
+    preserved) but the store no longer grows with run *history* —
+    only with run *count*, and `tombstone_ttl_ms` (native mode)
+    removes even the marker once the redelivery horizon passes.
+    HALTED runs are NOT evicted: WF_RUN_RESUME_REQUEST must find
+    their full document (fold.py resume semantics).
     """
+
+    def _emit(out_rows: list, wf_run_id: str, ctx, pending: list) -> None:
+        for tsr in ctx.to_schedule:
+            out_rows.append({
+                "wf_run_id": wf_run_id, "kind": "task_schedule",
+                "status": None,
+                "task_def_name": tsr["task_def_name"],
+                "thread_id": tsr["thread_id"],
+                "task_run_position": tsr["task_run_position"],
+                "maturation_timestamp": None, "seq": None,
+                "payload": json.dumps(tsr, separators=(",", ":")),
+            })
+        for timer in ctx.timers:
+            pending.append(timer)
+            out_rows.append({
+                "wf_run_id": wf_run_id, "kind": "timer",
+                "status": None, "task_def_name": None,
+                "thread_id": timer["thread_run_id"],
+                "task_run_position": timer["task_run_id"],
+                "maturation_timestamp": timer["maturation_timestamp"],
+                "seq": None,
+                "payload": json.dumps(timer, separators=(",", ":")),
+            })
+
+    def _fire_matured(wf_run_id: str, state, pending: list, max_offset: int,
+                      now_ms: int, out_rows: list):
+        """Fold every matured stored timer as a TIMER_EVENT; firing can
+        create new timers (sequential SLEEPs), so loop to quiescence.
+        Synthetic offsets continue the per-key sequence (+1 each) so
+        snapshot `seq` stays monotonic."""
+        fired = False
+        while True:
+            matured = [t for t in pending
+                       if t["maturation_timestamp"] <= now_ms]
+            if not matured:
+                break
+            for t in sorted(matured, key=_timer_key):
+                pending.remove(t)
+                max_offset += 1
+                ev = {
+                    "wf_run_id": wf_run_id, "event_type": "TIMER_EVENT",
+                    "thread_id": t["thread_run_id"],
+                    "timestamp": t["maturation_timestamp"],
+                    "offset": max_offset, "content": json.dumps(t),
+                }
+                state, ctx = process_event(spec, state, ev, executor=executor)
+                _emit(out_rows, wf_run_id, ctx, pending)
+                fired = True
+        return state, pending, max_offset, fired
+
+    def _store(group_state: GroupState, state, max_offset: int,
+               max_event_ts: int, pending: list, out_rows: list,
+               wf_run_id: str) -> None:
+        """Emit the per-batch snapshot (S5, SchedulerTopology.java:74-87;
+        `seq` = max folded offset, a monotonic per-key version the query
+        layer orders by — file-scan order is NOT write order), then
+        persist state, tombstoning terminal runs when configured."""
+        out_rows.append({
+            "wf_run_id": wf_run_id, "kind": "snapshot",
+            "status": state["status"], "task_def_name": None,
+            "thread_id": None, "task_run_position": None,
+            "maturation_timestamp": None, "seq": max_offset,
+            "payload": json.dumps(state, separators=(",", ":")),
+        })
+        if evict_completed and state["status"] == "COMPLETED" and not pending:
+            group_state.update((_TOMB_STATE, max_offset, max_event_ts,
+                                "[]", 1))
+            if native_timers and tombstone_ttl_ms is not None:
+                group_state.setTimeoutDuration(tombstone_ttl_ms)
+            return
+        group_state.update((json.dumps(state, separators=(",", ":")),
+                            max_offset, max_event_ts,
+                            json.dumps(pending, separators=(",", ":")), 0))
+        if native_timers and pending:
+            # Arm for the earliest immature timer.  Processing-time
+            # timeouts are cleared whenever the function runs for the
+            # key, so re-arm on every invocation that leaves timers.
+            next_mat = min(t["maturation_timestamp"] for t in pending)
+            import time as _time
+            delay = max(1, next_mat - int(_time.time() * 1000))
+            group_state.setTimeoutDuration(delay)
 
     def update(key: tuple, pdf_iter: Iterator[pd.DataFrame],
                group_state: GroupState) -> Iterator[pd.DataFrame]:
+        import time as _time
+
         (wf_run_id,) = key
+        cols = [f.name for f in OUTPUT_SCHEMA.fields]
         state = None
         max_offset = 0
         max_event_ts = 0
+        pending: list[dict] = []
+        tomb = 0
         if group_state.exists:
-            (state_json, max_offset, max_event_ts) = group_state.get
-            state = json.loads(state_json)
+            (state_json, max_offset, max_event_ts,
+             pending_json, tomb) = group_state.get
             max_offset = max_offset or 0
             max_event_ts = max_event_ts or 0
+            tomb = tomb or 0
+            pending = json.loads(pending_json) if pending_json else []
+            if not tomb:
+                state = json.loads(state_json)
+
+        if group_state.hasTimedOut:
+            # Timer wheel tick for this key — no input rows.
+            if tomb:
+                group_state.remove()  # redelivery horizon passed
+                yield pd.DataFrame([], columns=cols)
+                return
+            out_rows: list = []
+            now_ms = int(_time.time() * 1000)
+            state, pending, max_offset, fired = _fire_matured(
+                wf_run_id, state, pending, max_offset, now_ms, out_rows)
+            if fired:
+                _store(group_state, state, max_offset, max_event_ts,
+                       pending, out_rows, wf_run_id)
+            elif pending:
+                # Spurious/early wake: just re-arm.
+                group_state.update((json.dumps(state, separators=(",", ":")),
+                                    max_offset, max_event_ts,
+                                    json.dumps(pending, separators=(",", ":")),
+                                    0))
+                next_mat = min(t["maturation_timestamp"] for t in pending)
+                group_state.setTimeoutDuration(
+                    max(1, next_mat - int(_time.time() * 1000)))
+            yield pd.DataFrame(out_rows, columns=cols)
+            return
 
         events: list[dict] = []
         for pdf in pdf_iter:
             events.extend(pdf.to_dict("records"))
+
+        if tomb:
+            # Evicted terminal run: every redelivered/late event is
+            # dropped — the marker exists precisely to make this safe.
+            if native_timers and tombstone_ttl_ms is not None:
+                group_state.setTimeoutDuration(tombstone_ttl_ms)
+            yield pd.DataFrame([], columns=cols)
+            return
+
         # Structured Streaming gives no intra-batch order — sort by the
         # per-key offset (Kafka partition order in the reference).
         events.sort(key=lambda e: e.get("offset") or 0)
@@ -110,43 +274,27 @@ def make_update_fn(spec: dict, executor: TaskExecutor | None = None,
 
         out_rows = []
         for ev in events:
+            if ev.get("event_type") == "TIMER_EVENT":
+                # Externally-injected firing (TimerPump replay path):
+                # drain the matching stored timer so `pending` tracks
+                # only live timers in every mode.
+                try:
+                    fired_key = _timer_key(json.loads(ev.get("content") or "{}"))
+                    pending = [t for t in pending
+                               if _timer_key(t) != fired_key]
+                except (KeyError, ValueError):
+                    pass
             state, ctx = process_event(spec, state, ev, executor=executor)
-            for tsr in ctx.to_schedule:
-                out_rows.append({
-                    "wf_run_id": wf_run_id, "kind": "task_schedule",
-                    "status": None,
-                    "task_def_name": tsr["task_def_name"],
-                    "thread_id": tsr["thread_id"],
-                    "task_run_position": tsr["task_run_position"],
-                    "maturation_timestamp": None, "seq": None,
-                    "payload": json.dumps(tsr, separators=(",", ":")),
-                })
-            for timer in ctx.timers:
-                out_rows.append({
-                    "wf_run_id": wf_run_id, "kind": "timer",
-                    "status": None, "task_def_name": None,
-                    "thread_id": timer["thread_run_id"],
-                    "task_run_position": timer["task_run_id"],
-                    "maturation_timestamp": timer["maturation_timestamp"],
-                    "seq": None,
-                    "payload": json.dumps(timer, separators=(",", ":")),
-                })
+            _emit(out_rows, wf_run_id, ctx, pending)
+
+        if state is not None and native_timers:
+            state, pending, max_offset, _ = _fire_matured(
+                wf_run_id, state, pending, max_offset,
+                int(_time.time() * 1000), out_rows)
 
         if state is not None:
-            group_state.update((json.dumps(state, separators=(",", ":")),
-                                max_offset, max_event_ts))
-            # One snapshot per batch with events for this key — the S5
-            # contract (SchedulerTopology.java:74-87).  `seq` is the max
-            # folded offset: a monotonic per-key version the query layer
-            # orders by (file-scan order is NOT write order).
-            out_rows.append({
-                "wf_run_id": wf_run_id, "kind": "snapshot",
-                "status": state["status"], "task_def_name": None,
-                "thread_id": None, "task_run_position": None,
-                "maturation_timestamp": None, "seq": max_offset,
-                "payload": json.dumps(state, separators=(",", ":")),
-            })
-        cols = [f.name for f in OUTPUT_SCHEMA.fields]
+            _store(group_state, state, max_offset, max_event_ts,
+                   pending, out_rows, wf_run_id)
         yield pd.DataFrame(out_rows, columns=cols)
 
     return update
@@ -155,7 +303,10 @@ def make_update_fn(spec: dict, executor: TaskExecutor | None = None,
 def streaming_engine(events: DataFrame, spec: dict,
                      executor: TaskExecutor | None = None,
                      watermark_delay: str | None = None,
-                     allowed_lateness_ms: int | None = None) -> DataFrame:
+                     allowed_lateness_ms: int | None = None,
+                     native_timers: bool = False,
+                     evict_completed: bool = False,
+                     tombstone_ttl_ms: int | None = None) -> DataFrame:
     """events (streaming DF, WF_EVENT_SCHEMA) → tagged output stream.
 
     Late-data bound (SURVEY §2.10): `allowed_lateness_ms` drops
@@ -174,11 +325,15 @@ def streaming_engine(events: DataFrame, spec: dict,
             "event_time", F.timestamp_millis(F.col("timestamp"))
         ).withWatermark("event_time", watermark_delay)
     return events.groupBy("wf_run_id").applyInPandasWithState(
-        make_update_fn(spec, executor, allowed_lateness_ms=allowed_lateness_ms),
+        make_update_fn(spec, executor, allowed_lateness_ms=allowed_lateness_ms,
+                       native_timers=native_timers,
+                       evict_completed=evict_completed,
+                       tombstone_ttl_ms=tombstone_ttl_ms),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(GroupStateTimeout.ProcessingTimeTimeout if native_timers
+                     else GroupStateTimeout.NoTimeout),
     )
 
 
@@ -199,14 +354,25 @@ def split_outputs(tagged: DataFrame) -> dict[str, DataFrame]:
 def start_continuous(spark: SparkSession, events_dir: str, spec: dict,
                      checkpoint_dir: str, output_dir: str,
                      executor: TaskExecutor | None = None,
-                     trigger_seconds: float = 0.5):
+                     trigger_seconds: float = 0.5,
+                     native_timers: bool = True,
+                     evict_completed: bool = True,
+                     tombstone_ttl_ms: int | None = None):
     """Start the engine as a continuously-running query (ProcessingTime
     trigger ~ the reference's 1 s punctuator cadence, Constants.java:36).
-    Returns the StreamingQuery handle."""
+
+    The live path defaults to self-contained timers (a SLEEP completes
+    with no external pump and no further input — Spark keeps scheduling
+    micro-batches while processing-time timeouts are armed) and to
+    tombstone eviction of COMPLETED runs.  Returns the StreamingQuery
+    handle."""
     from ..engine.batch import WF_EVENT_SCHEMA
 
     events = spark.readStream.schema(WF_EVENT_SCHEMA).parquet(events_dir)
-    tagged = streaming_engine(events, spec, executor=executor)
+    tagged = streaming_engine(events, spec, executor=executor,
+                              native_timers=native_timers,
+                              evict_completed=evict_completed,
+                              tombstone_ttl_ms=tombstone_ttl_ms)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("append").parquet(output_dir)
@@ -246,7 +412,8 @@ def await_read_your_writes(query, timeout: float = 60.0) -> None:
 def run_streaming_availablenow(spark: SparkSession, events_dir: str, spec: dict,
                                checkpoint_dir: str, output_dir: str,
                                executor: TaskExecutor | None = None,
-                               max_files_per_trigger: int | None = None) -> DataFrame:
+                               max_files_per_trigger: int | None = None,
+                               evict_completed: bool = False) -> DataFrame:
     """Run the engine over a parquet directory of events with an
     Available-Now trigger, appending tagged outputs to `output_dir`
     via foreachBatch (fault-tolerant: the checkpoint is recoverable,
@@ -266,7 +433,8 @@ def run_streaming_availablenow(spark: SparkSession, events_dir: str, spec: dict,
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     events = reader.parquet(events_dir)
-    tagged = streaming_engine(events, spec, executor=executor)
+    tagged = streaming_engine(events, spec, executor=executor,
+                              evict_completed=evict_completed)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("append").parquet(output_dir)

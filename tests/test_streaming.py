@@ -325,3 +325,117 @@ def test_multi_spec_engine_one_stream(spark):
     stdouts = [t["stdout"] for t in
                json.loads(out["rB"]["state_json"])["thread_runs"][0]["task_runs"]]
     assert stdouts == ["from-beta-1", "from-beta-2"]
+
+
+def test_native_timers_complete_sleep_self_contained(spark):
+    """ST2, no satellite: with `native_timers` the engine itself fires
+    the stored SLEEP timer via group-state ProcessingTimeTimeout — the
+    run completes with NO further input and NO TimerPump re-injection
+    (reference punctuator semantics: a timer fires even if no events
+    arrive, SchedulerProcessor.java:56-60, 88-126)."""
+    import time
+
+    from old_original_java_little_horse_spark.sdk.builder import Workflow
+    from old_original_java_little_horse_spark.streaming.engine import (
+        start_continuous,
+    )
+
+    wf = Workflow("sleepy-native")
+    t = wf.thread("entrypoint")
+    t.sleep_for(1)
+    spec = wf.build()
+
+    workdir = Path(tempfile.mkdtemp(prefix="stream-native-"))
+    events_dir = workdir / "events"
+    events_dir.mkdir()
+    out_dir = workdir / "out"
+    q = start_continuous(
+        spark, str(events_dir) + "/*", spec,
+        checkpoint_dir=str(workdir / "ckpt"), output_dir=str(out_dir),
+        trigger_seconds=0.2,
+    )
+    try:
+        now = int(time.time() * 1000)
+        start = [("r1", "s", "s", "WF_RUN_STARTED", 0, now, 0,
+                  json.dumps({"variables": {}}))]
+        spark.createDataFrame(start, schema=WF_EVENT_SCHEMA) \
+             .coalesce(1).write.parquet(str(events_dir / "cmd1"))
+
+        deadline = time.monotonic() + 60
+        final = None
+        while time.monotonic() < deadline:
+            try:
+                rows = spark.read.parquet(str(out_dir)).collect()
+            except Exception:
+                rows = []
+            snaps = sorted((r for r in rows if r["kind"] == "snapshot"),
+                           key=lambda r: r["seq"])
+            if snaps and snaps[-1]["status"] == "COMPLETED":
+                final = snaps[-1]
+                break
+            time.sleep(0.3)
+        assert final is not None, "sleep never completed without a pump"
+        state = json.loads(final["payload"])
+        assert state["thread_runs"][0]["task_runs"][0]["status"] == "COMPLETED"
+        # The timer row was emitted (observability), but nothing ever
+        # re-injected events: the input dir still has only our command.
+        assert any(r["kind"] == "timer" for r in rows)
+        assert {p.name for p in events_dir.iterdir()} == {"cmd1"}
+    finally:
+        q.stop()
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_completed_run_state_evicted_to_tombstone(spark):
+    """State eviction (VERDICT r1 #4): with `evict_completed`, a run's
+    multi-KB document leaves the state store once its final snapshot is
+    emitted — a redelivered duplicate WF_RUN_STARTED hits the tombstone
+    and is dropped (no restart, no new snapshot), whereas the
+    keep-forever mode re-emits a snapshot for the duplicate.  First-pass
+    outputs are byte-identical in both modes."""
+    first_pass = {}
+    dup_snaps = {}
+    for mode in ("evict", "keep"):
+        workdir = Path(tempfile.mkdtemp(prefix=f"stream-{mode}-"))
+        try:
+            events_dir = workdir / "events"
+            events_dir.mkdir()
+            start = [("r1", "s", "s", "WF_RUN_STARTED", 0, 1000, 0,
+                      json.dumps({"variables": {"n_purch": 2, "n_click": 5}}))]
+            spark.createDataFrame(start, schema=WF_EVENT_SCHEMA) \
+                 .coalesce(1).write.parquet(str(events_dir / "wave1"))
+            tagged = run_streaming_availablenow(
+                spark, str(events_dir) + "/*", pipeline_spec(),
+                checkpoint_dir=str(workdir / "ckpt"),
+                output_dir=str(workdir / "out"),
+                executor=pipeline_executor,
+                evict_completed=(mode == "evict"),
+            )
+            snaps = [r for r in tagged.collect() if r["kind"] == "snapshot"]
+            assert len(snaps) == 1 and snaps[0]["status"] == "COMPLETED"
+            first_pass[mode] = snaps[0]["payload"]
+
+            # Redeliver the identical start event (at-least-once source).
+            spark.createDataFrame(start, schema=WF_EVENT_SCHEMA) \
+                 .coalesce(1).write.parquet(str(events_dir / "wave2"))
+            tagged2 = run_streaming_availablenow(
+                spark, str(events_dir) + "/*", pipeline_spec(),
+                checkpoint_dir=str(workdir / "ckpt"),
+                output_dir=str(workdir / "out2"),
+                executor=pipeline_executor,
+                evict_completed=(mode == "evict"),
+            )
+            dup_snaps[mode] = [r for r in tagged2.collect()
+                               if r["kind"] == "snapshot"]
+            # Neither mode may RESTART the run (no new task schedules).
+            assert not [r for r in tagged2.collect()
+                        if r["kind"] == "task_schedule"]
+        finally:
+            shutil.rmtree(workdir, ignore_errors=True)
+
+    assert first_pass["evict"] == first_pass["keep"]
+    # Keep-forever: duplicate folds against live state -> snapshot
+    # re-emitted.  Evicted: tombstone swallows it entirely.
+    assert len(dup_snaps["keep"]) == 1
+    assert json.loads(dup_snaps["keep"][0]["payload"])["status"] == "COMPLETED"
+    assert dup_snaps["evict"] == []
