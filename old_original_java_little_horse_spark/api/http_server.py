@@ -1,0 +1,287 @@
+"""HTTP front door (S8): the reference's `LittleHorseAPI.java:58-122`
+verb surface on the Spark engine's command/query paths.
+
+The reference boots Javalin and splits verbs across
+`POSTApi.java:40-58` (commands → Kafka produce) and
+`GETApi.java:87-183` (queries → streams store lookups).  Here:
+
+- **POST** verbs append command events to the engine's events dir
+  (Kafka topic in production) — the same produce path as `cli.py` —
+  then run the read-your-writes barrier against the live streaming
+  query before responding, so a client's immediate GET sees its own
+  write (`APIStreamsContext.java:168-222` semantics).
+- **GET** verbs read the engine's snapshot output through the same
+  latest-`seq`-wins selection the CLI uses, plus the alias index for
+  `/search`.
+
+stdlib `http.server` only (FastAPI/Flask aren't in the runtime):
+a ThreadingHTTPServer with a routing table.  Spark job submission is
+thread-safe, so concurrent handlers are fine; the server binds port 0
+by default (tests pick up the real port from `.port`).
+
+Routes (reference verb in parens):
+
+    POST /wfrun                      (POSTApi.postWFRun)
+        {"wf_spec_name": ..., "variables": {...}, "run_id"?: ...}
+    POST /wfrun/{id}/stop[?thread=N] (POSTApi.postStopWFRun)
+    POST /wfrun/{id}/resume[?thread=N]
+    POST /externalEvent/{id}/{eventDefName}   body = JSON payload
+    GET  /wfrun/{id}                 (GETApi.getWFRun)
+    GET  /wfrun/{id}/threadRun/{n}   (GETApi.getThreadRun)
+    GET  /wfrun/{id}/taskRun/{t}/{n} (GETApi.getTaskRun)
+    GET  /wfrun/{id}/variable/{name} (GETApi.getVariable, thread-0 scope)
+    GET  /wfruns                     (list ids + statuses)
+    GET  /search/{key}/{value}       (GETApi.search — alias index)
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import threading
+import time
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+
+class ApiError(Exception):
+    def __init__(self, status: int, message: str):
+        super().__init__(message)
+        self.status = status
+
+
+class LittleHorseAPI:
+    """Command/query facade bound to one engine instance.
+
+    `query` is the live StreamingQuery handle; when provided, POSTs
+    block on the read-your-writes barrier (P6) before returning.
+    """
+
+    def __init__(self, spark, events_dir: str, snapshots_dir: str,
+                 query=None, barrier_timeout: float = 60.0):
+        self.spark = spark
+        self.events_dir = events_dir
+        self.snapshots_dir = snapshots_dir
+        self.query = query
+        self.barrier_timeout = barrier_timeout
+
+    # -- command path (POSTApi.java:40-58) --------------------------------
+
+    def _produce(self, row: dict) -> None:
+        from ..cli import _write_event
+
+        _write_event(self.spark, self.events_dir, row)
+        if self.query is not None:
+            from ..streaming.engine import await_read_your_writes
+
+            await_read_your_writes(self.query, timeout=self.barrier_timeout)
+
+    def post_wfrun(self, body: dict) -> dict:
+        run_id = body.get("run_id") or uuid.uuid4().hex
+        self._produce({
+            "wf_run_id": run_id,
+            "wf_spec_id": body.get("wf_spec_id"),
+            "wf_spec_name": body.get("wf_spec_name"),
+            "event_type": "WF_RUN_STARTED",
+            "content": json.dumps({"variables": body.get("variables") or {}}),
+        })
+        return {"id": run_id}
+
+    def post_stop_resume(self, run_id: str, verb: str, thread_id: int) -> dict:
+        self._produce({
+            "wf_run_id": run_id,
+            "event_type": ("WF_RUN_STOP_REQUEST" if verb == "stop"
+                           else "WF_RUN_RESUME_REQUEST"),
+            "thread_id": thread_id,
+            "content": "{}",
+        })
+        return {"id": run_id, "status": "ok"}
+
+    def post_external_event(self, run_id: str, event_def: str,
+                            payload) -> dict:
+        self._produce({
+            "wf_run_id": run_id,
+            "event_type": "EXTERNAL_EVENT",
+            "thread_id": -1,
+            "content": json.dumps({
+                "external_event_def_name": event_def,
+                "content": payload,
+                "timestamp": int(time.time() * 1000),
+            }),
+        })
+        return {"id": run_id, "event": event_def, "status": "ok"}
+
+    # -- query path (GETApi.java:87-183) ----------------------------------
+
+    def _latest(self):
+        from ..cli import _snapshots
+
+        return _snapshots(self.spark, self.snapshots_dir)
+
+    def _wfrun_doc(self, run_id: str) -> dict:
+        snaps = self._latest()
+        rows = snaps.where(snaps.wf_run_id == run_id).collect()
+        if not rows:
+            raise ApiError(404, f"WFRun {run_id} not found")
+        return json.loads(rows[0]["state_json"])
+
+    def get_wfrun(self, run_id: str) -> dict:
+        return self._wfrun_doc(run_id)
+
+    def get_thread_run(self, run_id: str, n: int) -> dict:
+        doc = self._wfrun_doc(run_id)
+        if n >= len(doc["thread_runs"]):
+            raise ApiError(404, f"threadRun {n} not found")
+        return doc["thread_runs"][n]
+
+    def get_task_run(self, run_id: str, thread: int, pos: int) -> dict:
+        tr = self.get_thread_run(run_id, thread)
+        if pos >= len(tr["task_runs"]):
+            raise ApiError(404, f"taskRun {thread}/{pos} not found")
+        return tr["task_runs"][pos]
+
+    def get_variable(self, run_id: str, name: str) -> dict:
+        # Thread-0 scope, walking the parent chain like variable
+        # resolution in the fold (GETApi.getVariable resolves through
+        # the thread's lexical scope the same way).
+        doc = self._wfrun_doc(run_id)
+        for tr in doc["thread_runs"]:
+            if name in (tr.get("variables") or {}):
+                return {"name": name, "value": tr["variables"][name]}
+        raise ApiError(404, f"variable {name} not found")
+
+    def list_wfruns(self) -> list[dict]:
+        return [{"id": r["wf_run_id"], "status": r["status"]}
+                for r in self._latest().select("wf_run_id", "status").collect()]
+
+    def search(self, key: str, value: str) -> list[str]:
+        from ..operators.run_index import search
+
+        return [r["wf_run_id"]
+                for r in search(self._latest(), key, value).collect()]
+
+
+_ROUTES: list[tuple[str, re.Pattern, str]] = [
+    ("POST", re.compile(r"^/wfrun$"), "r_post_wfrun"),
+    ("POST", re.compile(r"^/wfrun/([^/]+)/(stop|resume)$"), "r_stop_resume"),
+    ("POST", re.compile(r"^/externalEvent/([^/]+)/([^/]+)$"), "r_external"),
+    ("GET", re.compile(r"^/wfrun/([^/]+)$"), "r_get_wfrun"),
+    ("GET", re.compile(r"^/wfrun/([^/]+)/threadRun/(\d+)$"), "r_thread"),
+    ("GET", re.compile(r"^/wfrun/([^/]+)/taskRun/(\d+)/(\d+)$"), "r_task"),
+    ("GET", re.compile(r"^/wfrun/([^/]+)/variable/([^/]+)$"), "r_variable"),
+    ("GET", re.compile(r"^/wfruns$"), "r_list"),
+    ("GET", re.compile(r"^/search/([^/]+)/([^/]+)$"), "r_search"),
+]
+
+
+def _make_handler(api: LittleHorseAPI):
+    class Handler(BaseHTTPRequestHandler):
+        # Silence per-request stderr logging.
+        def log_message(self, *_args):  # noqa: D102
+            pass
+
+        def _respond(self, status: int, obj) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _dispatch(self, method: str) -> None:
+            url = urlparse(self.path)
+            q = parse_qs(url.query)
+            try:
+                for m, pat, fn in _ROUTES:
+                    if m != method:
+                        continue
+                    match = pat.match(url.path)
+                    if match:
+                        getattr(self, fn)(q, *match.groups())
+                        return
+                raise ApiError(404, f"no route {method} {url.path}")
+            except ApiError as e:
+                self._respond(e.status, {"error": str(e)})
+            except Exception as e:  # noqa: BLE001 — surface as 500
+                self._respond(500, {"error": str(e)})
+
+        def do_GET(self):  # noqa: N802
+            self._dispatch("GET")
+
+        def do_POST(self):  # noqa: N802
+            self._dispatch("POST")
+
+        def _body(self):
+            n = int(self.headers.get("Content-Length") or 0)
+            raw = self.rfile.read(n) if n else b""
+            if not raw:
+                return {}
+            try:
+                return json.loads(raw)
+            except json.JSONDecodeError as e:
+                raise ApiError(400, f"invalid JSON body: {e}") from e
+
+        # -- route impls --------------------------------------------------
+        def r_post_wfrun(self, _q):
+            self._respond(201, api.post_wfrun(self._body()))
+
+        def r_stop_resume(self, q, run_id, verb):
+            thread = int(q.get("thread", ["0"])[0])
+            self._respond(200, api.post_stop_resume(run_id, verb, thread))
+
+        def r_external(self, _q, run_id, event_def):
+            self._respond(200, api.post_external_event(
+                run_id, event_def, self._body()))
+
+        def r_get_wfrun(self, _q, run_id):
+            self._respond(200, api.get_wfrun(run_id))
+
+        def r_thread(self, _q, run_id, n):
+            self._respond(200, api.get_thread_run(run_id, int(n)))
+
+        def r_task(self, _q, run_id, t, n):
+            self._respond(200, api.get_task_run(run_id, int(t), int(n)))
+
+        def r_variable(self, _q, run_id, name):
+            self._respond(200, api.get_variable(run_id, name))
+
+        def r_list(self, _q):
+            self._respond(200, api.list_wfruns())
+
+        def r_search(self, _q, key, value):
+            self._respond(200, api.search(key, value))
+
+    return Handler
+
+
+class LittleHorseHTTPServer:
+    """Threaded HTTP server wrapping a `LittleHorseAPI`.
+
+    `port=0` binds an ephemeral port (read it back from `.port`) —
+    the test/integration default, mirroring how the reference's
+    Javalin app is given its port by the deployer.
+    """
+
+    def __init__(self, api: LittleHorseAPI, host: str = "127.0.0.1",
+                 port: int = 0):
+        self._httpd = ThreadingHTTPServer((host, port), _make_handler(api))
+        self._httpd.daemon_threads = True
+        self._thread: threading.Thread | None = None
+
+    @property
+    def port(self) -> int:
+        return self._httpd.server_address[1]
+
+    def start(self) -> "LittleHorseHTTPServer":
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, kwargs={"poll_interval": 0.1},
+            daemon=True, name="lh-http")
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread:
+            self._thread.join(timeout=5)

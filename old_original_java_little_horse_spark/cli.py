@@ -36,11 +36,17 @@ def _spark():
 def _write_event(spark, events_dir: str, row: dict) -> None:
     from .engine.batch import WF_EVENT_SCHEMA
 
+    # Offset = produce-time µs: the engine folds events in per-key
+    # offset order and snapshots version by max offset (`seq`), so the
+    # file-command producer must hand out monotone offsets exactly as
+    # a Kafka partition would — offset 0 for every command would leave
+    # later commands' snapshots tied with (not superseding) earlier
+    # ones in latest-wins selection.
     df = spark.createDataFrame([(
         row["wf_run_id"], row.get("wf_spec_id"), row.get("wf_spec_name"),
         row["event_type"], row.get("thread_id", 0),
         row.get("timestamp") or int(time.time() * 1000),
-        row.get("offset", 0), row["content"],
+        row.get("offset") or time.time_ns() // 1000, row["content"],
     )], schema=WF_EVENT_SCHEMA)
     df.coalesce(1).write.mode("append").parquet(
         str(Path(events_dir) / f"cmd-{uuid.uuid4().hex[:12]}")

@@ -393,18 +393,26 @@ def await_read_your_writes(query, timeout: float = 60.0) -> None:
     The reference polls the consumer's stored offset until it passes
     the produce offset, 50 ms at a time
     (`APIStreamsContext.java:168-222`, poll at 200-203).  On a
-    micro-batch engine the equivalent is: wait for a trigger that ran
-    *after* the call and read zero input rows — all earlier input is
-    then committed to the state store and sinks.
+    micro-batch engine the equivalent is: wait for a trigger that
+    *started* after this call and read zero input rows — its file
+    listing then post-dates the write, so all earlier input is
+    committed to the state store and sinks.  (Comparing batchIds
+    alone races: a zero-input batch that began before the write can
+    finish after the call and falsely satisfy the barrier.)
     """
     import time as _time
+    from datetime import datetime, timezone
 
-    start_batch = (query.lastProgress or {}).get("batchId", -1)
+    t0 = datetime.now(timezone.utc)
     deadline = _time.monotonic() + timeout
     while _time.monotonic() < deadline:
         p = query.lastProgress
-        if p and p["batchId"] > start_batch and p["numInputRows"] == 0:
-            return
+        if p and p["numInputRows"] == 0:
+            started = datetime.strptime(
+                p["timestamp"], "%Y-%m-%dT%H:%M:%S.%fZ"
+            ).replace(tzinfo=timezone.utc)
+            if started > t0:
+                return
         _time.sleep(0.05)  # the reference's 50 ms poll
     raise TimeoutError("read-your-writes barrier timed out")
 

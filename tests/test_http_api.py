@@ -1,0 +1,116 @@
+"""HTTP API integration (S8): client → HTTP → command events → live
+engine → snapshot/index queries, with the read-your-writes barrier on
+every POST (reference `LittleHorseAPI.java:58-122`,
+`POSTApi.java:40-58`, `GETApi.java:87-183`)."""
+
+from __future__ import annotations
+
+import json
+import shutil
+import tempfile
+import urllib.request
+from pathlib import Path
+
+from old_original_java_little_horse_spark.api.http_server import (
+    LittleHorseAPI, LittleHorseHTTPServer,
+)
+from old_original_java_little_horse_spark.sdk.builder import Workflow, var
+
+
+def _req(port: int, method: str, path: str, body: dict | None = None):
+    data = json.dumps(body).encode() if body is not None else None
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}", data=data, method=method,
+        headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_http_roundtrip_full_lifecycle(spark):
+    """POST /wfrun → GET sees it (read-your-writes); externalEvent
+    unblocks the waiting node; threadRun/taskRun/variable/search/
+    stop/resume verbs all resolve against live snapshots."""
+    wf = Workflow("approval-flow")
+    t = wf.thread("entrypoint")
+    t.add_variable("who", "STRING")
+    t.execute("greet", name=var("who"))
+    t.wait_for_event("approval")
+    spec = wf.build()
+
+    def greet(task, subs):
+        return {"stdout": f"hi {subs['name']}", "success": True,
+                "returncode": 0}
+
+    workdir = Path(tempfile.mkdtemp(prefix="http-api-"))
+    events_dir = workdir / "events"
+    events_dir.mkdir()
+    out_dir = str(workdir / "out")
+
+    from old_original_java_little_horse_spark.streaming.engine import (
+        start_continuous,
+    )
+
+    q = start_continuous(
+        spark, str(events_dir) + "/*", spec,
+        checkpoint_dir=str(workdir / "ckpt"), output_dir=out_dir,
+        executor=greet, trigger_seconds=0.2,
+    )
+    srv = LittleHorseHTTPServer(
+        LittleHorseAPI(spark, str(events_dir), out_dir, query=q)).start()
+    try:
+        port = srv.port
+        # POST /wfrun — and the response's id is immediately GETtable.
+        st, created = _req(port, "POST", "/wfrun", {
+            "wf_spec_name": "approval-flow",
+            "variables": {"who": "ada"}})
+        assert st == 201
+        run_id = created["id"]
+
+        st, doc = _req(port, "GET", f"/wfrun/{run_id}")
+        assert st == 200
+        assert doc["status"] == "RUNNING"  # waiting on the event
+        st, tr0 = _req(port, "GET", f"/wfrun/{run_id}/threadRun/0")
+        assert st == 200 and tr0["variables"]["who"] == "ada"
+        st, task0 = _req(port, "GET", f"/wfrun/{run_id}/taskRun/0/0")
+        assert st == 200 and task0["status"] == "COMPLETED"
+        assert task0["stdout"] == "hi ada"
+        st, v = _req(port, "GET", f"/wfrun/{run_id}/variable/who")
+        assert st == 200 and v["value"] == "ada"
+
+        # Index search by the declared STRING variable.
+        st, hits = _req(port, "GET", "/search/who/ada")
+        assert st == 200 and hits == [run_id]
+
+        # stop → HALTED, resume → RUNNING (ST3 command events).
+        st, _ = _req(port, "POST", f"/wfrun/{run_id}/stop")
+        assert st == 200
+        st, doc = _req(port, "GET", f"/wfrun/{run_id}")
+        assert doc["status"] in ("HALTED", "HALTING")
+        st, _ = _req(port, "POST", f"/wfrun/{run_id}/resume")
+        assert st == 200
+        st, doc = _req(port, "GET", f"/wfrun/{run_id}")
+        assert doc["status"] == "RUNNING"
+
+        # The external event completes the run.
+        st, _ = _req(port, "POST",
+                     f"/externalEvent/{run_id}/approval", {"ok": True})
+        assert st == 200
+        st, doc = _req(port, "GET", f"/wfrun/{run_id}")
+        assert st == 200 and doc["status"] == "COMPLETED"
+
+        st, runs = _req(port, "GET", "/wfruns")
+        assert st == 200
+        assert {r["id"]: r["status"] for r in runs} == {run_id: "COMPLETED"}
+
+        # 404s are JSON errors, not stack traces.
+        st, err = _req(port, "GET", "/wfrun/nope")
+        assert st == 404 and "not found" in err["error"]
+        st, err = _req(port, "GET", f"/wfrun/{run_id}/threadRun/9")
+        assert st == 404
+    finally:
+        srv.stop()
+        q.stop()
+        shutil.rmtree(workdir, ignore_errors=True)
