@@ -648,3 +648,185 @@ def test_no_aliasing_between_variables():
     assert state["status"] == "COMPLETED"
     assert vs["my_list"] == [[1, 2]]          # captured value survives
     assert vs["my_obj"] == {"keep": "x"}      # key removed from obj only
+
+
+# ---------------------------------------------------------------------------
+# interrupts_multiple.py:17-92 — two registered interrupts on one thread
+# ---------------------------------------------------------------------------
+
+def interrupts_multiple_spec():
+    """interrupts_multiple.py:28-33: two handle_interrupt registrations,
+    then a task and a sleep on the parent."""
+    wf = Workflow("interrupts-multiple")
+    t = wf.thread("entrypoint")
+    t.handle_interrupt("some-event", "some_event_handler")
+    t.handle_interrupt("another-event", "another_event_handler")
+    t.execute("echo", x="Hello there, R2-D2!")
+    t.sleep_for(5)
+
+    h1 = wf.thread("some_event_handler")
+    h1.execute("echo", x="Hello there, General Kenobi!")
+    h2 = wf.thread("another_event_handler")
+    h2.execute("echo", x="Hello there, Padawan!")
+    wf.entrypoint = "entrypoint"
+    return wf.build()
+
+
+def _drive_interrupts_multiple(event_name: str, expected_stdout: str):
+    """launch/check_interrupts_multiple_{0,1}: send ONE of the two
+    registered events mid-sleep; the matching handler thread runs and
+    the parent resumes + completes when the sleep matures."""
+    spec = interrupts_multiple_spec()
+    state, ctx = E.process_event(spec, None, start_ev("r1"), executor=executor)
+    sleep_timer = ctx.timers[0]
+    state, _ = E.process_event(spec, state,
+                               ext_event("r1", event_name, "hola"),
+                               executor=executor)
+    timer_event = {"wf_run_id": "r1", "event_type": "TIMER_EVENT",
+                   "thread_id": 0, "timestamp": 7000, "offset": 2,
+                   "content": sleep_timer}
+    state, _ = E.process_event(spec, state, timer_event, executor=executor)
+
+    # check_interrupts_multiple_*: 2 thread runs, parent has the R2
+    # task + the sleep node, handler ran exactly its one task.
+    assert state["status"] == "COMPLETED"
+    assert len(state["thread_runs"]) == 2
+    thr = state["thread_runs"][0]
+    assert len(thr["task_runs"]) == 2
+    assert thr["task_runs"][0]["stdout"] == "Hello there, R2-D2!"
+    assert all(t["status"] == "COMPLETED" for t in thr["task_runs"])
+    handler = state["thread_runs"][1]
+    assert handler["status"] == "COMPLETED"
+    assert len(handler["task_runs"]) == 1
+    assert handler["task_runs"][0]["status"] == "COMPLETED"
+    assert handler["task_runs"][0]["stdout"] == expected_stdout
+    return state
+
+
+def test_interrupts_multiple_first_event():
+    _drive_interrupts_multiple("some-event", "Hello there, General Kenobi!")
+
+
+def test_interrupts_multiple_second_event():
+    _drive_interrupts_multiple("another-event", "Hello there, Padawan!")
+
+
+# ---------------------------------------------------------------------------
+# retries_task_timeout.py:10-34 — retry × timeout interaction
+# ---------------------------------------------------------------------------
+
+def test_retries_task_timeout():
+    """A task that never reports (slow_task) times out, is retried once,
+    and times out again: run HALTED with two TIMEOUT task runs
+    (retries_task_timeout.py:20-34)."""
+    wf = Workflow("retries-timeout")
+    t = wf.thread("entrypoint")
+    t.execute("slow").with_timeout(1).with_retries(1)
+    spec = wf.build()
+
+    # No executor: the worker never responds, only timers fire.
+    state, ctx = E.process_event(spec, None, start_ev("r1"))
+    assert len(ctx.to_schedule) == 1 and len(ctx.timers) == 1
+    assert ctx.timers[0]["maturation_timestamp"] == 1000 + 1000
+
+    state, ctx = E.process_event(spec, state, {
+        "wf_run_id": "r1", "event_type": "TIMER_EVENT", "thread_id": 0,
+        "timestamp": 2000, "offset": 1, "content": ctx.timers[0]})
+    # First attempt timed out; the retry is scheduled with its own
+    # timeout timer.
+    assert len(ctx.to_schedule) == 1 and len(ctx.timers) == 1
+    assert ctx.to_schedule[0]["attempt_number"] == 1
+
+    state, ctx = E.process_event(spec, state, {
+        "wf_run_id": "r1", "event_type": "TIMER_EVENT", "thread_id": 0,
+        "timestamp": 3000, "offset": 2, "content": ctx.timers[0]})
+    assert not ctx.to_schedule
+
+    assert state["status"] == "HALTED"
+    trs = state["thread_runs"][0]["task_runs"]
+    assert len(trs) == 2, "should have retried exactly once"
+    for tr in trs:
+        assert tr["status"] == "HALTED"
+        assert tr["failure_reason"] == "TIMEOUT"
+    assert len({t["number"] for t in trs}) == 1  # retries share number
+
+
+def test_retry_after_timeout_can_succeed():
+    """The retry attempt is a real schedule: a worker answering the
+    second attempt completes the run (timeout ∧ retry interaction, not
+    just double-failure)."""
+    wf = Workflow("retries-timeout-ok")
+    t = wf.thread("entrypoint")
+    t.execute("slow").with_timeout(1).with_retries(1)
+    spec = wf.build()
+
+    state, ctx = E.process_event(spec, None, start_ev("r1"))
+    state, ctx = E.process_event(spec, state, {
+        "wf_run_id": "r1", "event_type": "TIMER_EVENT", "thread_id": 0,
+        "timestamp": 2000, "offset": 1, "content": ctx.timers[0]})
+    retry = ctx.to_schedule[0]
+    state, ctx = E.process_event(
+        spec, state,
+        ended_ev("r1", 0, retry["task_run_position"], "made it", offset=2))
+    assert state["status"] == "COMPLETED"
+    trs = state["thread_runs"][0]["task_runs"]
+    assert [t["failure_reason"] for t in trs] == ["TIMEOUT", None]
+    assert trs[-1]["stdout"] == "made it"
+    # The stale timeout timer for the completed attempt is a no-op.
+    leftover = [t for t in ctx.timers]
+    for t in leftover:
+        state, _ = E.process_event(spec, state, {
+            "wf_run_id": "r1", "event_type": "TIMER_EVENT", "thread_id": 0,
+            "timestamp": 4000, "offset": 3, "content": t})
+    assert state["status"] == "COMPLETED"
+
+
+# ---------------------------------------------------------------------------
+# conditionals_edge_1.py:24-90 — single-branch if + merge task; bad input
+# ---------------------------------------------------------------------------
+
+def conditionals_edge_spec():
+    wf = Workflow("conditionals-edge")
+    t = wf.thread("entrypoint")
+    t.add_variable("my_int", "INT")
+    with t.condition(var("my_int"), "GREATER_THAN", lit(10)).is_true():
+        t.execute("echo", x="Its 10 or more!")
+    t.execute("echo", x="This task should execute on all WFRun's.")
+    return wf.build()
+
+
+def test_conditionals_edge_taken_and_skipped():
+    """check_conditionals_edge_1: 11 → branch + merger; 9 → merger only."""
+    spec = conditionals_edge_spec()
+    for my_int in (9, 11):
+        state = E.process_event(spec, None,
+                                start_ev("r1", {"my_int": my_int}),
+                                executor=executor)[0]
+        assert state["status"] == "COMPLETED"
+        assert len(state["thread_runs"]) == 1
+        thr = state["thread_runs"][0]
+        assert isinstance(thr["variables"]["my_int"], int)
+        # The reference filters to node_type == TASK (the NOP merge
+        # node also records a task run, conditionals_edge_1.py:61).
+        nodes = spec["thread_specs"]["entrypoint"]["nodes"]
+        stdouts = [tr["stdout"] for tr in thr["task_runs"]
+                   if nodes[tr["node_name"]]["node_type"] == "TASK"]
+        if my_int > 10:
+            assert stdouts == ["Its 10 or more!",
+                               "This task should execute on all WFRun's."]
+        else:
+            assert stdouts == ["This task should execute on all WFRun's."]
+
+
+def test_conditionals_edge_bad_input_halts():
+    """check_conditionals_edge_2: a non-INT input makes the condition
+    unevaluable — the run HALTS with VARIABLE_LOOKUP_ERROR instead of
+    crashing the engine (conditionals_edge_1.py:74-90)."""
+    spec = conditionals_edge_spec()
+    state, _ = E.process_event(spec, None,
+                               start_ev("r1", {"my_int": "not an int"}),
+                               executor=executor)
+    assert state["status"] == "HALTED"
+    thr = state["thread_runs"][0]
+    assert any(tr["failure_reason"] == "VARIABLE_LOOKUP_ERROR"
+               for tr in thr["task_runs"])
