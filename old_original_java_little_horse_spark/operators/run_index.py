@@ -38,6 +38,26 @@ _PARSE = StructType([
 ])
 
 
+def doc_aliases(doc: dict | None) -> set[tuple[str, str]]:
+    """Python twin of `alias_rows` for the engine's incremental index
+    path: the alias set of ONE WFRun document — 'name' plus every
+    non-null STRING-typed thread variable (WFRun.java:320-338).
+
+    Must stay in lockstep with `alias_rows` (the SQL extraction): the
+    incremental changelog this feeds is asserted equal to the batch
+    recompute by the `engine_index_incremental` driver query.
+    """
+    if doc is None:
+        return set()
+    out = {("name", doc["id"])}
+    for tr in doc.get("thread_runs") or []:
+        types = tr.get("var_types") or {}
+        for k, v in (tr.get("variables") or {}).items():
+            if v is not None and types.get(k) == "STRING":
+                out.add((k, v if isinstance(v, str) else str(v)))
+    return out
+
+
 def alias_rows(snapshots: DataFrame) -> DataFrame:
     """(object_id, key, value) alias pairs per WFRun snapshot:
     'name' plus every string-valued thread variable."""

@@ -45,7 +45,7 @@ from ..engine.fold import TaskExecutor, process_event
 
 OUTPUT_SCHEMA = StructType([
     StructField("wf_run_id", StringType()),
-    StructField("kind", StringType()),       # snapshot | task_schedule | timer
+    StructField("kind", StringType()),       # snapshot | task_schedule | timer | index
     StructField("status", StringType()),     # snapshot only
     StructField("task_def_name", StringType()),   # task_schedule only
     StructField("thread_id", IntegerType()),
@@ -167,11 +167,35 @@ def make_update_fn(spec: dict, executor: TaskExecutor | None = None,
 
     def _store(group_state: GroupState, state, max_offset: int,
                max_event_ts: int, pending: list, out_rows: list,
-               wf_run_id: str) -> None:
+               wf_run_id: str, old_aliases: set | None = None) -> None:
         """Emit the per-batch snapshot (S5, SchedulerTopology.java:74-87;
         `seq` = max folded offset, a monotonic per-key version the query
         layer orders by — file-scan order is NOT write order), then
-        persist state, tombstoning terminal runs when configured."""
+        persist state, tombstoning terminal runs when configured.
+
+        `old_aliases`: the run's alias set BEFORE this batch's events —
+        diffed against the new document to emit `kind='index'`
+        CREATE/DELETE changelog rows (ResourceIndexProcessor.java:41-131
+        semantics: the scheduler, which alone sees old+new state,
+        publishes index diffs; downstream compaction is latest-op-wins).
+        Index work per batch is O(changed runs), never O(index).
+        """
+        if old_aliases is not None:
+            from ..operators.run_index import doc_aliases
+
+            new_aliases = doc_aliases(state)
+            for op, pairs in (("DELETE", old_aliases - new_aliases),
+                              ("CREATE", new_aliases - old_aliases)):
+                for k, v in sorted(pairs):
+                    out_rows.append({
+                        "wf_run_id": wf_run_id, "kind": "index",
+                        "status": None, "task_def_name": None,
+                        "thread_id": None, "task_run_position": None,
+                        "maturation_timestamp": None, "seq": max_offset,
+                        "payload": json.dumps(
+                            {"op": op, "key": k, "value": v},
+                            separators=(",", ":")),
+                    })
         out_rows.append({
             "wf_run_id": wf_run_id, "kind": "snapshot",
             "status": state["status"], "task_def_name": None,
@@ -217,6 +241,11 @@ def make_update_fn(spec: dict, executor: TaskExecutor | None = None,
             pending = json.loads(pending_json) if pending_json else []
             if not tomb:
                 state = json.loads(state_json)
+        # Alias set before this invocation's folding — the index diff
+        # base (the fold mutates `state` in place, so capture now).
+        from ..operators.run_index import doc_aliases
+
+        old_aliases = doc_aliases(state)
 
         if group_state.hasTimedOut:
             # Timer wheel tick for this key — no input rows.
@@ -230,7 +259,7 @@ def make_update_fn(spec: dict, executor: TaskExecutor | None = None,
                 wf_run_id, state, pending, max_offset, now_ms, out_rows)
             if fired:
                 _store(group_state, state, max_offset, max_event_ts,
-                       pending, out_rows, wf_run_id)
+                       pending, out_rows, wf_run_id, old_aliases)
             elif pending:
                 # Spurious/early wake: just re-arm.
                 group_state.update((json.dumps(state, separators=(",", ":")),
@@ -294,7 +323,7 @@ def make_update_fn(spec: dict, executor: TaskExecutor | None = None,
 
         if state is not None:
             _store(group_state, state, max_offset, max_event_ts,
-                   pending, out_rows, wf_run_id)
+                   pending, out_rows, wf_run_id, old_aliases)
         yield pd.DataFrame(out_rows, columns=cols)
 
     return update
@@ -348,6 +377,8 @@ def split_outputs(tagged: DataFrame) -> dict[str, DataFrame]:
         "timers": tagged.where(F.col("kind") == "timer")
                         .select("wf_run_id", "thread_id", "task_run_position",
                                 "maturation_timestamp", "payload"),
+        "index": tagged.where(F.col("kind") == "index")
+                       .select("wf_run_id", "seq", "payload"),
     }
 
 

@@ -51,3 +51,47 @@ def engine_streaming_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = out.collect()
     shutil.rmtree(workdir, ignore_errors=True)
     return spark.createDataFrame(rows, out.schema)
+
+
+@query(
+    "engine_index_incremental",
+    oracle="""
+WITH agg AS (
+  SELECT user_id,
+         COUNT(*) FILTER (event_type = 'purchase') AS n_purch,
+         COUNT(*) FILTER (event_type = 'click')    AS n_click
+  FROM events GROUP BY user_id
+), tiers AS (
+  SELECT 'user-' || CAST(user_id AS VARCHAR) AS run_id,
+         CASE WHEN n_click > n_purch THEN 'clicky' ELSE 'buyy' END AS tier
+  FROM agg
+)
+SELECT 'tier' AS key, tier AS value,
+       COUNT(*) AS n_entries,
+       STRING_AGG(run_id, ',' ORDER BY run_id) AS posting_list
+FROM tiers GROUP BY tier
+UNION ALL
+SELECT 'name', run_id, 1, run_id FROM tiers
+""",
+)
+def engine_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting lists built ONLY from the engine's incremental index
+    changelog (kind='index' CREATE/DELETE rows, compacted latest-op-
+    wins) — never from snapshot recompute.  Hash-matching the same
+    oracle as `engine_run_index` proves incremental == recompute ==
+    closed form (ResourceIndexProcessor.java:41-131 parity)."""
+    from ..operators.index_store import posting_lists
+
+    workdir = tempfile.mkdtemp(prefix="engine-idx-q-")
+    events_dir = f"{workdir}/events"
+    _wf_events_from_users(spark, sf_dir).write.parquet(events_dir)
+    tagged = run_streaming_availablenow(
+        spark, events_dir, pipeline_spec(),
+        checkpoint_dir=f"{workdir}/ckpt",
+        output_dir=f"{workdir}/out",
+        executor=pipeline_executor,
+    )
+    out = posting_lists(tagged)
+    rows = out.collect()
+    shutil.rmtree(workdir, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)

@@ -140,3 +140,118 @@ def test_fold_is_deterministic(data):
 
     a, b = run(), run()
     assert json.dumps(a, sort_keys=True) == json.dumps(b, sort_keys=True)
+
+
+# ---------------------------------------------------------------------------
+# Task-run consistency cross-check (reference harness/logic.py:79-121):
+# a ground-truth execution ledger reconciled against engine-reported
+# TaskRuns — zero phantoms ("engine says ran, never ran") and zero
+# orphans ("ran, engine lost it") under randomized retry outcomes,
+# schedule redeliveries, and cross-run interleavings.
+# ---------------------------------------------------------------------------
+
+from old_original_java_little_horse_spark.engine.worker import TaskWorker
+
+
+class LedgeredWorker(TaskWorker):
+    """The reference's Postgres side channel: records every ACTUAL
+    execution (post-dedupe), keyed by task-run identity."""
+
+    def __init__(self, tasks):
+        super().__init__(tasks)
+        self.ledger: list[tuple] = []
+
+    def handle(self, tsr, timestamp, base_offset):
+        evs = super().handle(tsr, timestamp, base_offset)
+        if evs:  # really executed (not an idempotent-skip)
+            self.ledger.append(self._key(tsr))
+        return evs
+
+
+def chain_spec():
+    wf = Workflow("consistency")
+    t = wf.thread("entrypoint")
+    t.add_variable("x", "INT", default=0)
+    n1 = t.execute("step1", a=var("x"))
+    n1.with_retries(2)
+    t.mutate(n1, "x", "ADD", literal=1)
+    n2 = t.execute("step2", b=var("x"))
+    n2.with_retries(1)
+    return wf.build()
+
+
+CHAIN = chain_spec()
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.data())
+def test_no_phantom_or_orphan_task_runs(data):
+    runs = [f"r{i}" for i in range(3)]
+    # Per-execution outcome oracle, drawn lazily (keyed so duplicate
+    # deliveries of one attempt would get the same verdict).
+    outcomes: dict[tuple, bool] = {}
+
+    def result_for(key):
+        if key not in outcomes:
+            outcomes[key] = data.draw(st.booleans(), label=f"ok{key}")
+        return outcomes[key]
+
+    worker = LedgeredWorker({})
+    # Bind task fns through the worker's key via a mutable cell the
+    # drain loop sets before each handle() call.
+    current: dict = {}
+    worker.tasks = {
+        name: (lambda subs, _n=name: (
+            {"stdout": "ok", "success": True, "returncode": 0}
+            if result_for(current["key"]) else
+            {"stdout": None, "stderr": "boom", "success": False,
+             "returncode": 1}))
+        for name in ("step1", "step2")
+    }
+
+    states: dict[str, dict | None] = {r: None for r in runs}
+    offsets: dict[str, int] = {r: 0 for r in runs}
+    pending: list[dict] = []
+
+    def fold(run_id, ev):
+        ev = dict(ev)
+        offsets[run_id] += 1
+        ev["offset"] = offsets[run_id]
+        states[run_id], ctx = E.process_event(CHAIN, states[run_id], ev)
+        pending.extend(ctx.to_schedule)
+
+    for r in runs:
+        fold(r, start_ev(r, {"x": 0}))
+
+    guard = 0
+    while pending and guard < 200:
+        guard += 1
+        i = data.draw(st.integers(0, len(pending) - 1), label="pick")
+        tsr = pending.pop(i)
+        # At-least-once delivery: sometimes redeliver the same TSR.
+        if data.draw(st.booleans(), label="redeliver"):
+            pending.append(dict(tsr))
+        current["key"] = worker._key(tsr)
+        for ev in worker.handle(tsr, timestamp=2000, base_offset=0):
+            ev["content"] = json.loads(ev["content"])
+            fold(tsr["wf_run_id"], ev)
+    assert not pending, "drive loop did not quiesce"
+
+    # Reconcile: engine-reported executed TaskRuns ⇄ ledger.
+    engine_executed = set()
+    for r in runs:
+        st_ = states[r]
+        assert st_ is not None and st_["status"] in ("COMPLETED", "HALTED")
+        for t in st_["thread_runs"]:
+            for tr in t["task_runs"]:
+                assert tr["status"] in ("COMPLETED", "HALTED"), \
+                    f"non-terminal task_run after quiescence: {tr}"
+                engine_executed.add(
+                    (r, t["id"], tr["position"], tr["attempt_number"]))
+
+    ledger = worker.ledger
+    assert len(ledger) == len(set(ledger)), "double execution (exactly-once broken)"
+    phantoms = engine_executed - set(ledger)
+    orphans = set(ledger) - engine_executed
+    assert not phantoms, f"engine reports runs that never executed: {phantoms}"
+    assert not orphans, f"executions the engine lost: {orphans}"
