@@ -178,13 +178,23 @@ def sim_label_blocked_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the corpus; search only touches the query's bucket.
 # --------------------------------------------------------------------------
 
+# Pair-blocking config (sim_label_blocked_neardup): few wide tables —
+# the verify threshold (cosine >= 0.3) is loose, so modest recall per
+# pair suffices and each extra table multiplies the exploded rows.
 N_PLANES = 16
 N_TABLES = 4          # OR over tables: candidate iff ANY table's bucket matches
 BITS_PER_TABLE = N_PLANES // N_TABLES
+# ANN config (sim_lsh_bucketed_ann): many narrow tables.  Tuned by
+# measurement against exact brute-force top-3 on the test corpora
+# (see sim_lsh_bucketed_ann docstring): 15 x 6-bit tables = 80%
+# recall@3 at 23% of brute-force candidate work on the 2,000-vector
+# corpus — vs 53% recall at 24% work for the round-1 4 x 4-bit.
+ANN_TABLES = 15
+ANN_BITS = 6
 DIM = 64
 
 
-def _plane_signs() -> list[list[int]]:
+def _plane_signs(n_planes: int) -> list[list[int]]:
     """Deterministic ±1 hyperplanes: sign(p,d) from md5(f"{p}-{d}").
     Computed host-side once; identical constants are inlined into both
     the Spark plan and the DuckDB oracle, so signatures match exactly
@@ -194,17 +204,17 @@ def _plane_signs() -> list[list[int]]:
     return [
         [1 if int(hashlib.md5(f"{p}-{d}".encode()).hexdigest()[0], 16) >= 8 else -1
          for d in range(DIM)]
-        for p in range(N_PLANES)
+        for p in range(n_planes)
     ]
 
 
-def _table_sig_sql(col: str, table: int, one_based: bool) -> str:
-    """One table's bucket: BITS_PER_TABLE hyperplane sign bits — plain
+def _table_sig_sql(col: str, table: int, one_based: bool, bits: int,
+                   signs_all: list[list[int]]) -> str:
+    """One table's bucket: `bits` hyperplane sign bits — plain
     generated arithmetic, fully inside whole-stage codegen (no HOFs)."""
-    signs_all = _plane_signs()
     parts = []
-    for b in range(BITS_PER_TABLE):
-        signs = signs_all[table * BITS_PER_TABLE + b]
+    for b in range(bits):
+        signs = signs_all[table * bits + b]
         terms = []
         for d, sgn in enumerate(signs):
             idx = d + 1 if one_based else d
@@ -213,17 +223,22 @@ def _table_sig_sql(col: str, table: int, one_based: bool) -> str:
     return " || ".join(parts)
 
 
-def _tables_array_sql(col: str, one_based: bool) -> str:
+def _tables_array_sql(col: str, one_based: bool, n_tables: int = N_TABLES,
+                      bits: int = BITS_PER_TABLE) -> str:
     """array of (table_id || ':' || bucket) strings, one per table."""
+    signs_all = _plane_signs(n_tables * bits)
     entries = [
-        f"'{t}:' || {_table_sig_sql(col, t, one_based)}" for t in range(N_TABLES)
+        f"'{t}:' || {_table_sig_sql(col, t, one_based, bits, signs_all)}"
+        for t in range(n_tables)
     ]
     return f"array({', '.join(entries)})" if not one_based else f"[{', '.join(entries)}]"
 
 
 _ANN_ORACLE = _QUANT_ORACLE + f"""
 , sigs AS (
-  SELECT vec_id, v, unnest({_tables_array_sql('v', one_based=True)}) AS bucket FROM q
+  SELECT vec_id, v,
+         unnest({_tables_array_sql('v', one_based=True, n_tables=ANN_TABLES, bits=ANN_BITS)}) AS bucket
+  FROM q
 ), cand AS (
   SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
   FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND b.vec_id <> a.vec_id
@@ -247,25 +262,31 @@ FROM ranked WHERE rnk <= 3
 
 @query("sim_lsh_bucketed_ann", oracle=_ANN_ORACLE)
 def sim_lsh_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k: multi-table hyperplane LSH (4 tables x 4
+    """Approximate top-k: multi-table hyperplane LSH (15 tables x 6
     bits, candidate iff ANY table's bucket matches) → exact cosine
     rank over the candidate union.
 
-    Scale notes: multi-table OR is what makes LSH recall usable —
-    one strict signature has near-zero recall on high-dim data (the
-    single-table variant measured 3% top-3 recall on this corpus;
-    this one ~10x that at ~1/4 of the brute-force candidate work).
-    The corpus is scanned once; candidates shuffle on the (table,
-    bucket) key; signature arithmetic is generated per-plane sums —
-    pure codegen, exact integers, so the DuckDB oracle reproduces
-    the ranking bit-for-bit.
+    Config by measurement against exact brute-force top-3 (numpy
+    twin of this exact signature scheme): on the 2,000-vector corpus
+    15x6 = 80% recall@3 touching 23% of brute-force candidates; the
+    round-1 4x4 = 53% at 24%.  (On the 500-vector corpus: 60% vs
+    40% — tiny corpora have wide-angle nearest neighbors, the known
+    hyperplane-LSH regime.)  Many narrow tables beat few wide ones at
+    equal candidate work because per-table collision falls
+    geometrically with bits but the OR over tables restores recall.
+
+    Scale notes: the corpus is scanned once; candidates shuffle on
+    the (table, bucket) key; signature arithmetic is generated
+    per-plane sums — pure codegen, exact integers, so the DuckDB
+    oracle reproduces the ranking bit-for-bit.
     """
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", quantized(F.col("embedding")).alias("v")
     ).withColumn("norm2", dot_q(F.col("v"), F.col("v")).cast("double"))
     sigs = e.select(
         "vec_id", "v", "norm2",
-        F.explode(F.expr(_tables_array_sql("v", one_based=False))).alias("bucket"),
+        F.explode(F.expr(_tables_array_sql(
+            "v", one_based=False, n_tables=ANN_TABLES, bits=ANN_BITS))).alias("bucket"),
     )
     qsigs = sigs.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
