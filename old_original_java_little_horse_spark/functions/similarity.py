@@ -89,6 +89,11 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
+            # JVM dot here, NOT _cos_pairs_udf: the NLJ emits |Q|·n pairs
+            # each carrying two 64-long arrays, and Arrow-shipping both
+            # arrays per pair measured 2.3x slower than the interpreted
+            # in-JVM dot.  The UDF wins only after LSH blocking prunes
+            # the pair space (see the bucketed queries).
             (dot_q(F.col("qv"), F.col("v"))
              / F.sqrt(F.col("qnorm2") * F.col("norm2"))).alias("cosine"),
         )
@@ -154,7 +159,7 @@ def sim_label_blocked_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = e.withColumn("norm2", dot_q(F.col("v"), F.col("v")).cast("double"))
     sigs = e.select(
         "vec_id", "label",
-        F.explode(F.expr(_tables_array_sql("v", one_based=False))).alias("bucket"),
+        F.explode(_bucket_ids_udf(N_TABLES, BITS_PER_TABLE)(F.col("v"))).alias("bucket"),
     )
     cand = grid_self_pairs(sigs, ["label", "bucket"], id_col="vec_id").select(
         F.col("id_a").alias("vec_a"), F.col("id_b").alias("vec_b"))
@@ -162,7 +167,7 @@ def sim_label_blocked_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.col("v").alias("xv"), F.col("norm2").alias("xn"))
     y = e.select(F.col("vec_id").alias("yid"),
                  F.col("v").alias("yv"), F.col("norm2").alias("yn"))
-    cos = dot_q(F.col("xv"), F.col("yv")) / F.sqrt(F.col("xn") * F.col("yn"))
+    cos = _cos_pairs_udf()(F.col("xv"), F.col("yv"), F.col("xn"), F.col("yn"))
     return (
         cand.join(x, cand.vec_a == F.col("xid"))
         .join(y, cand.vec_b == F.col("yid"))
@@ -206,6 +211,64 @@ def _plane_signs(n_planes: int) -> list[list[int]]:
          for d in range(DIM)]
         for p in range(n_planes)
     ]
+
+
+def _bucket_ids_udf(n_tables: int, bits: int):
+    """LSH bucket ids as ONE Arrow-batched integer matrix multiply.
+
+    The generated per-plane CASE-WHEN expression (still used verbatim
+    in the DuckDB oracles, `_tables_array_sql`) blows past Spark's
+    codegen method-size limit at ANN width (15x6 tables over 64 dims ≈
+    5,800 terms) and silently falls back to *interpreted* evaluation —
+    measured ~6 s per pass over just 2,000 vectors, recomputed on both
+    sides of the candidate self-join.  `V @ S.T >= 0` in numpy int64
+    computes the identical plane sums exactly (quantized vectors,
+    exact integer arithmetic), so candidates are unchanged.
+
+    Bucket id = (table << bits) | bit-string-value — a bijection of
+    the oracle's 't:bitstring' key, so the grouping (the only thing a
+    bucket is used for) is identical; buckets never appear in output.
+    """
+    import numpy as np
+
+    signs = np.array(_plane_signs(n_tables * bits), dtype=np.int64)  # (P, DIM)
+    pow2 = np.array([1 << (bits - 1 - b) for b in range(bits)], dtype=np.int64)
+    offsets = np.arange(n_tables, dtype=np.int64) << bits
+
+    @F.pandas_udf("array<bigint>")
+    def buckets(v):
+        import numpy as np
+        import pandas as pd
+
+        V = np.vstack(v.to_numpy()).astype(np.int64)          # (n, DIM)
+        bits_mat = (V @ signs.T >= 0).astype(np.int64)        # (n, P)
+        per_table = bits_mat.reshape(len(V), n_tables, bits) @ pow2
+        return pd.Series((per_table + offsets).tolist())
+
+    return buckets
+
+
+def _cos_pairs_udf():
+    """Exact cosine over candidate pairs, Arrow-batched.
+
+    `dot_q` (aggregate∘zip_with) is an interpreted higher-order
+    function — ~1.3 s for 46k pairs at sf0.1, and the per-pair hot
+    path of every verify join.  The numpy version is bit-identical:
+    int64 dot products are exact, and float64 divide/sqrt on the same
+    inputs produce the same IEEE doubles Spark's long→double cast
+    path does (rounding to 4 decimals stays Spark-side either way).
+    """
+    @F.pandas_udf("double")
+    def cos(xv, yv, xn, yn):
+        import numpy as np
+        import pandas as pd
+
+        X = np.vstack(xv.to_numpy()).astype(np.int64)
+        Y = np.vstack(yv.to_numpy()).astype(np.int64)
+        dot = np.einsum("ij,ij->i", X, Y).astype(np.float64)
+        return pd.Series(dot / np.sqrt(xn.to_numpy() * yn.to_numpy()))
+
+    return cos
 
 
 def _table_sig_sql(col: str, table: int, one_based: bool, bits: int,
@@ -285,8 +348,7 @@ def sim_lsh_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("norm2", dot_q(F.col("v"), F.col("v")).cast("double"))
     sigs = e.select(
         "vec_id", "v", "norm2",
-        F.explode(F.expr(_tables_array_sql(
-            "v", one_based=False, n_tables=ANN_TABLES, bits=ANN_BITS))).alias("bucket"),
+        F.explode(_bucket_ids_udf(ANN_TABLES, ANN_BITS)(F.col("v"))).alias("bucket"),
     )
     qsigs = sigs.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
@@ -298,7 +360,7 @@ def sim_lsh_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "qv", "qnorm2", "v", "norm2")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    cos = dot_q(F.col("qv"), F.col("v")) / F.sqrt(F.col("qnorm2") * F.col("norm2"))
+    cos = _cos_pairs_udf()(F.col("qv"), F.col("v"), F.col("qnorm2"), F.col("norm2"))
     scored = cand.select("query_id", "neighbor_id", cos.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
