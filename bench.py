@@ -32,6 +32,7 @@ HEADLINE = [
     "d_ngram_jaccard_pairs",
     "sim_topk_bruteforce",
     "sim_label_blocked_neardup",
+    "sim_ivf_ann",
     "t_quality_score",
     "t_token_count",
     "mm_metadata_extract",
