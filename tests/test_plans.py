@@ -66,3 +66,33 @@ def test_whole_stage_codegen_on_expressions(spark):
     df = Q["x_mutation_arith"].fn(spark, SF_SMOKE)
     # In formatted explain, a leading '*' marks codegen'd operators.
     assert "* Project" in explain_str(df), explain_str(df)
+
+
+def test_lsh_ann_arrow_stage_and_no_cartesian(spark):
+    """ANN signatures run as ONE ArrowEvalPython (pandas UDF) stage;
+    the candidate join is an equi-join on the bucket key, never a
+    nested-loop over the corpus."""
+    df = Q["sim_lsh_bucketed_ann"].fn(spark, SF_SMOKE)
+    ops = physical_ops(df)
+    assert "ArrowEvalPython" in ops, ops
+    assert "CartesianProduct" not in ops, ops
+    assert "BroadcastNestedLoopJoin" not in ops, ops
+
+
+def test_ivf_ann_arrow_stage_and_no_cartesian(spark):
+    df = Q["sim_ivf_ann"].fn(spark, SF_SMOKE)
+    ops = physical_ops(df)
+    assert "ArrowEvalPython" in ops, ops
+    assert "CartesianProduct" not in ops, ops
+    assert "BroadcastNestedLoopJoin" not in ops, ops
+
+
+def test_pair_queries_equi_join_only(spark):
+    """Every near-dup pair generator must candidate via an equi-join
+    on a bucket key (grid-sub-bucketed) — a nested-loop join here is
+    the O(n²) scale bug the blocking exists to prevent."""
+    for name in ("d_minhash_lsh_pairs", "d_ngram_jaccard_pairs",
+                 "d_simhash_pairs", "sim_label_blocked_neardup"):
+        ops = physical_ops(Q[name].fn(spark, SF_SMOKE))
+        assert "CartesianProduct" not in ops, (name, ops)
+        assert "BroadcastNestedLoopJoin" not in ops, (name, ops)
