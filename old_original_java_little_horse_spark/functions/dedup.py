@@ -102,6 +102,10 @@ def normalized_text(c: Column) -> Column:
 
 
 def shingle_rows(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    return shingle_rows_df(load_table(spark, sf_dir, "documents"), k)
+
+
+def shingle_rows_df(d: DataFrame, k: int) -> DataFrame:
     """Distinct (doc_id, source, s) k-word shingle rows.
 
     Built as posexplode(words) + window `lead` instead of a
@@ -114,7 +118,6 @@ def shingle_rows(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    d = load_table(spark, sf_dir, "documents")
     w = d.select(
         "doc_id", "source",
         F.posexplode(F.split(normalized_text(F.col("text")), " ")).alias("pos", "w"),
@@ -146,7 +149,12 @@ def _hashed_shingle_sets(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     among ~100 shingles/doc are negligible (and identical on both
     engines either way).
     """
-    rows = shingle_rows(spark, sf_dir, k).withColumn(
+    return hashed_shingle_sets_df(
+        load_table(spark, sf_dir, "documents"), k)
+
+
+def hashed_shingle_sets_df(docs: DataFrame, k: int) -> DataFrame:
+    rows = shingle_rows_df(docs, k).withColumn(
         "s", F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long")
     )
     return rows.groupBy("doc_id", "source").agg(F.collect_set("s").alias("sh"))
@@ -154,13 +162,19 @@ def _hashed_shingle_sets(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
 
 def minhash_sigs(spark: SparkSession, sf_dir: str, k: int = SHINGLE_K,
                  n_bands: int = N_BANDS, with_source: bool = False) -> DataFrame:
+    return minhash_sigs_df(load_table(spark, sf_dir, "documents"), k=k,
+                           n_bands=n_bands, with_source=with_source)
+
+
+def minhash_sigs_df(docs: DataFrame, k: int = SHINGLE_K,
+                    n_bands: int = N_BANDS, with_source: bool = False) -> DataFrame:
     """(doc_id[, source], band, sig) LSH signatures: shingle rows →
     one md5 → per-band universal-hash min (see `_mix_consts`) in a
     partial-aggregated groupBy (map-side combine collapses shingles
     before the exchange — the scale path).  Long sigs also shuffle and
     compare cheaper than the round-1 32-char digest strings."""
     group = ["doc_id", "source"] if with_source else ["doc_id"]
-    exploded = shingle_rows(spark, sf_dir, k).select(
+    exploded = shingle_rows_df(docs, k).select(
         *group,
         (F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long")
          % MH_P).alias("hm"),
@@ -180,16 +194,16 @@ def minhash_sigs(spark: SparkSession, sf_dir: str, k: int = SHINGLE_K,
 # Exact dedup — hash groupBy on normalized content
 # --------------------------------------------------------------------------
 
-@query(
-    "d_exact_dedup",
-    oracle="""
+EXACT_DEDUP_ORACLE = """
 SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_key,
        COUNT(*)    AS n_copies,
        MIN(doc_id) AS canonical_doc_id
 FROM documents
 GROUP BY 1
-""",
-)
+"""
+
+
+@query("d_exact_dedup", oracle=EXACT_DEDUP_ORACLE)
 def d_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicate groups: map-side partial-agg on the content
     hash; keep min doc_id as canonical.  One shuffle on a uniform
@@ -248,9 +262,7 @@ def d_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash LSH candidate pairs + exact-Jaccard verification
 # --------------------------------------------------------------------------
 
-@query(
-    "d_minhash_lsh_pairs",
-    oracle=_MINHASH_ORACLE_SIGS + """
+MINHASH_PAIRS_ORACLE = _MINHASH_ORACLE_SIGS + """
 , cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
@@ -265,8 +277,10 @@ SELECT c.doc_a, c.doc_b,
 FROM cand c JOIN ds x ON c.doc_a = x.doc_id JOIN ds y ON c.doc_b = y.doc_id
 WHERE len(list_filter(x.sh, v -> list_contains(y.sh, v))) * 1.0 /
       NULLIF(len(x.sh) + len(y.sh) - len(list_filter(x.sh, v -> list_contains(y.sh, v))), 0) >= 0.5
-""",
-)
+"""
+
+
+@query("d_minhash_lsh_pairs", oracle=MINHASH_PAIRS_ORACLE)
 def d_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs: band-bucket join → candidate pairs →
     exact Jaccard on distinct shingle sets, keep >= 0.5.

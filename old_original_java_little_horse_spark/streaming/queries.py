@@ -14,7 +14,12 @@ from pyspark.sql import DataFrame, SparkSession
 from ..engine.batch_queries import (
     _ORACLE_AGG, _wf_events_from_users, pipeline_executor, pipeline_spec,
 )
+from ..functions.dedup import (
+    EXACT_DEDUP_ORACLE, MINHASH_PAIRS_ORACLE, SHINGLE_K,
+    hashed_shingle_sets_df, minhash_sigs_df, normalized_text,
+)
 from ..registry import query
+from ..sources.parquet import load_table
 from .engine import run_streaming_availablenow
 
 
@@ -92,6 +97,136 @@ def engine_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         executor=pipeline_executor,
     )
     out = posting_lists(tagged)
+    rows = out.collect()
+    shutil.rmtree(workdir, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+@query("stream_doc_dedup", oracle=EXACT_DEDUP_ORACLE)
+def stream_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-ingest exact dedup: documents arrive over four
+    micro-batches (maxFilesPerTrigger=1); a streaming groupBy on the
+    content hash holds (n_copies, canonical_doc_id) in the state
+    store, update-mode emissions are appended with their batch id, and
+    the sink compacts latest-per-key on read — the streaming MERGE
+    pattern.  Hash-matching the batch `d_exact_dedup` oracle proves
+    arrival order and batch boundaries don't change the answer.
+
+    Scale notes: this is the shape a 100 TB ingest dedup runs —
+    state partitioned by the uniform 128-bit content hash (map-side
+    partial agg per micro-batch), sink upserts keyed the same way.
+    The final answer is order-independent (count and min are
+    commutative), so late or reordered files cannot corrupt it.
+    """
+    from pyspark.sql import Window
+
+    workdir = tempfile.mkdtemp(prefix="stream-dedup-q-")
+    docs_dir = f"{workdir}/docs"
+    load_table(spark, sf_dir, "documents").repartition(4).write.parquet(docs_dir)
+    schema = spark.read.parquet(docs_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(docs_dir)
+    )
+    agg = (
+        stream.groupBy(
+            F.md5(normalized_text(F.col("text"))).alias("content_key"))
+        .agg(F.count(F.lit(1)).alias("n_copies"),
+             F.min("doc_id").alias("canonical_doc_id"))
+    )
+    out_dir = f"{workdir}/out"
+
+    def upsert(batch_df, batch_id):
+        batch_df.withColumn("_b", F.lit(batch_id)) \
+            .write.mode("append").parquet(out_dir)
+
+    (agg.writeStream.outputMode("update").foreachBatch(upsert)
+        .option("checkpointLocation", f"{workdir}/ckpt")
+        .trigger(availableNow=True).start().awaitTermination())
+
+    w = Window.partitionBy("content_key").orderBy(F.col("_b").desc())
+    out = (
+        spark.read.parquet(out_dir)
+        .withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+        .select("content_key", "n_copies", "canonical_doc_id")
+    )
+    rows = out.collect()
+    shutil.rmtree(workdir, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+@query("stream_minhash_incremental", oracle=MINHASH_PAIRS_ORACLE)
+def stream_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally maintained MinHash-LSH dedup index: per
+    micro-batch, new documents' band signatures and shingle sets are
+    appended to persistent index tables; candidates are generated by
+    joining ONLY the new signatures against the accumulated index
+    (new×all, never all×all), verified by exact Jaccard, and the pairs
+    appended.  Each pair is discovered exactly once — in the batch
+    where its later-arriving member lands — so the final pair table
+    hash-matches the batch `d_minhash_lsh_pairs` oracle regardless of
+    arrival order or batch boundaries.
+
+    Scale notes: this is the reference `ResourceIndexProcessor`
+    CREATE-diff pattern applied to dedup, and the shape of a 100 TB
+    continuously-ingesting dedup service: per-batch work is
+    O(new·bucket-width), the index grows by appends keyed on the
+    (band, sig) shuffle key, and nothing ever rescans the corpus.
+    """
+    workdir = tempfile.mkdtemp(prefix="stream-minhash-q-")
+    docs_dir = f"{workdir}/docs"
+    load_table(spark, sf_dir, "documents").repartition(4).write.parquet(docs_dir)
+    schema = spark.read.parquet(docs_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(docs_dir)
+    )
+    sig_store = f"{workdir}/sigs"
+    set_store = f"{workdir}/sets"
+    pair_store = f"{workdir}/pairs"
+
+    def index_batch(batch_df, batch_id):
+        new_sigs = minhash_sigs_df(batch_df, k=SHINGLE_K)
+        new_sets = hashed_shingle_sets_df(batch_df, k=SHINGLE_K).drop("source")
+        new_sigs.write.mode("append").parquet(sig_store)
+        new_sets.write.mode("append").parquet(set_store)
+        all_sigs = batch_df.sparkSession.read.parquet(sig_store)
+        all_sets = batch_df.sparkSession.read.parquet(set_store)
+        n, o = new_sigs.alias("n"), all_sigs.alias("o")
+        cand = (
+            n.join(o, (F.col("n.band") == F.col("o.band"))
+                   & (F.col("n.sig") == F.col("o.sig"))
+                   & (F.col("n.doc_id") != F.col("o.doc_id")))
+            .select(F.least("n.doc_id", "o.doc_id").alias("doc_a"),
+                    F.greatest("n.doc_id", "o.doc_id").alias("doc_b"))
+            .distinct()
+        )
+        x, y = all_sets.alias("x"), all_sets.alias("y")
+        pairs = (
+            cand.join(x, cand.doc_a == F.col("x.doc_id"))
+            .join(y, cand.doc_b == F.col("y.doc_id"))
+            .select(
+                "doc_a", "doc_b",
+                F.size(F.array_intersect(F.col("x.sh"), F.col("y.sh"))).alias("inter"),
+                (F.size(F.col("x.sh")) + F.size(F.col("y.sh"))).alias("sz_sum"),
+            )
+            .select(
+                "doc_a", "doc_b",
+                (F.col("inter") * F.lit(1.0)
+                 / F.nullif((F.col("sz_sum") - F.col("inter")).cast("long"),
+                            F.lit(0))).alias("jac"),
+            )
+            .where(F.col("jac") >= 0.5)
+            .select("doc_a", "doc_b",
+                    F.round("jac", 4).cast("double").alias("jaccard"))
+        )
+        pairs.write.mode("append").parquet(pair_store)
+
+    (stream.writeStream.foreachBatch(index_batch)
+        .option("checkpointLocation", f"{workdir}/ckpt")
+        .trigger(availableNow=True).start().awaitTermination())
+
+    out = spark.read.parquet(pair_store)
     rows = out.collect()
     shutil.rmtree(workdir, ignore_errors=True)
     return spark.createDataFrame(rows, out.schema)
