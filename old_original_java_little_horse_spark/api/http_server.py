@@ -141,14 +141,19 @@ class LittleHorseAPI:
             raise ApiError(404, f"taskRun {thread}/{pos} not found")
         return tr["task_runs"][pos]
 
-    def get_variable(self, run_id: str, name: str) -> dict:
-        # Thread-0 scope, walking the parent chain like variable
-        # resolution in the fold (GETApi.getVariable resolves through
-        # the thread's lexical scope the same way).
+    def get_variable(self, run_id: str, name: str, thread: int = 0) -> dict:
+        # Lexical scope of the requested thread: that thread, then its
+        # parent chain (GETApi.getVariable resolves the same way) —
+        # NOT a scan over all threads, which would leak child-thread
+        # variables into thread-0 lookups in creation order.
         doc = self._wfrun_doc(run_id)
-        for tr in doc["thread_runs"]:
+        trs = doc["thread_runs"]
+        n: int | None = thread
+        while n is not None and 0 <= n < len(trs):
+            tr = trs[n]
             if name in (tr.get("variables") or {}):
                 return {"name": name, "value": tr["variables"][name]}
+            n = tr.get("parent_thread_id")
         raise ApiError(404, f"variable {name} not found")
 
     def list_wfruns(self) -> list[dict]:

@@ -38,8 +38,10 @@ def _worker_main(task_def_name: str, fn: TaskFn, worker_id: str,
         if msg == _STOP:
             return
         tsr, timestamp, base_offset = msg
-        for ev in worker.handle(tsr, timestamp, base_offset):
-            results.put(ev)
+        # ONE reply per schedule row, even when the worker's idempotent
+        # dedupe yields no events — the router counts replies, not
+        # events, so duplicate deliveries can't stall it.
+        results.put(worker.handle(tsr, timestamp, base_offset))
 
 
 class LocalDeployer:
@@ -68,7 +70,9 @@ class LocalDeployer:
     def route(self, schedule_rows: list[dict], start_offset: int = 1000,
               timestamp: int = 2000) -> list[dict]:
         """Send each schedule row to its TaskDef's worker; collect the
-        started/ended wf_events (2 per non-duplicate row)."""
+        started/ended wf_events (2 per non-duplicate row; duplicate
+        deliveries yield an empty reply from the worker's idempotent
+        dedupe)."""
         sent = 0
         off = start_offset
         for tsr in schedule_rows:
@@ -78,7 +82,9 @@ class LocalDeployer:
             self._inboxes[name].put((tsr, timestamp, off))
             sent += 1
             off += 2
-        out = [self._results.get(timeout=30) for _ in range(2 * sent)]
+        out: list[dict] = []
+        for _ in range(sent):
+            out.extend(self._results.get(timeout=30))
         # Queue arrival order is nondeterministic across workers; the
         # engine sorts by offset before folding anyway — do it here so
         # callers can feed the events straight in.

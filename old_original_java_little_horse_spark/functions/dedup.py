@@ -64,7 +64,8 @@ _MIX_SIG_LAMBDA = (
 
 
 def grid_self_pairs(sigs: DataFrame, bucket_cols: list[str],
-                    id_col: str = "doc_id") -> DataFrame:
+                    id_col: str = "doc_id",
+                    carry_cols: tuple[str, ...] = ()) -> DataFrame:
     """Distinct candidate (id_a, id_b) pairs within each bucket, with
     fragment-replicate sub-bucketing to bound shuffle-partition width.
 
@@ -81,6 +82,10 @@ def grid_self_pairs(sigs: DataFrame, bucket_cols: list[str],
 
     The cost is P× replication of the (tiny) signature rows — the
     classic fragment-replicate skew-join trade.
+
+    `carry_cols` are per-id columns (functionally dependent on the id,
+    e.g. the full signature) forwarded through the join as
+    `{col}_a`/`{col}_b`, so verification needs no lookup joins.
     """
     cells = F.array(*[F.lit(i) for i in range(P_GRID)])
     a = (sigs.withColumn("_rx", F.pmod(F.hash(id_col), F.lit(P_GRID)))
@@ -90,10 +95,12 @@ def grid_self_pairs(sigs: DataFrame, bucket_cols: list[str],
     cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
     for c in bucket_cols + ["_rx", "_ry"]:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    return (a.join(b, cond)
-             .select(F.col(f"a.{id_col}").alias("id_a"),
-                     F.col(f"b.{id_col}").alias("id_b"))
-             .distinct())
+    sel = [F.col(f"a.{id_col}").alias("id_a"),
+           F.col(f"b.{id_col}").alias("id_b")]
+    for c in carry_cols:
+        sel += [F.col(f"a.{c}").alias(f"{c}_a"), F.col(f"b.{c}").alias(f"{c}_b")]
+    return (a.join(b, cond).select(*sel)
+             .dropDuplicates(["id_a", "id_b"]))
 
 
 def normalized_text(c: Column) -> Column:
@@ -531,7 +538,13 @@ def simhash64_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = w.select("doc_id", *packed_cols)
     aggs = [F.count(F.lit(1)).alias("n")]
     aggs += [F.sum(f"pk{blk}").alias(f"p{blk}") for blk in range(SIMHASH_BITS // 4)]
-    counts = w.groupBy("doc_id").agg(*aggs)
+    # ENFORCE the lane-width contract instead of assuming it: a doc
+    # over 65,535 tokens would carry a packed counter into the next
+    # lane and silently corrupt its signature (diverging from the
+    # oracle, which computes true majorities).  Such docs are excluded
+    # here AND in the oracle — at 2^16 tokens a "document" is a
+    # concatenation bug; a real pipeline splits it upstream.
+    counts = w.groupBy("doc_id").agg(*aggs).where(F.col("n") <= 0xFFFF)
     sig = F.lit(0).cast("long")
     for j in range(SIMHASH_BITS):
         blk, lane = j // 4, j % 4
@@ -567,6 +580,7 @@ WITH t AS (
                 THEN '1' ELSE '0' END),
          '') AS sig
   FROM t
+  WHERE len(w) <= 65535
 )
 """
 
@@ -606,11 +620,13 @@ def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the interpreted per-bit Hamming scan runs per candidate pair
     only, never per n² pair.
     """
-    # Materialize the signature table once: ~72 bytes/doc, and the
-    # self-join would otherwise recompute the whole explode+aggregate
-    # subtree per side.  (At 100 TB this is the persisted signature
-    # table a dedup pipeline writes between passes.)
-    sigs = simhash64_sigs(spark, sf_dir).persist()
+    # Not persisted: the self-join recomputes the signature subtree on
+    # both sides inside one pipelined job, which measured faster at
+    # bench scale than extra materialization jobs (and a .persist()
+    # here would pin cache for the session — the query function can't
+    # unpersist after returning its lazy DataFrame).  At 100 TB a
+    # dedup pipeline writes the signature table between passes anyway.
+    sigs = simhash64_sigs(spark, sf_dir)
     # Band key: table id in the high bits, the table's 16 signature
     # bits in the low — one long, no string building.
     bands = sigs.select(
@@ -622,22 +638,11 @@ def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for t in range(SIMHASH_BANDS)
         ])).alias("bkey"),
     )
-    # Candidate pairs carry both sigs through the join (functionally
-    # dependent on the pair) so verification needs no lookup joins.
-    cells = F.array(*[F.lit(i) for i in range(P_GRID)])
-    a = (bands.withColumn("_rx", F.pmod(F.hash("doc_id"), F.lit(P_GRID)))
-              .withColumn("_ry", F.explode(cells)).alias("a"))
-    b = (bands.withColumn("_ry", F.pmod(F.hash("doc_id"), F.lit(P_GRID)))
-              .withColumn("_rx", F.explode(cells)).alias("b"))
-    cand = (
-        a.join(b, (F.col("a.doc_id") < F.col("b.doc_id"))
-               & (F.col("a.bkey") == F.col("b.bkey"))
-               & (F.col("a._rx") == F.col("b._rx"))
-               & (F.col("a._ry") == F.col("b._ry")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
-                F.col("a.sig").alias("xsig"), F.col("b.sig").alias("ysig"))
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+    # Both sigs ride through the candidate join (`carry_cols`) so
+    # verification needs no lookup joins.
+    cand = grid_self_pairs(bands, ["bkey"], carry_cols=("sig",)).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"),
+        F.col("sig_a").alias("xsig"), F.col("sig_b").alias("ysig"))
     hamming = F.bit_count(F.col("xsig").bitwiseXOR(F.col("ysig")))
     return (
         cand.select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))

@@ -240,6 +240,8 @@ def _bucket_ids_udf(n_tables: int, bits: int):
         import numpy as np
         import pandas as pd
 
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
         V = np.vstack(v.to_numpy()).astype(np.int64)          # (n, DIM)
         bits_mat = (V @ signs.T >= 0).astype(np.int64)        # (n, P)
         per_table = bits_mat.reshape(len(V), n_tables, bits) @ pow2
@@ -263,6 +265,8 @@ def _cos_pairs_udf():
         import numpy as np
         import pandas as pd
 
+        if len(xv) == 0:
+            return pd.Series([], dtype=float)
         X = np.vstack(xv.to_numpy()).astype(np.int64)
         Y = np.vstack(yv.to_numpy()).astype(np.int64)
         dot = np.einsum("ij,ij->i", X, Y).astype(np.float64)
@@ -442,6 +446,8 @@ def _ivf_cells_udf(centroids, nprobe: int):
         import numpy as np
         import pandas as pd
 
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
         V = np.vstack(v.to_numpy()).astype(np.int64)   # (n, DIM)
         d2 = (np.einsum("ij,ij->i", V, V)[:, None]
               - 2 * (V @ C.T) + cnorm[None, :])        # (n, C) exact int64

@@ -51,12 +51,14 @@ def current_aliases(tagged: DataFrame) -> DataFrame:
 
     A triple's newest changelog entry decides: CREATE is live, DELETE
     is a tombstone.  The engine emits at most one op per triple per
-    batch (it diffs sets), so seq ordering is decisive; the op
-    tie-break only dedupes identical rows re-appended by an
-    at-least-once replay of the same batch.
+    batch (it diffs sets) and `seq` strictly increases per folding
+    invocation, so seq ordering is decisive; the op tie-break only
+    matters for identical-seq rows from an at-least-once replay, and
+    it prefers DELETE — the safe side (a dropped alias re-appears on
+    the next CREATE; a resurrected one would serve deleted data).
     """
     w = Window.partitionBy("object_id", "key", "value").orderBy(
-        F.col("seq").desc(), F.col("op").asc())
+        F.col("seq").desc(), F.col("op").desc())
     return (
         index_changelog(tagged)
         .withColumn("_rn", F.row_number().over(w))

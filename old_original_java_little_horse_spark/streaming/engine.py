@@ -299,7 +299,15 @@ def make_update_fn(spec: dict, executor: TaskExecutor | None = None,
             events = kept
         max_event_ts = max(
             [max_event_ts] + [e.get("timestamp") or 0 for e in events])
+        # `seq` (= max_offset) must STRICTLY increase whenever events
+        # fold: an out-of-order event whose offset is <= the stored max
+        # would otherwise produce a different snapshot at the same seq
+        # (latest-wins selection tie, and an equal-seq CREATE/DELETE
+        # index ambiguity).
+        prev_max_offset = max_offset
         max_offset = max([max_offset] + [e.get("offset") or 0 for e in events])
+        if events and max_offset <= prev_max_offset:
+            max_offset = prev_max_offset + 1
 
         out_rows = []
         for ev in events:

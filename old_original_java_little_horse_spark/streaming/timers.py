@@ -62,7 +62,13 @@ class TimerPump:
         rows = [(
             t["wf_run_id"], None, None, "TIMER_EVENT",
             t["thread_run_id"], t["maturation_timestamp"],
-            t["maturation_timestamp"],  # offset: monotone-enough per key
+            # Offset on the SAME µs scale as the CLI/HTTP command
+            # producer (time_ns()//1000): ms-scale offsets here would
+            # sort every timer BEFORE the µs-scale command that created
+            # it on replay, folding the timer against empty state (and
+            # the ledger would never re-fire it).  maturation_µs is
+            # always > the creating command's produce-time offset.
+            t["maturation_timestamp"] * 1000,
             json.dumps(t),
         ) for t in to_fire]
         self.spark.createDataFrame(rows, schema=WF_EVENT_SCHEMA) \

@@ -64,6 +64,15 @@ def test_route_sends_each_taskdef_to_its_own_worker():
         assert workers == {0: "worker-add_one", 1: "worker-double"}
 
 
+def test_route_duplicate_delivery_yields_no_extra_events_and_no_stall():
+    with LocalDeployer({"add_one": add_one}) as dep:
+        row = {"task_def_name": "add_one", "wf_run_id": "r0", "wf_spec_id": "s",
+               "wf_spec_name": "s", "thread_id": 0, "task_run_position": 0,
+               "attempt_number": 0, "variable_substitutions": {"x": 1}}
+        events = dep.route([row, dict(row)])  # at-least-once redelivery
+        assert len(events) == 2  # one started+ended; duplicate deduped
+
+
 def test_route_unknown_taskdef_raises():
     with LocalDeployer({"add_one": add_one}) as dep:
         try:
