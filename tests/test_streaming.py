@@ -439,3 +439,100 @@ def test_completed_run_state_evicted_to_tombstone(spark):
     assert len(dup_snaps["keep"]) == 1
     assert json.loads(dup_snaps["keep"][0]["payload"])["status"] == "COMPLETED"
     assert dup_snaps["evict"] == []
+
+
+def test_timer_replay_from_scratch_preserves_order(spark):
+    """Regression: pump-injected TIMER_EVENT offsets are on the same
+    µs scale as CLI/HTTP command offsets, so a from-scratch replay of
+    the whole events dir (fresh checkpoint, one batch) folds the start
+    command BEFORE its timer.  With ms-scale timer offsets the timer
+    sorted first, folded against empty state, and the run stayed
+    RUNNING forever (the ledger never re-fires)."""
+    from old_original_java_little_horse_spark.sdk.builder import Workflow
+    from old_original_java_little_horse_spark.streaming.timers import TimerPump
+
+    wf = Workflow("sleepy-replay")
+    t = wf.thread("entrypoint")
+    t.sleep_for(1)
+    spec = wf.build()
+
+    workdir = Path(tempfile.mkdtemp(prefix="stream-replay-"))
+    try:
+        events_dir = workdir / "events"
+        events_dir.mkdir()
+        # Same clock, producer scales (cli._write_event): event-time in
+        # ms, offset = the same instant in µs.
+        t0_ms = 1_000_000
+        start = [("r1", "s", "s", "WF_RUN_STARTED", 0, t0_ms, t0_ms * 1000,
+                  json.dumps({"variables": {}}))]
+        spark.createDataFrame(start, schema=WF_EVENT_SCHEMA) \
+             .coalesce(1).write.parquet(str(events_dir / "wave1"))
+        run_streaming_availablenow(
+            spark, str(events_dir) + "/*", spec,
+            checkpoint_dir=str(workdir / "ckpt"), output_dir=str(workdir / "out"))
+        pump = TimerPump(spark, str(workdir / "out"), str(events_dir),
+                         str(workdir / "ledger"))
+        assert pump.tick(now_ms=t0_ms + 10_000) == 1
+
+        # From-scratch replay: fresh checkpoint — BOTH files land in
+        # one availableNow pass and the update fn sorts by offset.
+        tagged = run_streaming_availablenow(
+            spark, str(events_dir) + "/*", spec,
+            checkpoint_dir=str(workdir / "ckpt2"),
+            output_dir=str(workdir / "out2"))
+        snaps = [json.loads(r["payload"]) for r in tagged.collect()
+                 if r["kind"] == "snapshot"]
+        assert snaps and snaps[-1]["status"] == "COMPLETED", snaps[-1]["status"]
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_seq_strictly_increases_for_out_of_order_batches(spark):
+    """Regression: an event folding in a LATER batch with a SMALLER
+    offset must still advance the snapshot `seq` — otherwise two
+    different documents share a seq and latest-wins selection ties."""
+    from old_original_java_little_horse_spark.sdk.builder import Workflow, var
+
+    wf = Workflow("seq-wf")
+    t = wf.thread("entrypoint")
+    t.add_variable("total", "INT", default=0)
+    n1 = t.execute("add_one", x=var("total"))
+    t.mutate(n1, "total", "ASSIGN")
+    spec = wf.build()
+
+    workdir = Path(tempfile.mkdtemp(prefix="stream-seq-"))
+    try:
+        events_dir = workdir / "events"
+        events_dir.mkdir()
+        start = [("r1", "s", "s", "WF_RUN_STARTED", 0, 1_000, 500,
+                  json.dumps({"variables": {"total": 1}}))]
+        spark.createDataFrame(start, schema=WF_EVENT_SCHEMA) \
+             .coalesce(1).write.parquet(str(events_dir / "wave1"))
+        run_streaming_availablenow(
+            spark, str(events_dir) + "/*", spec,
+            checkpoint_dir=str(workdir / "ckpt"), output_dir=str(workdir / "out"))
+        # Task events with offsets BELOW the stored max (500): late
+        # out-of-order delivery into a later micro-batch.
+        content = [
+            {"thread_id": 0, "task_run_position": 0,
+             "started_event": {"worker_id": "w"}},
+            {"thread_id": 0, "task_run_position": 0,
+             "ended_event": {"result": {"stdout": "2", "success": True,
+                                        "returncode": 0}}},
+        ]
+        late = [("r1", "s", "s", "TASK_EVENT", 0, 2_000, off,
+                 json.dumps(c)) for off, c in zip((100, 101), content)]
+        spark.createDataFrame(late, schema=WF_EVENT_SCHEMA) \
+             .coalesce(1).write.parquet(str(events_dir / "wave2"))
+        tagged = run_streaming_availablenow(
+            spark, str(events_dir) + "/*", spec,
+            checkpoint_dir=str(workdir / "ckpt"), output_dir=str(workdir / "out2"))
+        snaps = sorted(
+            ((r["seq"], json.loads(r["payload"])) for r in tagged.collect()
+             if r["kind"] == "snapshot"), key=lambda p: p[0])
+        assert snaps[-1][1]["status"] == "COMPLETED"
+        first = spark.read.parquet(str(workdir / "out"))
+        seq0 = max(r["seq"] for r in first.collect() if r["kind"] == "snapshot")
+        assert snaps[-1][0] > seq0, (snaps[-1][0], seq0)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
