@@ -98,3 +98,122 @@ def mm_metadata_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
     )
     return d.mapInPandas(decode_batches, schema=DECODE_SCHEMA)
+
+
+FRAME_STEP = 4  # sample every 4th frame
+
+FRAME_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("frame_idx", LongType()),
+    StructField("frame_len", LongType()),
+    StructField("frame_md5", StringType()),
+])
+
+
+def frame_sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: each payload explodes into its sampled
+    frames (1 input row → ceil(n_frames/STEP) output rows) — the
+    frame-extraction batch shape: output rows never buffer more than
+    one Arrow batch of payloads, and the explode happens worker-side
+    so frame bytes are never shuffled unexploded."""
+    for pdf in batches:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(payload)
+            n = len(b)
+            n_frames = 1 + (n % 24)          # fake_decode_meta's frame count
+            chunk = max(n // n_frames, 1)
+            for idx in range(0, n_frames, FRAME_STEP):
+                frame = b[idx * chunk: idx * chunk + chunk]
+                out.append({"doc_id": doc_id, "frame_idx": idx,
+                            "frame_len": len(frame),
+                            "frame_md5": hashlib.md5(frame).hexdigest()})
+        yield pd.DataFrame(out, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+
+@query(
+    "mm_frame_sample",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id, text, strlen(text) AS n,
+         1 + (strlen(text) % 24) AS n_frames,
+         greatest(strlen(text) // (1 + (strlen(text) % 24)), 1) AS chunk
+  FROM documents
+), f AS (
+  SELECT doc_id, text, chunk,
+         unnest(generate_series(0, n_frames - 1, {FRAME_STEP})) AS frame_idx
+  FROM m
+)
+SELECT doc_id, frame_idx,
+       strlen(substr(text, 1 + frame_idx * chunk, chunk)) AS frame_len,
+       md5(substr(text, 1 + frame_idx * chunk, chunk))    AS frame_md5
+FROM f
+""",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over "video" payloads: decode (stub) → every
+    {FRAME_STEP}th frame as its own row with the frame bytes' digest.
+    The real thing swaps the byte-slice for an ffmpeg seek-and-decode;
+    the Spark shape — binary → mapInPandas → per-frame rows, no
+    shuffle until a downstream aggregation — is what must scale.  The
+    oracle reproduces the slicing arithmetic with substr (payloads are
+    the docs' ascii bytes, so char and byte offsets coincide)."""
+    from ..session import ship_package
+
+    ship_package(spark)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return d.mapInPandas(frame_sample_batches, schema=FRAME_SCHEMA)
+
+
+RESIZE_TARGET = 4096  # center-crop length (stand-in for a WxH resize)
+
+RESIZE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("out_len", LongType()),
+    StructField("resized_md5", StringType()),
+])
+
+
+def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: binary → binary transform (center crop to
+    RESIZE_TARGET bytes) — the resize/transcode batch shape: payloads
+    in, same-cardinality transformed payloads out, per-partition."""
+    for pdf in batches:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(payload)
+            n = len(b)
+            target = min(n, RESIZE_TARGET)
+            start = (n - target) // 2
+            cropped = b[start: start + target]
+            out.append({"doc_id": doc_id, "out_len": len(cropped),
+                        "resized_md5": hashlib.md5(cropped).hexdigest()})
+        yield pd.DataFrame(out, columns=[f.name for f in RESIZE_SCHEMA.fields])
+
+
+@query(
+    "mm_resize_crop",
+    oracle=f"""
+SELECT doc_id,
+       least(strlen(text), {RESIZE_TARGET}) AS out_len,
+       md5(substr(text,
+                  1 + (strlen(text) - least(strlen(text), {RESIZE_TARGET})) // 2,
+                  least(strlen(text), {RESIZE_TARGET})))   AS resized_md5
+FROM documents
+""",
+)
+def mm_resize_crop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize-shaped binary transform (center crop): a PIL
+    `img.resize()` drop-in would change only the worker body — the
+    plumbing (binary in, binary-derived row out, Arrow-batched,
+    shuffle-free) is the part under test, and the oracle proves the
+    byte arithmetic round-trips losslessly."""
+    from ..session import ship_package
+
+    ship_package(spark)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return d.mapInPandas(resize_batches, schema=RESIZE_SCHEMA)
