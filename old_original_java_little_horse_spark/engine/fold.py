@@ -1274,6 +1274,10 @@ def _advance_to_fixpoint(spec: dict, state: dict, event: dict, ctx: Ctx) -> None
     this; the harness test interrupts.py:53-82 defines the intended
     outcome (parent resumes and completes), which this loop produces.
     """
+    # One status pass up front; thereafter state is unchanged between an
+    # iteration's trailing update_statuses and the next iteration's start,
+    # so a leading per-iteration pass would be a no-op repeat.
+    update_statuses(state, event)
     should = True
     guard = 0
     while should:
@@ -1281,7 +1285,6 @@ def _advance_to_fixpoint(spec: dict, state: dict, event: dict, ctx: Ctx) -> None
         if guard > 100000:
             raise RuntimeError("fixpoint did not converge")
         before = _status_snapshot(state)
-        update_statuses(state, event)
         did = False
         for i in range(len(state["thread_runs"])):  # list may grow
             did = advance_thread(state, spec, state["thread_runs"][i], event, ctx) or did
