@@ -30,6 +30,7 @@ HEADLINE = [
     "d_exact_dedup",
     "d_minhash_lsh_pairs",
     "d_ngram_jaccard_pairs",
+    "d_dup_clusters",
     "sim_topk_bruteforce",
     "sim_label_blocked_neardup",
     "sim_ivf_ann",

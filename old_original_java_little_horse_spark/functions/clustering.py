@@ -1,0 +1,204 @@
+"""Duplicate-cluster resolution: pairs → connected components → one
+canonical document per cluster.
+
+Pair generation (`dedup.py`) finds *edges*; a real dedup pipeline must
+then resolve *clusters* — duplicate relations are transitive only
+through connectivity (A≈B, B≈C ⇒ {A,B,C} is one group even when A and
+C share no band).  This module closes that gap:
+
+- `connected_components` — generic iterative hash-min label
+  propagation over an edge DataFrame (the standard Spark-scale CC
+  formulation: each round every node takes the min label among itself
+  and its neighbors; converges in O(max component diameter) rounds).
+  Duplicate clusters are near-cliques, so diameters are tiny (2-4
+  rounds in practice) — the large-star/small-star variant is only
+  needed for long-chain graphs, which dedup graphs are not.
+- `d_dup_clusters` — every document labeled with its cluster id
+  (min doc_id of its component) over the union of exact-duplicate
+  edges and MinHash-LSH verified near-duplicate pairs.
+- `d_dedup_canonical` — per-cluster keep-decision: canonical doc =
+  longest text (ties → smallest doc_id), plus member count and the
+  characters a keep-canonical pass would delete.
+
+Scale design: each round is one shuffle join (edges ⋈ labels on node)
+plus one partial-agg groupBy — both on the node key, so AQE coalesces
+and the hot keys are bounded by cluster degree, not corpus size.
+`localCheckpoint` truncates the per-round lineage (on a real cluster,
+use a reliable `checkpoint` dir instead); the convergence probe is an
+`isEmpty()` on a changed-labels anti-filter, which short-circuits on
+the first changed partition.  Nothing is ever collected to the driver.
+
+Reference anchor: the reference engine has no corpus operators — this
+family extends it for training-data pipelines (BASELINE.json north
+star), mirroring the exact/fuzzy dedup split of `dedup.py`.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..registry import query
+from ..sources.parquet import load_table
+from .dedup import _MINHASH_ORACLE_SIGS, d_minhash_lsh_pairs, normalized_text
+
+MAX_CC_ROUNDS = 25  # backstop only; dedup graphs converge in 2-4
+
+
+def connected_components(edges: DataFrame,
+                         max_rounds: int = MAX_CC_ROUNDS) -> DataFrame:
+    """(node, label) for every node in `edges` (columns src, dst);
+    label = min node id reachable in the undirected graph.
+
+    Hash-min propagation: labels(v) ← min(labels(v), min labels of
+    neighbors), iterated to fixpoint.  Each round shuffles the edge
+    list once on src; rounds needed = max component diameter.
+    """
+    both = (edges.select("src", "dst")
+            .union(edges.select(F.col("dst").alias("src"),
+                                F.col("src").alias("dst")))
+            .distinct().localCheckpoint())
+    labels = (both.select(F.col("src").alias("node")).distinct()
+              .withColumn("label", F.col("node")).localCheckpoint())
+    for _ in range(max_rounds):
+        prop = (both.join(labels, both.src == labels.node)
+                .select(F.col("dst").alias("node"), "label"))
+        new = (labels.union(prop).groupBy("node")
+               .agg(F.min("label").alias("label")).localCheckpoint())
+        changed = (new.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .where(F.col("n.label") != F.col("o.label")))
+        converged = changed.isEmpty()
+        labels = new
+        if converged:
+            break
+    return labels
+
+
+def _dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of exact-duplicate edges (doc → its content-group min) and
+    LSH-verified near-duplicate pairs (jaccard ≥ 0.5)."""
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select("doc_id", F.md5(normalized_text(F.col("text"))).alias("k"))
+    gmin = keyed.groupBy("k").agg(F.min("doc_id").alias("m"))
+    exact = (keyed.join(gmin, "k")
+             .where(F.col("doc_id") != F.col("m"))
+             .select(F.col("doc_id").alias("src"), F.col("m").alias("dst")))
+    near = d_minhash_lsh_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    return exact.union(near)
+
+
+# The near-duplicate pair CTEs, verbatim twins of MINHASH_PAIRS_ORACLE
+# (dedup.py) but exposed as a composable `near` CTE.
+_NEAR_CTE = """
+, cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+), ds AS (
+  SELECT doc_id, list_distinct(list_transform(shingles, v -> substr(md5(v), 1, 8))) AS sh FROM s
+), near AS (
+  SELECT c.doc_a AS src, c.doc_b AS dst
+  FROM cand c JOIN ds x ON c.doc_a = x.doc_id JOIN ds y ON c.doc_b = y.doc_id
+  WHERE len(list_filter(x.sh, v -> list_contains(y.sh, v))) * 1.0 /
+        NULLIF(len(x.sh) + len(y.sh) - len(list_filter(x.sh, v -> list_contains(y.sh, v))), 0) >= 0.5
+)
+"""
+
+_EDGES_CTE = _NEAR_CTE + """
+, exact_g AS (
+  SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS k,
+         MIN(doc_id) AS m
+  FROM documents GROUP BY 1
+), exact_e AS (
+  SELECT d.doc_id AS src, g.m AS dst
+  FROM documents d
+  JOIN exact_g g ON md5(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))) = g.k
+  WHERE d.doc_id <> g.m
+), edges AS (
+  SELECT src, dst FROM exact_e UNION SELECT dst, src FROM exact_e
+  UNION SELECT src, dst FROM near UNION SELECT dst, src FROM near
+), lab(node, label) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, l.label FROM lab l JOIN edges e ON e.src = l.node
+), comp AS (
+  SELECT node, MIN(label) AS cluster_id FROM lab GROUP BY node
+)
+"""
+
+# WITH RECURSIVE must lead the statement; the minhash CTE chain is
+# otherwise unchanged.
+_CLUSTERS_WITH = _MINHASH_ORACLE_SIGS.replace(
+    "WITH t AS", "WITH RECURSIVE t AS", 1) + _EDGES_CTE
+
+DUP_CLUSTERS_ORACLE = _CLUSTERS_WITH + """
+SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+"""
+
+
+@query("d_dup_clusters", oracle=DUP_CLUSTERS_ORACLE)
+def d_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every document labeled with its duplicate-cluster id (min doc_id
+    of its exact∪near connected component; singletons label
+    themselves).  The iterative CC loop only touches documents that
+    appear in at least one pair — the (overwhelming) singleton
+    majority joins in once at the end, so round cost scales with the
+    duplicate subgraph, not the corpus.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    comp = connected_components(_dup_edges(spark, sf_dir))
+    return (d.select("doc_id")
+            .join(comp, d.doc_id == comp.node, "left")
+            .select("doc_id",
+                    F.coalesce("label", F.col("doc_id")).alias("cluster_id")))
+
+
+DEDUP_CANONICAL_ORACLE = _CLUSTERS_WITH + """
+, clustered AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+         length(d.text) AS n_chars
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+), ranked AS (
+  SELECT cluster_id, doc_id, n_chars,
+         COUNT(*) OVER (PARTITION BY cluster_id) AS n_members,
+         SUM(n_chars) OVER (PARTITION BY cluster_id) AS total_chars,
+         ROW_NUMBER() OVER (PARTITION BY cluster_id
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM clustered
+)
+SELECT cluster_id, doc_id AS canonical_doc_id,
+       CAST(n_members AS BIGINT) AS n_members,
+       CAST(total_chars - n_chars AS BIGINT) AS chars_removed
+FROM ranked WHERE rn = 1
+"""
+
+
+@query("d_dedup_canonical", oracle=DEDUP_CANONICAL_ORACLE)
+def d_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-decision per duplicate cluster: canonical = longest text
+    (ties → smallest doc_id); `chars_removed` = characters deleted by
+    keeping only the canonical member.  One window partition per
+    cluster — the partition key is the cluster id, so skew is bounded
+    by the largest duplicate cluster, and the two window functions
+    share a single exchange+sort.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    comp = connected_components(_dup_edges(spark, sf_dir))
+    clustered = (d.select("doc_id", F.length("text").alias("n_chars"))
+                 .join(comp, d.doc_id == comp.node, "left")
+                 .select("doc_id", "n_chars",
+                         F.coalesce("label", F.col("doc_id")).alias("cluster_id")))
+    part = Window.partitionBy("cluster_id")
+    order = Window.partitionBy("cluster_id").orderBy(F.desc("n_chars"), "doc_id")
+    return (clustered
+            .withColumn("n_members", F.count(F.lit(1)).over(part))
+            .withColumn("total_chars", F.sum("n_chars").over(part))
+            .withColumn("rn", F.row_number().over(order))
+            .where(F.col("rn") == 1)
+            .select("cluster_id",
+                    F.col("doc_id").alias("canonical_doc_id"),
+                    F.col("n_members").cast("long").alias("n_members"),
+                    (F.col("total_chars") - F.col("n_chars"))
+                    .cast("long").alias("chars_removed")))
