@@ -1,0 +1,247 @@
+"""Corpus-preparation operators: the transforms between raw documents
+and training shards — PII redaction, fixed-size chunking with overlap,
+deterministic train/val/test splitting, per-language n-gram profiles,
+and per-document distinctive terms.
+
+Everything is JVM-side Catalyst expressions (regexp / split /
+higher-order array functions / window) — no Python UDFs — so at
+100 TB they run inside whole-stage codegen on the parquet scan.
+Per-row maps (redact / chunk / split) are shuffle-free; the profile
+queries shuffle once on their group key with map-side partial
+aggregation.
+
+Determinism: regex patterns are restricted to constructs Java regex
+and RE2 evaluate identically (char classes, bounded repeats — no
+backreferences, no lookaround); scores use exact integer arithmetic
+(`tf*1_000_000 div df`) instead of floating-point tf-idf so the
+cross-engine hash can never drift.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..registry import query
+from ..sources.parquet import load_table
+from .text import shingles_col, words_col
+
+# Redaction patterns — deliberately simple, identical under Java regex
+# (Spark) and RE2 (DuckDB): no lookaround, no backreferences.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+PII_PHONE = r"[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+
+CHUNK_SIZE = 64   # words per training chunk
+CHUNK_STRIDE = 48  # 16-word overlap between consecutive chunks
+
+SPLIT_TRAIN, SPLIT_VAL = 80, 90  # bucket thresholds of 100
+
+
+# --------------------------------------------------------------------------
+# PII redaction
+# --------------------------------------------------------------------------
+
+@query(
+    "t_pii_redact",
+    oracle=f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{PII_EMAIL}')) AS n_emails,
+       len(regexp_extract_all(text, '{PII_IP}'))    AS n_ips,
+       len(regexp_extract_all(text, '{PII_PHONE}')) AS n_phones,
+       regexp_replace(regexp_replace(regexp_replace(text,
+         '{PII_EMAIL}', '<EMAIL>', 'g'),
+         '{PII_IP}', '<IP>', 'g'),
+         '{PII_PHONE}', '<PHONE>', 'g')             AS clean_text
+FROM documents
+""",
+)
+def t_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redact emails / IPv4 addresses / phone numbers to typed tokens,
+    reporting per-document match counts (counted on the original
+    text).  Order matters and is fixed: email → IP → phone, so a
+    dotted phone can never be half-eaten by the IP pass (an IPv4 needs
+    three dots; the email TLD is alphabetic) and replacement tokens
+    contain no digits to re-match.  Pure per-row codegen — the 100 TB
+    cost is one scan."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL, "<EMAIL>"),
+            PII_IP, "<IP>"),
+        PII_PHONE, "<PHONE>")
+    return d.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(PII_EMAIL)).alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_IP)).alias("n_ips"),
+        F.regexp_count(t, F.lit(PII_PHONE)).alias("n_phones"),
+        clean.alias("clean_text"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Fixed-size chunking with overlap (1 document → N training chunks)
+# --------------------------------------------------------------------------
+
+@query(
+    "t_doc_chunks",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+)
+SELECT doc_id,
+       start // {CHUNK_STRIDE}                       AS chunk_idx,
+       array_to_string(w[start + 1 : start + {CHUNK_SIZE}], ' ') AS chunk_text,
+       len(w[start + 1 : start + {CHUNK_SIZE}])      AS n_tokens
+FROM t, unnest(generate_series(0, len(w) - 1, {CHUNK_STRIDE})) AS u(start)
+""",
+)
+def t_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split each document into {CHUNK_SIZE}-word chunks on a
+    {CHUNK_STRIDE}-word stride (16-word overlap) — the 1→N explode
+    that turns documents into training sequences.  The explode is
+    per-row (no shuffle); chunk_idx = start/stride is derived, not
+    positional, so both engines agree without ordinality plumbing."""
+    d = load_table(spark, sf_dir, "documents")
+    w = words_col(F.col("text"))
+    chunks = d.select(
+        "doc_id", w.alias("w"),
+        F.explode(
+            F.sequence(F.lit(0), F.size(w) - 1, F.lit(CHUNK_STRIDE))
+        ).alias("start"),
+    )
+    piece = F.slice(F.col("w"), F.col("start") + 1, CHUNK_SIZE)
+    return chunks.select(
+        "doc_id",
+        (F.col("start") / CHUNK_STRIDE).cast("long").alias("chunk_idx"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+        F.size(piece).alias("n_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic train/val/test split
+# --------------------------------------------------------------------------
+
+@query(
+    "t_hash_split",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+  FROM documents
+)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < {SPLIT_TRAIN} THEN 'train'
+            WHEN bucket < {SPLIT_VAL} THEN 'val'
+            ELSE 'test' END AS split
+FROM t
+""",
+)
+def t_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment by md5(doc_id) bucket —
+    deterministic and stable under re-runs / repartitioning /
+    appends, unlike `rand()`-based splits.  Per-row codegen; the
+    bucket is also the natural shard key for a partitioned export."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                     16, 10).cast("long") % 100)
+    return d.select(
+        "doc_id", bucket.alias("bucket"),
+        F.when(bucket < SPLIT_TRAIN, "train")
+         .when(bucket < SPLIT_VAL, "val")
+         .otherwise("test").alias("split"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-language n-gram profile (top bigrams)
+# --------------------------------------------------------------------------
+
+@query(
+    "t_top_ngrams",
+    oracle="""
+WITH t AS (
+  SELECT lang, string_split(text, ' ') AS w FROM documents
+), b AS (
+  SELECT lang, unnest(CASE WHEN len(w) >= 2
+           THEN list_transform(generate_series(1, len(w) - 1),
+                               i -> array_to_string(w[i:i+1], ' '))
+           ELSE [] END) AS bigram
+  FROM t
+), c AS (
+  SELECT lang, bigram, COUNT(*) AS cnt FROM b GROUP BY lang, bigram
+)
+SELECT lang, bigram, CAST(cnt AS BIGINT) AS cnt, rn
+FROM (SELECT lang, bigram, cnt,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY cnt DESC, bigram) AS rn
+      FROM c)
+WHERE rn <= 10
+""",
+)
+def t_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 bigrams per language — the corpus-profile query behind
+    contamination and boilerplate checks.  Explode → one partial-agg
+    shuffle on (lang, bigram) → per-lang top-10: Spark plans the
+    window as WindowGroupLimit, so only each partition's top rows
+    survive the final exchange; ties break on the bigram itself for
+    a total, engine-independent order."""
+    d = load_table(spark, sf_dir, "documents")
+    b = d.select(
+        "lang",
+        F.explode(shingles_col(words_col(F.col("text")), 2)).alias("bigram"),
+    )
+    c = b.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), "bigram")
+    return (c.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 10)
+            .select("lang", "bigram", "cnt", "rn"))
+
+
+# --------------------------------------------------------------------------
+# Distinctive terms (exact-integer tf/df score)
+# --------------------------------------------------------------------------
+
+@query(
+    "t_distinctive_terms",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY doc_id, term
+), df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY term
+), scored AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(tf.tf AS BIGINT) AS tf, CAST(df.df AS BIGINT) AS df,
+         CAST(tf.tf * 1000000 // df.df AS BIGINT) AS score_x1m
+  FROM tf JOIN df USING (term)
+)
+SELECT doc_id, term, tf, df, score_x1m
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score_x1m DESC, term) AS rn
+      FROM scored)
+WHERE rn <= 5
+""",
+)
+def t_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 distinctive terms per document, scored by the exact
+    integer `tf * 1_000_000 div df` (frequent here, rare elsewhere).
+    Deliberately NOT float tf-idf: ln() is not bit-identical across
+    libm implementations, and monotone(1/df) preserves the idf
+    ranking within a document — so the score is hash-stable across
+    engines.  Two shuffles (doc-term tf, term df) + a broadcast-sized
+    df join; the window is per-doc top-5 via WindowGroupLimit."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.explode(words_col(F.col("text"))).alias("term"))
+    tf = w.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = w.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (tf.join(df, "term")
+              .select("doc_id", "term", "tf", "df",
+                      F.expr("tf * 1000000L div df").alias("score_x1m")))
+    win = Window.partitionBy("doc_id").orderBy(F.desc("score_x1m"), "term")
+    return (scored.withColumn("rn", F.row_number().over(win))
+            .where(F.col("rn") <= 5)
+            .select("doc_id", "term", "tf", "df", "score_x1m"))

@@ -520,3 +520,37 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "rnk",
                 F.round("cosine", 4).cast("double").alias("cosine"))
     )
+
+
+# --------------------------------------------------------------------------
+# Per-label centroids (the aggregation under IVF training / clustering)
+# --------------------------------------------------------------------------
+
+@query(
+    "sim_label_centroids",
+    oracle=_QUANT_ORACLE.replace("vec_id,", "vec_id, label,") + """
+SELECT label, i - 1 AS pos,
+       CAST(SUM(v[i]) AS BIGINT) AS sum_q,
+       CAST(COUNT(*) AS BIGINT)  AS n_vecs
+FROM q, unnest(generate_series(1, len(v))) AS u(i)
+GROUP BY label, i
+""",
+)
+def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label component sums of the quantized embeddings — the
+    exact-integer form of a centroid (mean = sum_q / n_vecs, left to
+    the consumer so no float division enters the hashed output).
+    posexplode → one partial-agg shuffle on (label, pos): map-side
+    combine collapses each partition to |labels|×dims rows before the
+    exchange, so shuffle volume is independent of corpus size — the
+    same shape a distributed k-means/IVF trainer uses per iteration.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    parts = e.select(
+        "label",
+        F.posexplode(quantized(F.col("embedding"))).alias("pos", "xq"),
+    )
+    return parts.groupBy("label", "pos").agg(
+        F.sum("xq").alias("sum_q"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )
