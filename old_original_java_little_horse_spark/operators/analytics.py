@@ -1,0 +1,251 @@
+"""Event-analytics operators over the `events` table: gap-based
+sessionization, as-of joins, exact distribution quantiles, and a
+conversion funnel.
+
+These extend the reference's windowed analytics family (SURVEY §2.6 —
+position numbering W1, latest-entry W2, timer scans W3) with the
+event-sequence shapes every telemetry/behavioral pipeline needs and
+the reference's key-value store cannot express.
+
+Scale design: every operator is a single hash-exchange on its
+partition key (user_id / source) followed by sort-based window
+evaluation or partial aggregation — no self-joins on time ranges.
+The as-of join in particular is the union+window formulation (one
+shuffle, linear scan) rather than an O(n·m) range join.
+
+Determinism: timestamps compare as exact epoch-microsecond integers
+(`unix_micros` / `epoch_us`); DOUBLE event values are quantized to
+cents before summing so addition order cannot drift the hash.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..registry import query
+from ..sources.parquet import load_table
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+
+# --------------------------------------------------------------------------
+# W4 — gap-based sessionization
+# --------------------------------------------------------------------------
+
+@query(
+    "w4_sessionize",
+    oracle=f"""
+WITH o AS (
+  SELECT user_id, event_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), m AS (
+  SELECT user_id, ts, value,
+         SUM(CASE WHEN prev IS NULL
+                    OR epoch_us(ts) - epoch_us(prev) > {SESSION_GAP_US}
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM o
+)
+SELECT user_id,
+       CAST(session_idx AS BIGINT)            AS session_idx,
+       MIN(epoch_us(ts))                      AS start_us,
+       MAX(epoch_us(ts))                      AS end_us,
+       CAST(COUNT(*) AS BIGINT)               AS n_events,
+       CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
+FROM m GROUP BY user_id, session_idx
+""",
+)
+def w4_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessions = maximal event runs per user with < 30 min between
+    consecutive events.  lag + running sum of session breaks + one
+    groupBy: the lag window, the running sum, and the session
+    aggregation all partition on user_id, so Spark plans ONE exchange
+    and reuses its sort — the linear-scan sessionizer that holds at
+    any scale (no time-range self-join)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("ts").over(w)
+    is_new = (prev.isNull()
+              | (F.unix_micros(F.col("ts")) - F.unix_micros(prev)
+                 > SESSION_GAP_US)).cast("long")
+    m = e.select(
+        "user_id", "ts", "value",
+        F.sum(is_new).over(run).alias("session_idx"),
+    )
+    return m.groupBy("user_id", "session_idx").agg(
+        F.min(F.unix_micros("ts")).alias("start_us"),
+        F.max(F.unix_micros("ts")).alias("end_us"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("value_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# J5 — as-of join (latest prior event of another type)
+# --------------------------------------------------------------------------
+
+@query(
+    "j5_asof_join",
+    oracle="""
+WITH err AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+), clk AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT e.event_id                       AS error_event_id,
+       e.user_id,
+       c.event_id                       AS click_event_id,
+       epoch_us(e.ts) - epoch_us(c.ts)  AS gap_us
+FROM err e ASOF LEFT JOIN clk c
+  ON e.user_id = c.user_id AND e.ts >= c.ts
+""",
+)
+def j5_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every error event, the latest click by the same user at or
+    before it (DuckDB expresses this as a native ASOF LEFT JOIN).
+
+    Spark-first formulation: union the two event sets tagged, one
+    window partitioned by user ordered by (ts, tag) — clicks sort
+    before a same-instant error, so "at or before" is the running
+    `last(click, ignorenulls)` — then keep the error rows.  ONE
+    shuffle on user_id and a linear scan: at 100 TB this beats any
+    range join because the per-key cost is sort + scan, never
+    candidate pairs.
+    """
+    e = load_table(spark, sf_dir, "events")
+    tagged = (
+        e.where(F.col("event_type").isin("click", "error"))
+        .select(
+            "event_id", "user_id", "ts",
+            (F.col("event_type") == "error").cast("int").alias("is_err"),
+        )
+    )
+    w = (Window.partitionBy("user_id").orderBy("ts", "is_err")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    last_clk = F.last(
+        F.when(F.col("is_err") == 0, F.struct("ts", "event_id")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        tagged.withColumn("clk", last_clk)
+        .where(F.col("is_err") == 1)
+        .select(
+            F.col("event_id").alias("error_event_id"),
+            "user_id",
+            F.col("clk.event_id").alias("click_event_id"),
+            (F.unix_micros("ts") - F.unix_micros("clk.ts")).alias("gap_us"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# W5 — exact distribution quantiles (value-at-rank, no interpolation)
+# --------------------------------------------------------------------------
+
+@query(
+    "w5_length_quantiles",
+    oracle="""
+WITH r AS (
+  SELECT source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+         COUNT(*)    OVER (PARTITION BY source) AS n
+  FROM documents
+)
+SELECT source,
+       CAST(MAX(n) AS BIGINT) AS n_docs,
+       MAX(CASE WHEN rn = CAST(ceil(n * 0.50) AS BIGINT) THEN n_chars END) AS p50,
+       MAX(CASE WHEN rn = CAST(ceil(n * 0.90) AS BIGINT) THEN n_chars END) AS p90,
+       MAX(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT) THEN n_chars END) AS p99
+FROM r GROUP BY source
+""",
+)
+def w5_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source p50/p90/p99 document length as exact value-at-rank
+    (rank ⌈p·n⌉ of the sorted lengths) — discrete quantiles, not
+    interpolated, so both engines agree bit-for-bit where float
+    interpolation would not.  One exchange on source shared by both
+    window frames and the final rollup.  (At extreme per-key width the
+    same statistic comes from `approx_percentile` sketches; this is
+    the exact-parity form.)"""
+    d = load_table(spark, sf_dir, "documents")
+    wr = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wc = Window.partitionBy("source")
+    r = d.select(
+        "source", "n_chars",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+
+    def at(p: float):
+        return F.max(F.when(
+            F.col("rn") == F.ceil(F.col("n") * p).cast("long"), F.col("n_chars")))
+
+    return r.groupBy("source").agg(
+        F.max("n").alias("n_docs"),
+        at(0.50).alias("p50"), at(0.90).alias("p90"), at(0.99).alias("p99"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A6 — ordered conversion funnel (view → click → purchase)
+# --------------------------------------------------------------------------
+
+@query(
+    "a6_funnel",
+    oracle="""
+WITH fv AS (
+  SELECT user_id, MIN(ts) AS v FROM events WHERE event_type = 'view' GROUP BY user_id
+), fc AS (
+  SELECT e.user_id, MIN(e.ts) AS c
+  FROM events e JOIN fv ON e.user_id = fv.user_id
+  WHERE e.event_type = 'click' AND e.ts >= fv.v
+  GROUP BY e.user_id
+), fp AS (
+  SELECT e.user_id, MIN(e.ts) AS p
+  FROM events e JOIN fc ON e.user_id = fc.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= fc.c
+  GROUP BY e.user_id
+), staged AS (
+  SELECT u.user_id,
+         CASE WHEN fp.p IS NOT NULL THEN 'purchased'
+              WHEN fc.c IS NOT NULL THEN 'clicked'
+              WHEN fv.v IS NOT NULL THEN 'viewed'
+              ELSE 'none' END AS stage
+  FROM (SELECT DISTINCT user_id FROM events) u
+  LEFT JOIN fv ON u.user_id = fv.user_id
+  LEFT JOIN fc ON u.user_id = fc.user_id
+  LEFT JOIN fp ON u.user_id = fp.user_id
+)
+SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM staged GROUP BY stage
+""",
+)
+def a6_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel rollup: users whose first view precedes a click
+    precedes a purchase (each stage's clock starts at the previous
+    stage's first event).  Three user-keyed partial aggs + three
+    user-keyed joins — all the same key, so co-partitioned under one
+    exchange family; the final stage rollup is a 4-row result."""
+    e = load_table(spark, sf_dir, "events")
+    users = e.select("user_id").distinct()
+    fv = (e.where(F.col("event_type") == "view")
+          .groupBy("user_id").agg(F.min("ts").alias("v")))
+    fc = (e.join(fv, "user_id")
+          .where((F.col("event_type") == "click") & (F.col("ts") >= F.col("v")))
+          .groupBy("user_id").agg(F.min("ts").alias("c")))
+    fp = (e.join(fc, "user_id")
+          .where((F.col("event_type") == "purchase") & (F.col("ts") >= F.col("c")))
+          .groupBy("user_id").agg(F.min("ts").alias("p")))
+    staged = (users
+              .join(fv, "user_id", "left")
+              .join(fc, "user_id", "left")
+              .join(fp, "user_id", "left")
+              .select(F.when(F.col("p").isNotNull(), "purchased")
+                      .when(F.col("c").isNotNull(), "clicked")
+                      .when(F.col("v").isNotNull(), "viewed")
+                      .otherwise("none").alias("stage")))
+    return staged.groupBy("stage").agg(F.count(F.lit(1)).alias("n_users"))

@@ -96,3 +96,50 @@ def test_pair_queries_equi_join_only(spark):
         ops = physical_ops(Q[name].fn(spark, SF_SMOKE))
         assert "CartesianProduct" not in ops, (name, ops)
         assert "BroadcastNestedLoopJoin" not in ops, (name, ops)
+
+
+def test_sessionize_single_exchange(spark):
+    """lag window, running session sum, and the session rollup all
+    partition on user_id → exactly one hash exchange."""
+    df = Q["w4_sessionize"].fn(spark, SF_SMOKE)
+    assert count_exchanges(df) == 1, explain_str(df)
+
+
+def test_asof_join_is_window_not_join(spark):
+    """The as-of join compiles to union + window (one exchange on
+    user_id), never a join operator over time ranges."""
+    df = Q["j5_asof_join"].fn(spark, SF_SMOKE)
+    ops = physical_ops(df)
+    assert "Window" in ops, ops
+    assert not any("Join" in op for op in ops), ops
+    assert count_exchanges(df) == 1, explain_str(df)
+
+
+def test_quantiles_single_exchange(spark):
+    """Both window frames and the rollup share the source partition."""
+    df = Q["w5_length_quantiles"].fn(spark, SF_SMOKE)
+    assert count_exchanges(df) == 1, explain_str(df)
+
+
+def test_topk_queries_use_window_group_limit(spark):
+    """Per-group top-k must prune below the window (WindowGroupLimit),
+    not rank the full group post-shuffle."""
+    for name in ("t_top_ngrams", "t_distinctive_terms"):
+        ops = physical_ops(Q[name].fn(spark, SF_SMOKE))
+        assert "WindowGroupLimit" in ops, (name, ops)
+
+
+def test_centroids_partial_aggregation(spark):
+    """The (label, pos) rollup partial-aggregates before its exchange,
+    so shuffle volume is |labels|·dims per partition, not corpus-sized."""
+    df = Q["sim_label_centroids"].fn(spark, SF_SMOKE)
+    ops = physical_ops(df)
+    assert ops.count("HashAggregate") >= 2 or "SortAggregate" in ops, ops
+
+
+def test_per_row_corpus_ops_shuffle_free(spark):
+    """Redaction / chunking / hash-split are per-row maps — zero
+    exchanges, pure codegen on the scan."""
+    for name in ("t_pii_redact", "t_doc_chunks", "t_hash_split"):
+        df = Q[name].fn(spark, SF_SMOKE)
+        assert count_exchanges(df) == 0, (name, explain_str(df))
