@@ -1,0 +1,333 @@
+"""Corpus-curation operators downstream of dedup/quality: the steps
+between a cleaned corpus and a training run.
+
+- decontamination: flag train-split documents sharing any k-word
+  shingle with the held-out (val/test) splits — the standard
+  "n-gram overlap with eval" check run before every pretraining job;
+- balanced mixing: deterministically downsample every source to the
+  smallest source's size (equal-proportion corpus mixing without a
+  config file — the target calibrates from the data);
+- repetition score: intra-document duplicate-trigram fraction, the
+  cheap boilerplate/spam signal;
+- global shuffle: a deterministic pseudo-random permutation expressed
+  as (shard, pos) — the form a distributed dataloader actually wants;
+- sequence packing: assign chunked documents to fixed-token-budget
+  packs, the plan a training dataloader executes.
+
+Scale design: decontamination joins train shingles against the
+DISTINCT eval shingle set — a hash join whose key cardinality grows
+with the data (never a cross join; the eval side is the small split
+by construction).  The mixing/shuffle/packing operators deliberately
+avoid any GLOBAL row_number: a window ordered without a partition key
+collapses onto one reducer at 100 TB, so every rank here is
+partitioned by a hash-derived shard/source key and the "global" order
+is the pair (shard, pos) — same permutation semantics, fully
+distributed sort.  All ranks/keys derive from md5(doc_id), never
+rand(): re-runs, repartitions, and appends cannot reorder the split.
+
+Determinism: md5 is bit-identical on both engines; ratio scores use
+exact integer arithmetic (`x * 1_000_000 div y`), never floats.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+
+from ..registry import query
+from ..sources.parquet import load_table
+from .corpus import CHUNK_SIZE, CHUNK_STRIDE, SPLIT_TRAIN
+from .dedup import SHINGLE_K, normalized_text, shingle_rows_df
+
+N_SHARDS = 16       # dataloader shards of the global shuffle
+PACK_TOKENS = 256   # token budget per training pack
+
+
+def _md5_bucket(doc_id: Column, mod: int) -> Column:
+    """Deterministic bucket in [0, mod): first 8 md5 hex chars of the
+    id rendered as a string — the same recipe as t_hash_split, so
+    split membership agrees across operators."""
+    return (F.conv(F.substring(F.md5(doc_id.cast("string")), 1, 8), 16, 10)
+             .cast("long") % mod)
+
+
+_BUCKET_SQL = ("CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
+               "AS BIGINT)")
+
+
+# --------------------------------------------------------------------------
+# Decontamination: train ∩ eval shingle overlap
+# --------------------------------------------------------------------------
+
+@query(
+    "t_decontaminate",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+), srows AS (
+  SELECT doc_id,
+         unnest(list_distinct(CASE WHEN len(w) >= {SHINGLE_K}
+             THEN list_transform(generate_series(1, len(w) - {SHINGLE_K - 1}),
+                                 i -> array_to_string(w[i:i+{SHINGLE_K - 1}], ' '))
+             ELSE [] END)) AS s
+  FROM t
+), tr AS (
+  SELECT doc_id, s FROM srows WHERE {_BUCKET_SQL} % 100 < {SPLIT_TRAIN}
+), ev AS (
+  SELECT DISTINCT s FROM srows WHERE {_BUCKET_SQL} % 100 >= {SPLIT_TRAIN}
+), n AS (
+  SELECT doc_id, COUNT(*) AS n_shingles FROM tr GROUP BY doc_id
+), h AS (
+  SELECT tr.doc_id, COUNT(*) AS n_hits FROM tr JOIN ev USING (s) GROUP BY tr.doc_id
+)
+SELECT h.doc_id,
+       CAST(n_hits AS BIGINT)     AS n_hits,
+       CAST(n_shingles AS BIGINT) AS n_shingles,
+       CAST(n_hits * 1000000 // n_shingles AS BIGINT) AS contam_x1m
+FROM h JOIN n USING (doc_id)
+""",
+)
+def t_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-split documents contaminated by the held-out splits: any
+    {SHINGLE_K}-word shingle shared with a val/test document, with the
+    contaminated-shingle fraction (exact-integer ppm).
+
+    The check every pretraining pipeline runs against its eval sets
+    before training.  Scale shape: distinct per-doc shingles (one
+    doc_id-partitioned window, reused from the dedup family) split by
+    the deterministic md5 bucket; the train side hash-joins the
+    DISTINCT eval shingle set on the shingle string — key cardinality
+    grows with data (no fixed-width blocking), the eval side is the
+    small split by construction, and both groupBys partial-aggregate
+    map-side.  No cross join anywhere.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingle_rows_df(d, SHINGLE_K).select(
+        "doc_id", "s", _md5_bucket(F.col("doc_id"), 100).alias("bucket"))
+    train = sh.where(F.col("bucket") < SPLIT_TRAIN).select("doc_id", "s")
+    ev = (sh.where(F.col("bucket") >= SPLIT_TRAIN)
+            .select("s").distinct())
+    n = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    h = (train.join(ev, "s")
+              .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hits")))
+    return (h.join(n, "doc_id")
+             .select("doc_id",
+                     F.col("n_hits").cast("long").alias("n_hits"),
+                     F.col("n_shingles").cast("long").alias("n_shingles"),
+                     F.expr("n_hits * 1000000L div n_shingles")
+                      .alias("contam_x1m")))
+
+
+# --------------------------------------------------------------------------
+# Balanced corpus mixing: downsample every source to the smallest
+# --------------------------------------------------------------------------
+
+@query(
+    "t_balanced_mix",
+    oracle="""
+WITH c AS (
+  SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+), m AS (
+  SELECT MIN(n) AS mn FROM c
+), r AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+)
+SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
+FROM r, m WHERE rk <= mn
+""",
+)
+def t_balanced_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-proportion corpus mix: keep the md5-rank-first `min
+    source size` documents of every source.  The target calibrates
+    from the data (no external mixing config) and the hash rank makes
+    the sample deterministic under re-runs and appends — rand()-based
+    samplers re-deal the corpus every run.
+
+    Scale shape: per-source window rank (hash exchange on source —
+    for a skewed mega-source, the rank-then-filter still beats a
+    global sort because each source sorts independently), and the
+    1-row min() joins in as a broadcast.  No global window.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    mn = counts.agg(F.min("n").alias("mn"))
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id")
+    ranked = d.select("doc_id", "source").withColumn(
+        "rk", F.row_number().over(w).cast("long"))
+    return (ranked.join(F.broadcast(mn), ranked.rk <= mn.mn)
+                  .select("doc_id", "source", "rk"))
+
+
+# --------------------------------------------------------------------------
+# Intra-document repetition (boilerplate) score
+# --------------------------------------------------------------------------
+
+@query(
+    "t_repetition_score",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+), g AS (
+  SELECT doc_id, len(w) AS n_words, len(list_distinct(w)) AS nd_words,
+         CASE WHEN len(w) >= 3
+              THEN list_transform(generate_series(1, len(w) - 2),
+                                  i -> array_to_string(w[i:i+2], ' '))
+              ELSE [] END AS tri
+  FROM t
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT)  AS n_words,
+       CAST(nd_words AS BIGINT) AS nd_words,
+       CAST(len(tri) AS BIGINT) AS n_trigrams,
+       CAST(len(list_distinct(tri)) AS BIGINT) AS nd_trigrams,
+       CAST(CASE WHEN len(tri) = 0 THEN 0
+            ELSE (len(tri) - len(list_distinct(tri))) * 1000000 // len(tri)
+            END AS BIGINT) AS rep_x1m
+FROM g
+""",
+)
+def t_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-trigram fraction per document (exact-integer ppm) —
+    the cheap boilerplate/template/spam signal a quality filter
+    thresholds on.  Word- and trigram-level distinct counts in one
+    per-row projection: array expressions only, no shuffle at all —
+    at 100 TB this is a single codegen'd scan, and the (interpreted)
+    higher-order transform is per-document, bounded by doc length,
+    not corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    w = normalized_text(F.col("text"))
+    words = F.split(w, " ")
+    tri = F.when(
+        F.size(words) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 2),
+            lambda i: F.concat_ws(" ", F.slice(words, i, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = d.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        F.size(F.array_distinct(words)).cast("long").alias("nd_words"),
+        F.size(tri).cast("long").alias("n_trigrams"),
+        F.size(F.array_distinct(tri)).cast("long").alias("nd_trigrams"),
+    )
+    return g.withColumn(
+        "rep_x1m",
+        F.when(F.col("n_trigrams") == 0, F.lit(0).cast("long"))
+         .otherwise(F.expr(
+             "(n_trigrams - nd_trigrams) * 1000000L div n_trigrams")),
+    )
+
+
+# --------------------------------------------------------------------------
+# Global deterministic shuffle → (shard, pos)
+# --------------------------------------------------------------------------
+
+@query(
+    "t_global_shuffle",
+    oracle=f"""
+SELECT doc_id,
+       {_BUCKET_SQL} % {N_SHARDS} AS shard,
+       CAST(ROW_NUMBER() OVER (
+              PARTITION BY {_BUCKET_SQL} % {N_SHARDS}
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pos
+FROM documents
+""",
+)
+def t_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pseudo-random permutation of the corpus as
+    (shard, pos) — the layout a distributed dataloader consumes
+    (worker k reads shard k in pos order).
+
+    Deliberately NOT a global ROW_NUMBER: an unpartitioned window is
+    a single-reducer sort at 100 TB.  Sharding on an md5 bucket and
+    ranking within the shard is the same permutation (md5 order is
+    uncorrelated with any data attribute) with a {N_SHARDS}-way
+    distributed sort; raise N_SHARDS with cluster size.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    shard = _md5_bucket(F.col("doc_id"), N_SHARDS)
+    w = Window.partitionBy("shard").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (d.select("doc_id", shard.alias("shard"))
+             .withColumn("pos", F.row_number().over(w).cast("long")))
+
+
+# --------------------------------------------------------------------------
+# Sequence packing: chunks → fixed-token-budget packs
+# --------------------------------------------------------------------------
+
+@query(
+    "t_pack_sequences",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), chunks AS (
+  SELECT doc_id,
+         start // {CHUNK_STRIDE}                  AS chunk_idx,
+         len(w[start + 1 : start + {CHUNK_SIZE}]) AS n_tokens
+  FROM t, unnest(generate_series(0, len(w) - 1, {CHUNK_STRIDE})) AS u(start)
+), keyed AS (
+  SELECT doc_id, chunk_idx, n_tokens,
+         CASE WHEN {_BUCKET_SQL} % 100 < {SPLIT_TRAIN} THEN 'train' ELSE 'heldout' END AS split,
+         {_BUCKET_SQL} % {N_SHARDS} AS shard
+  FROM chunks
+)
+SELECT split, shard, doc_id, chunk_idx,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(COALESCE(SUM(n_tokens) OVER (
+              PARTITION BY split, shard
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id, chunk_idx
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            // {PACK_TOKENS} AS BIGINT) AS pack_id
+FROM keyed
+""",
+)
+def t_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every training chunk to a fixed-budget pack of
+    {PACK_TOKENS} tokens: pack_id = floor(running-token-count /
+    budget) in the shuffled order — the greedy packing plan a
+    dataloader executes to minimize padding.
+
+    One window per (split, shard): the cumulative sum is distributed
+    across {N_SHARDS} shards per split (never a global window), and
+    the order key is the same md5 permutation as t_global_shuffle, so
+    packing and shuffling agree.  Chunk rows come from the same
+    stride arithmetic as t_doc_chunks (raw-text split, matching its
+    published chunk_idx/n_tokens).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    chunks = d.select(
+        "doc_id", w.alias("w"),
+        F.explode(F.sequence(F.lit(0), F.size(w) - 1,
+                             F.lit(CHUNK_STRIDE))).alias("start"),
+    ).select(
+        "doc_id",
+        (F.col("start") / CHUNK_STRIDE).cast("long").alias("chunk_idx"),
+        F.size(F.slice(F.col("w"), F.col("start") + 1, CHUNK_SIZE))
+         .cast("long").alias("n_tokens"),
+    )
+    keyed = chunks.select(
+        F.when(_md5_bucket(F.col("doc_id"), 100) < SPLIT_TRAIN, "train")
+         .otherwise("heldout").alias("split"),
+        _md5_bucket(F.col("doc_id"), N_SHARDS).alias("shard"),
+        "doc_id", "chunk_idx", "n_tokens",
+    )
+    win = (Window.partitionBy("split", "shard")
+                 .orderBy(F.md5(F.col("doc_id").cast("string")),
+                          "doc_id", "chunk_idx")
+                 .rowsBetween(Window.unboundedPreceding, -1))
+    return keyed.withColumn(
+        "pack_id",
+        (F.coalesce(F.sum("n_tokens").over(win), F.lit(0))
+         / PACK_TOKENS).cast("long"),
+    )

@@ -51,7 +51,7 @@ def all_queries() -> dict[str, QuerySpec]:
     """Import every module that registers queries, then return them."""
     # Imports are deferred so `import registry` stays cheap.
     from .operators import analytics, indexing, relational, run_index  # noqa: F401
-    from .functions import clustering, corpus, dedup, expressions, multimodal, similarity, text  # noqa: F401
+    from .functions import clustering, corpus, curation, dedup, expressions, multimodal, similarity, text  # noqa: F401
     from .engine import queries as engine_queries  # noqa: F401
     from .streaming import queries as streaming_queries  # noqa: F401
 
