@@ -45,6 +45,10 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Measure single-threaded fold throughput BEFORE the Spark JVM exists:
+    # measuring it after 18 queries on local[32] races against executor
+    # threads and GC, and was observed to read up to 3.6x low.
+    fold_eps = fold_throughput()
     spark = get_spark("bench")
     specs = all_queries()
     names = [n for n in HEADLINE if n in specs]
@@ -75,12 +79,12 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "engine_fold_events_per_sec": fold_throughput(),
+        "engine_fold_events_per_sec": fold_eps,
     }))
     spark.stop()
 
 
-def fold_throughput(min_seconds: float = 0.5) -> int:
+def fold_throughput(min_seconds: float = 2.0) -> int:
     """Single-threaded engine-fold throughput (events/sec), the
     comparable for the reference's per-event cost model
     (BASELINE.md part A: full WFRun JSON deser → fixpoint → reser per

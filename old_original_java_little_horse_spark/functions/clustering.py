@@ -46,25 +46,46 @@ MAX_CC_ROUNDS = 25  # backstop only; dedup graphs converge in 2-4
 
 
 def connected_components(edges: DataFrame,
-                         max_rounds: int = MAX_CC_ROUNDS) -> DataFrame:
+                         max_rounds: int = MAX_CC_ROUNDS,
+                         checkpoint_dir: str | None = None) -> DataFrame:
     """(node, label) for every node in `edges` (columns src, dst);
     label = min node id reachable in the undirected graph.
 
     Hash-min propagation: labels(v) ← min(labels(v), min labels of
     neighbors), iterated to fixpoint.  Each round shuffles the edge
     list once on src; rounds needed = max component diameter.
+
+    Lineage is truncated per round: with `checkpoint_dir` set the
+    rounds use reliable `checkpoint()` (survives executor loss on a
+    real cluster — pass an HDFS/S3 dir there); without one,
+    `localCheckpoint()` is the local-mode fallback (executor-local
+    blocks: fine on local[n], lossy under executor death).
+
+    Raises RuntimeError if `max_rounds` is exhausted before fixpoint —
+    unconverged labels are silently *wrong* (a component with diameter
+    > max_rounds would be split), so this never returns them.
     """
-    both = (edges.select("src", "dst")
-            .union(edges.select(F.col("dst").alias("src"),
-                                F.col("src").alias("dst")))
-            .distinct().localCheckpoint())
-    labels = (both.select(F.col("src").alias("node")).distinct()
-              .withColumn("label", F.col("node")).localCheckpoint())
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def ckpt(df: DataFrame) -> DataFrame:
+            return df.checkpoint()
+    else:
+        def ckpt(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint()
+
+    both = ckpt(edges.select("src", "dst")
+                .union(edges.select(F.col("dst").alias("src"),
+                                    F.col("src").alias("dst")))
+                .distinct())
+    labels = ckpt(both.select(F.col("src").alias("node")).distinct()
+                  .withColumn("label", F.col("node")))
+    converged = False
     for _ in range(max_rounds):
         prop = (both.join(labels, both.src == labels.node)
                 .select(F.col("dst").alias("node"), "label"))
-        new = (labels.union(prop).groupBy("node")
-               .agg(F.min("label").alias("label")).localCheckpoint())
+        new = ckpt(labels.union(prop).groupBy("node")
+                   .agg(F.min("label").alias("label")))
         changed = (new.alias("n")
                    .join(labels.alias("o"), "node")
                    .where(F.col("n.label") != F.col("o.label")))
@@ -72,12 +93,37 @@ def connected_components(edges: DataFrame,
         labels = new
         if converged:
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_rounds} "
+            "rounds; component diameter exceeds the bound — raise max_rounds")
     return labels
+
+
+# Materialized dup-edge memo: the edge pipeline (shingles → signatures →
+# grid band join → Jaccard verify) is the expensive prefix shared by
+# `d_dup_clusters` and `d_dedup_canonical` (and consumed twice more by
+# the CC loop's union).  At 100 TB a dedup pipeline writes the edge set
+# once and every consumer reads that table; the in-session equivalent is
+# persist() behind a (session, sf_dir) memo.  The edge set itself is
+# tiny (pairs, not documents), so the cached footprint is negligible.
+_EDGE_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 
 def _dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Union of exact-duplicate edges (doc → its content-group min) and
-    LSH-verified near-duplicate pairs (jaccard ≥ 0.5)."""
+    LSH-verified near-duplicate pairs (jaccard ≥ 0.5); persisted once
+    per (session, sf_dir) — see `_EDGE_MEMO`."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    memo = _EDGE_MEMO.get(key)
+    if memo is not None:
+        return memo
+    edges = _build_dup_edges(spark, sf_dir).persist()
+    _EDGE_MEMO[key] = edges
+    return edges
+
+
+def _build_dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     keyed = d.select("doc_id", F.md5(normalized_text(F.col("text"))).alias("k"))
     gmin = keyed.groupBy("k").agg(F.min("doc_id").alias("m"))

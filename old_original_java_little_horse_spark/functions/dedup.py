@@ -160,11 +160,46 @@ def _hashed_shingle_sets(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
         load_table(spark, sf_dir, "documents"), k)
 
 
-def hashed_shingle_sets_df(docs: DataFrame, k: int) -> DataFrame:
-    rows = shingle_rows_df(docs, k).withColumn(
-        "s", F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long")
+def shingle_md5_rows_df(docs: DataFrame, k: int) -> DataFrame:
+    """(doc_id, source, h): ONE md5 per distinct shingle — the shared
+    prefix of both the minhash signatures (15 hex chars) and the
+    verification shingle sets (8 hex chars).  A consumer that needs
+    both (the streaming incremental index) computes this once,
+    persists it, and derives each, instead of re-shingling the corpus
+    twice."""
+    return shingle_rows_df(docs, k).withColumn("h", F.md5("s")).drop("s")
+
+
+def sets_from_md5(rows: DataFrame) -> DataFrame:
+    """(doc_id, source, sh) shingle-hash sets from `shingle_md5_rows_df`."""
+    return (rows.withColumn(
+                "s32", F.conv(F.substring("h", 1, 8), 16, 10).cast("long"))
+            .groupBy("doc_id", "source")
+            .agg(F.collect_set("s32").alias("sh")))
+
+
+def sigs_from_md5(rows: DataFrame, n_bands: int = N_BANDS,
+                  with_source: bool = False) -> DataFrame:
+    """(doc_id[, source], band, sig) from `shingle_md5_rows_df`."""
+    group = ["doc_id", "source"] if with_source else ["doc_id"]
+    exploded = rows.select(
+        *group,
+        (F.conv(F.substring("h", 1, 15), 16, 10).cast("long")
+         % MH_P).alias("hm"),
     )
-    return rows.groupBy("doc_id", "source").agg(F.collect_set("s").alias("sh"))
+    aggs = [
+        F.min((F.col("hm") * a + b) % MH_P).alias(f"b{i}")
+        for i, (a, b) in enumerate(_mix_consts(n_bands))
+    ]
+    wide = exploded.groupBy(*group).agg(*aggs)
+    stack = ", ".join(f"{b}, b{b}" for b in range(n_bands))
+    return wide.select(
+        *group, F.expr(f"stack({n_bands}, {stack}) as (band, sig)")
+    )
+
+
+def hashed_shingle_sets_df(docs: DataFrame, k: int) -> DataFrame:
+    return sets_from_md5(shingle_md5_rows_df(docs, k))
 
 
 def minhash_sigs(spark: SparkSession, sf_dir: str, k: int = SHINGLE_K,
@@ -180,21 +215,8 @@ def minhash_sigs_df(docs: DataFrame, k: int = SHINGLE_K,
     partial-aggregated groupBy (map-side combine collapses shingles
     before the exchange — the scale path).  Long sigs also shuffle and
     compare cheaper than the round-1 32-char digest strings."""
-    group = ["doc_id", "source"] if with_source else ["doc_id"]
-    exploded = shingle_rows_df(docs, k).select(
-        *group,
-        (F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long")
-         % MH_P).alias("hm"),
-    )
-    aggs = [
-        F.min((F.col("hm") * a + b) % MH_P).alias(f"b{i}")
-        for i, (a, b) in enumerate(_mix_consts(n_bands))
-    ]
-    wide = exploded.groupBy(*group).agg(*aggs)
-    stack = ", ".join(f"{b}, b{b}" for b in range(n_bands))
-    return wide.select(
-        *group, F.expr(f"stack({n_bands}, {stack}) as (band, sig)")
-    )
+    return sigs_from_md5(shingle_md5_rows_df(docs, k), n_bands=n_bands,
+                         with_source=with_source)
 
 
 # --------------------------------------------------------------------------

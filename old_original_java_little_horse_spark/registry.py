@@ -47,12 +47,33 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
     return deco
 
 
+# Queries with the thinnest driver-check history, surfaced to the
+# front of the registry: the driver verifies queries in registry order
+# under a time budget, so whatever it cannot reach is whatever sits at
+# the tail.  After round 2 these had no (or only round-1) CORRECTNESS
+# rows; the long-green relational/text families follow them.
+_CHECK_FIRST = [
+    "sim_ivf_ann", "sim_lsh_bucketed_ann", "sim_label_centroids",
+    "stream_doc_dedup", "stream_minhash_incremental",
+    "engine_index_incremental", "mm_frame_sample", "mm_resize_crop",
+    "mm_metadata_extract", "sim_topk_bruteforce",
+    "sim_label_blocked_neardup", "engine_streaming_fold",
+    "engine_pipeline_fold", "engine_result_counts",
+    "engine_task_runs_flat", "x_jsonpath", "x_type_coercion",
+    "x_mutation_string", "x_mutation_array", "x_mutation_remove_key",
+    "x_template_substitution",
+]
+
+
 def all_queries() -> dict[str, QuerySpec]:
-    """Import every module that registers queries, then return them."""
+    """Import every module that registers queries, then return them
+    with the least-driver-proven queries first (`_CHECK_FIRST`)."""
     # Imports are deferred so `import registry` stays cheap.
     from .operators import analytics, indexing, relational, run_index  # noqa: F401
     from .functions import clustering, corpus, curation, dedup, expressions, multimodal, similarity, text  # noqa: F401
     from .engine import queries as engine_queries  # noqa: F401
     from .streaming import queries as streaming_queries  # noqa: F401
 
-    return dict(_REGISTRY)
+    out = {n: _REGISTRY[n] for n in _CHECK_FIRST if n in _REGISTRY}
+    out.update((n, s) for n, s in _REGISTRY.items() if n not in out)
+    return out

@@ -53,6 +53,39 @@ def get_spark(app_name: str = "old-original-java-little-horse-spark",
     return b.getOrCreate()
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def scoped_conf(spark: SparkSession, confs: dict[str, str]):
+    """Temporarily override session confs, restoring on exit.
+
+    The main use is right-sizing `spark.sql.shuffle.partitions` for a
+    stateful streaming query: the state-store partition count is fixed
+    at query start from that conf, and a small keyspace (replay
+    harnesses, per-tenant topologies) wants far fewer state partitions
+    than the session's analytic default — each partition is a state
+    commit + an Arrow Python-worker round-trip per micro-batch.  On a
+    cluster you set this per-topology the same way; the conf is scoped
+    so concurrent batch work keeps the session default.
+    """
+    old: dict[str, str | None] = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def ship_package(spark: SparkSession) -> None:
     """Make this package importable on executor Python workers.
 

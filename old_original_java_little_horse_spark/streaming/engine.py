@@ -460,7 +460,8 @@ def run_streaming_availablenow(spark: SparkSession, events_dir: str, spec: dict,
                                checkpoint_dir: str, output_dir: str,
                                executor: TaskExecutor | None = None,
                                max_files_per_trigger: int | None = None,
-                               evict_completed: bool = False) -> DataFrame:
+                               evict_completed: bool = False,
+                               shuffle_partitions: int | None = None) -> DataFrame:
     """Run the engine over a parquet directory of events with an
     Available-Now trigger, appending tagged outputs to `output_dir`
     via foreachBatch (fault-tolerant: the checkpoint is recoverable,
@@ -473,25 +474,36 @@ def run_streaming_availablenow(spark: SparkSession, events_dir: str, spec: dict,
     the idempotent Kafka/Delta dual-sink (exactly-once via dedupe on
     (wf_run_id, thread_id, task_run_position, attempt_number) —
     BASELINE.md part B).
+
+    `shuffle_partitions` right-sizes the state store for the replay's
+    keyspace: state partition count is fixed at query start from
+    `spark.sql.shuffle.partitions`, and each partition costs a state
+    commit + an Arrow Python round-trip per micro-batch — a 150-key
+    replay on the session's 32 analytic partitions pays 32x that for
+    nothing.  Scoped to this query; the session default is restored.
     """
     from ..engine.batch import WF_EVENT_SCHEMA
+    from ..session import scoped_conf
 
-    reader = spark.readStream.schema(WF_EVENT_SCHEMA)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    events = reader.parquet(events_dir)
-    tagged = streaming_engine(events, spec, executor=executor,
-                              evict_completed=evict_completed)
+    confs = ({"spark.sql.shuffle.partitions": str(shuffle_partitions)}
+             if shuffle_partitions is not None else {})
+    with scoped_conf(spark, confs):
+        reader = spark.readStream.schema(WF_EVENT_SCHEMA)
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+        events = reader.parquet(events_dir)
+        tagged = streaming_engine(events, spec, executor=executor,
+                                  evict_completed=evict_completed)
 
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(output_dir)
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.write.mode("append").parquet(output_dir)
 
-    q = (
-        tagged.writeStream.foreachBatch(sink)
-        .outputMode("update")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+        q = (
+            tagged.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.read.parquet(output_dir)

@@ -16,11 +16,19 @@ from ..engine.batch_queries import (
 )
 from ..functions.dedup import (
     EXACT_DEDUP_ORACLE, MINHASH_PAIRS_ORACLE, SHINGLE_K,
-    hashed_shingle_sets_df, minhash_sigs_df, normalized_text,
+    normalized_text, sets_from_md5, shingle_md5_rows_df, sigs_from_md5,
 )
 from ..registry import query
+from ..session import scoped_conf
 from ..sources.parquet import load_table
 from .engine import run_streaming_availablenow
+
+# Replay-harness state-store sizing: these parity queries fold a few
+# hundred keys, so 4 state partitions (vs the session's 32 analytic
+# default) cuts per-micro-batch fixed cost (state commits + Arrow
+# Python round-trips) 8x without changing any result — partition
+# count is a physical knob, the fold is partition-agnostic.
+_STREAM_PARTS = 4
 
 
 @query(
@@ -39,12 +47,14 @@ def engine_streaming_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     workflow's closed form.  Proves streaming == batch == SQL."""
     workdir = tempfile.mkdtemp(prefix="engine-stream-q-")
     events_dir = f"{workdir}/events"
-    _wf_events_from_users(spark, sf_dir).write.parquet(events_dir)
+    _wf_events_from_users(spark, sf_dir).coalesce(_STREAM_PARTS) \
+        .write.parquet(events_dir)
     tagged = run_streaming_availablenow(
         spark, events_dir, pipeline_spec(),
         checkpoint_dir=f"{workdir}/ckpt",
         output_dir=f"{workdir}/out",
         executor=pipeline_executor,
+        shuffle_partitions=_STREAM_PARTS,
     )
     out = tagged.where(F.col("kind") == "snapshot").select(
         "wf_run_id", "status",
@@ -89,12 +99,14 @@ def engine_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     workdir = tempfile.mkdtemp(prefix="engine-idx-q-")
     events_dir = f"{workdir}/events"
-    _wf_events_from_users(spark, sf_dir).write.parquet(events_dir)
+    _wf_events_from_users(spark, sf_dir).coalesce(_STREAM_PARTS) \
+        .write.parquet(events_dir)
     tagged = run_streaming_availablenow(
         spark, events_dir, pipeline_spec(),
         checkpoint_dir=f"{workdir}/ckpt",
         output_dir=f"{workdir}/out",
         executor=pipeline_executor,
+        shuffle_partitions=_STREAM_PARTS,
     )
     out = posting_lists(tagged)
     rows = out.collect()
@@ -124,25 +136,27 @@ def stream_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs_dir = f"{workdir}/docs"
     load_table(spark, sf_dir, "documents").repartition(4).write.parquet(docs_dir)
     schema = spark.read.parquet(docs_dir).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(docs_dir)
-    )
-    agg = (
-        stream.groupBy(
-            F.md5(normalized_text(F.col("text"))).alias("content_key"))
-        .agg(F.count(F.lit(1)).alias("n_copies"),
-             F.min("doc_id").alias("canonical_doc_id"))
-    )
     out_dir = f"{workdir}/out"
+    with scoped_conf(spark,
+                     {"spark.sql.shuffle.partitions": str(_STREAM_PARTS)}):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(docs_dir)
+        )
+        agg = (
+            stream.groupBy(
+                F.md5(normalized_text(F.col("text"))).alias("content_key"))
+            .agg(F.count(F.lit(1)).alias("n_copies"),
+                 F.min("doc_id").alias("canonical_doc_id"))
+        )
 
-    def upsert(batch_df, batch_id):
-        batch_df.withColumn("_b", F.lit(batch_id)) \
-            .write.mode("append").parquet(out_dir)
+        def upsert(batch_df, batch_id):
+            batch_df.withColumn("_b", F.lit(batch_id)) \
+                .write.mode("append").parquet(out_dir)
 
-    (agg.writeStream.outputMode("update").foreachBatch(upsert)
-        .option("checkpointLocation", f"{workdir}/ckpt")
-        .trigger(availableNow=True).start().awaitTermination())
+        (agg.writeStream.outputMode("update").foreachBatch(upsert)
+            .option("checkpointLocation", f"{workdir}/ckpt")
+            .trigger(availableNow=True).start().awaitTermination())
 
     w = Window.partitionBy("content_key").orderBy(F.col("_b").desc())
     out = (
@@ -175,7 +189,10 @@ def stream_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     workdir = tempfile.mkdtemp(prefix="stream-minhash-q-")
     docs_dir = f"{workdir}/docs"
-    load_table(spark, sf_dir, "documents").repartition(4).write.parquet(docs_dir)
+    # 3 micro-batches: enough to prove cross-batch incrementality in
+    # both directions (new x already-indexed, new x same-batch) while
+    # keeping the per-batch fixed cost (plan + state + sink) x3 not x4.
+    load_table(spark, sf_dir, "documents").repartition(3).write.parquet(docs_dir)
     schema = spark.read.parquet(docs_dir).schema
     stream = (
         spark.readStream.schema(schema)
@@ -186,8 +203,13 @@ def stream_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair_store = f"{workdir}/pairs"
 
     def index_batch(batch_df, batch_id):
-        new_sigs = minhash_sigs_df(batch_df, k=SHINGLE_K)
-        new_sets = hashed_shingle_sets_df(batch_df, k=SHINGLE_K).drop("source")
+        # Shingle + md5 ONCE per batch; signatures and verification
+        # sets both derive from the persisted rows (re-shingling is
+        # the dominant per-batch cost, and at 100 TB the incremental
+        # indexer does exactly this: one pass over the new documents).
+        md5_rows = shingle_md5_rows_df(batch_df, SHINGLE_K).persist()
+        new_sigs = sigs_from_md5(md5_rows)
+        new_sets = sets_from_md5(md5_rows).drop("source")
         new_sigs.write.mode("append").parquet(sig_store)
         new_sets.write.mode("append").parquet(set_store)
         all_sigs = batch_df.sparkSession.read.parquet(sig_store)
@@ -221,10 +243,13 @@ def stream_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("jac", 4).cast("double").alias("jaccard"))
         )
         pairs.write.mode("append").parquet(pair_store)
+        md5_rows.unpersist()
 
-    (stream.writeStream.foreachBatch(index_batch)
-        .option("checkpointLocation", f"{workdir}/ckpt")
-        .trigger(availableNow=True).start().awaitTermination())
+    with scoped_conf(spark,
+                     {"spark.sql.shuffle.partitions": str(_STREAM_PARTS)}):
+        (stream.writeStream.foreachBatch(index_batch)
+            .option("checkpointLocation", f"{workdir}/ckpt")
+            .trigger(availableNow=True).start().awaitTermination())
 
     out = spark.read.parquet(pair_store)
     rows = out.collect()
