@@ -106,8 +106,11 @@ def connected_components(edges: DataFrame,
 # the CC loop's union).  At 100 TB a dedup pipeline writes the edge set
 # once and every consumer reads that table; the in-session equivalent is
 # persist() behind a (session, sf_dir) memo.  The edge set itself is
-# tiny (pairs, not documents), so the cached footprint is negligible.
+# tiny (pairs, not documents), but a long-lived multi-tenant session
+# could still touch many sf_dirs — so the memo is a bounded LRU: when
+# it overflows, the oldest entry is evicted and its blocks unpersisted.
 _EDGE_MEMO: dict[tuple[str, str], DataFrame] = {}
+_EDGE_MEMO_CAP = 2
 
 
 def _dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -117,8 +120,15 @@ def _dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     memo = _EDGE_MEMO.get(key)
     if memo is not None:
+        _EDGE_MEMO[key] = _EDGE_MEMO.pop(key)  # refresh LRU position
         return memo
     edges = _build_dup_edges(spark, sf_dir).persist()
+    while len(_EDGE_MEMO) >= _EDGE_MEMO_CAP:
+        old = _EDGE_MEMO.pop(next(iter(_EDGE_MEMO)))
+        try:
+            old.unpersist()
+        except Exception:
+            pass  # a dead session's blocks are already gone
     _EDGE_MEMO[key] = edges
     return edges
 

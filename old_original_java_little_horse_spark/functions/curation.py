@@ -292,10 +292,14 @@ FROM keyed
 """,
 )
 def t_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Assign every training chunk to a fixed-budget pack of
-    {PACK_TOKENS} tokens: pack_id = floor(running-token-count /
-    budget) in the shuffled order — the greedy packing plan a
-    dataloader executes to minimize padding.
+    """Assign every training chunk to a pack targeting {PACK_TOKENS}
+    tokens: pack_id = floor(prior-running-token-count / budget) in the
+    shuffled order — the greedy packing plan a dataloader executes to
+    minimize padding.  The budget is a *target*, not a hard cap: a
+    chunk whose start falls inside a pack stays in that pack, so a
+    pack can overflow by up to one chunk (< {CHUNK_SIZE} tokens); a
+    dataloader wanting exact fixed-length rows truncates or pads the
+    final chunk of each pack.
 
     One window per (split, shard): the cumulative sum is distributed
     across {N_SHARDS} shards per split (never a global window), and

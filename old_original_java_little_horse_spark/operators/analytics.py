@@ -94,7 +94,10 @@ def w4_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH err AS (
   SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
 ), clk AS (
-  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+  -- tie rule: among clicks sharing one (user_id, ts) instant, the match
+  -- is the max event_id — dedupe here so the ASOF pick is deterministic
+  SELECT MAX(event_id) AS event_id, user_id, ts
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
 )
 SELECT e.event_id                       AS error_event_id,
        e.user_id,
@@ -115,6 +118,11 @@ def j5_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on user_id and a linear scan: at 100 TB this beats any
     range join because the per-key cost is sort + scan, never
     candidate pairs.
+
+    Tie rule (deterministic): clicks sort before a same-instant error
+    (is_err), and among clicks sharing one (user_id, ts) instant the
+    running `last` lands on the max event_id — the oracle dedupes its
+    click side to the same rule.
     """
     e = load_table(spark, sf_dir, "events")
     tagged = (
@@ -124,7 +132,7 @@ def j5_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("event_type") == "error").cast("int").alias("is_err"),
         )
     )
-    w = (Window.partitionBy("user_id").orderBy("ts", "is_err")
+    w = (Window.partitionBy("user_id").orderBy("ts", "is_err", "event_id")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     last_clk = F.last(
         F.when(F.col("is_err") == 0, F.struct("ts", "event_id")),

@@ -50,18 +50,20 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # Queries with the thinnest driver-check history, surfaced to the
 # front of the registry: the driver verifies queries in registry order
 # under a time budget, so whatever it cannot reach is whatever sits at
-# the tail.  After round 2 these had no (or only round-1) CORRECTNESS
-# rows; the long-green relational/text families follow them.
+# the tail.  Rotated each round: round 4 fronts the 21 queries with no
+# round-3 CORRECTNESS row (the round-3 rotation's displacees) plus the
+# two analytics queries fixed for the TIMESTAMP_NTZ testdata change;
+# the freshly-green round-3 set follows them.
 _CHECK_FIRST = [
-    "sim_ivf_ann", "sim_lsh_bucketed_ann", "sim_label_centroids",
-    "stream_doc_dedup", "stream_minhash_incremental",
-    "engine_index_incremental", "mm_frame_sample", "mm_resize_crop",
-    "mm_metadata_extract", "sim_topk_bruteforce",
-    "sim_label_blocked_neardup", "engine_streaming_fold",
-    "engine_pipeline_fold", "engine_result_counts",
-    "engine_task_runs_flat", "x_jsonpath", "x_type_coercion",
-    "x_mutation_string", "x_mutation_array", "x_mutation_remove_key",
-    "x_template_substitution",
+    "w4_sessionize", "j5_asof_join",
+    "x_comparison_ops", "x_mutation_arith",
+    "d_ngram_jaccard_pairs", "d_simhash_pairs",
+    "d_dup_clusters", "d_dedup_canonical",
+    "t_lang_id", "t_quality_score", "t_token_count", "t_fingerprint",
+    "t_corpus_stats", "t_pii_redact", "t_doc_chunks", "t_hash_split",
+    "t_top_ngrams", "t_distinctive_terms", "t_decontaminate",
+    "t_balanced_mix", "t_repetition_score", "t_global_shuffle",
+    "t_pack_sequences",
 ]
 
 

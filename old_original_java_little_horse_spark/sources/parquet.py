@@ -22,17 +22,26 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) in the parquet, which Spark has no
-        # type for — read it as a nanos-since-epoch long and convert
-        # (integer div, not fp: 1.7e18 ns > 2^53).  Set at runtime so the
-        # loader also works under a caller-built vanilla SparkSession.
+        # events.ts has been written as TIMESTAMP(NANOS) in some testdata
+        # generations, which Spark has no type for — read it as a
+        # nanos-since-epoch long and convert (integer div, not fp: 1.7e18 ns
+        # > 2^53).  Set at runtime so the loader also works under a
+        # caller-built vanilla SparkSession.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, TimestampNTZType):
+            # Newer testdata writes micros TIMESTAMP_NTZ.  The session is
+            # pinned to UTC (session.py), so NTZ -> TIMESTAMP is
+            # value-preserving; downstream ops (unix_micros, windows)
+            # require the zoned type.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

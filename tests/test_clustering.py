@@ -42,3 +42,37 @@ def test_clustering_oracle_parity_smoke(spark, name):
     specs = all_queries()
     res = compare(spark, SF_SMOKE, name, specs[name])
     assert res["ok"], res
+
+
+def test_edge_memo_is_bounded_lru(spark):
+    """The persisted dup-edge memo must evict (and unpersist) its
+    oldest entry once more than _EDGE_MEMO_CAP distinct (app, sf_dir)
+    keys are touched — a long-lived session must not leak cached
+    blocks."""
+    from old_original_java_little_horse_spark.functions import clustering as C
+
+    saved = dict(C._EDGE_MEMO)
+    C._EDGE_MEMO.clear()
+    try:
+        first = C._dup_edges(spark, SF_SMOKE)
+        assert first.storageLevel.useMemory
+        # same key → hit, no growth
+        assert C._dup_edges(spark, SF_SMOKE) is first
+        assert len(C._EDGE_MEMO) == 1
+        # fill to cap with synthetic keys, then overflow
+        for i in range(C._EDGE_MEMO_CAP):
+            C._EDGE_MEMO[("fake-app", f"/fake/sf{i}")] = (
+                spark.createDataFrame([("a", "b")], "src string, dst string")
+                .persist())
+        evicted = next(iter(C._EDGE_MEMO.values()))
+        C._dup_edges(spark, SF_SMOKE + "/")  # distinct key → forces eviction
+        assert len(C._EDGE_MEMO) <= C._EDGE_MEMO_CAP
+        assert not evicted.storageLevel.useMemory  # unpersisted
+    finally:
+        for df in C._EDGE_MEMO.values():
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        C._EDGE_MEMO.clear()
+        C._EDGE_MEMO.update(saved)

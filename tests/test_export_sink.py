@@ -56,6 +56,35 @@ def test_export_is_deterministic(spark, exported):
         shutil.rmtree(out2.parent, ignore_errors=True)
 
 
+def test_redaction_preserves_word_count(spark):
+    """`curated_chunks` inner-joins clean-text chunks to raw-text chunk
+    accounting on (doc_id, chunk_idx) — lossless only if redaction
+    never changes the whitespace-word count.  It can't: every PII
+    pattern matches inside a single whitespace word (no space can
+    occur in a match) and the replacement tokens contain no spaces.
+    Assert it on the whole corpus so a future pattern edit that breaks
+    the invariant fails here, not as silently dropped chunks."""
+    import pyspark.sql.functions as F
+
+    from old_original_java_little_horse_spark.functions.corpus import t_pii_redact
+    from old_original_java_little_horse_spark.sources.parquet import load_table
+
+    raw = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    clean = t_pii_redact(spark, SF_SMOKE).select("doc_id", "clean_text")
+    mismatched = (
+        raw.join(clean, "doc_id")
+        .where(F.size(F.split("text", " ")) != F.size(F.split("clean_text", " ")))
+    )
+    assert mismatched.isEmpty()
+
+
+def test_chunk_join_is_lossless(spark):
+    """Every raw-text chunk row survives the clean-text re-chunk join
+    (the direct consequence of the word-count invariant)."""
+    n_raw = all_queries()["t_doc_chunks"].fn(spark, SF_SMOKE).count()
+    assert curated_chunks(spark, SF_SMOKE).count() == n_raw
+
+
 def test_shard_size_bounded(spark, exported):
     files = list(exported.glob("split=*/*.parquet"))
     assert files
