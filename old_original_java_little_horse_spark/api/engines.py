@@ -1,0 +1,94 @@
+"""Per-WFSpec engine deployment: POST /wfSpec → a running topology.
+
+In the reference, POSTing a WFSpec does not just store it — its
+`processChange` deploys the spec's scheduler topology and workers
+(`J/common/objects/metadata/WFSpec.java` deploy path; one event topic
+per spec, `WFSpec.java:375-381`).  The Spark equivalent of "deploy a
+topology" is "start a continuous Structured Streaming query": each
+deployed spec owns an events directory (its event topic), a raw
+tagged-output directory (its changelog), a compacted serving store
+(its RocksDB), and a checkpointed streaming query (its topology).
+
+The manager is control-plane: a handful of driver-side handles; all
+data flows through the queries themselves.  `executor` is the task
+implementation hook (the deployed worker fleet — `LocalDeployer` is
+the process-isolated variant; here tasks run inline in the fold like
+`cli.py --executor`).
+"""
+
+from __future__ import annotations
+
+import shutil
+from dataclasses import dataclass
+from pathlib import Path
+
+from ..engine.fold import TaskExecutor
+
+
+@dataclass
+class EngineHandle:
+    spec: dict
+    events_dir: str
+    output_dir: str
+    serving_dir: str
+    query: object  # StreamingQuery
+
+
+class SparkEngineManager:
+    """Deploys/undeploys one continuous engine per WFSpec name."""
+
+    def __init__(self, spark, base_dir: str,
+                 executor: TaskExecutor | None = None,
+                 trigger_seconds: float = 0.2,
+                 barrier_timeout: float = 60.0):
+        self.spark = spark
+        self.base_dir = Path(base_dir)
+        self.executor = executor
+        self.trigger_seconds = trigger_seconds
+        self.barrier_timeout = barrier_timeout
+        self._engines: dict[str, EngineHandle] = {}
+
+    def deploy(self, spec: dict) -> EngineHandle:
+        """Start (or restart, on spec update) the spec's engine."""
+        from ..streaming.engine import start_continuous
+
+        name = spec["name"]
+        old = self._engines.pop(name, None)
+        if old is not None:
+            old.query.stop()
+        root = self.base_dir / name
+        events_dir = root / "events"
+        events_dir.mkdir(parents=True, exist_ok=True)
+        handle = EngineHandle(
+            spec=spec,
+            events_dir=str(events_dir),
+            output_dir=str(root / "out"),
+            serving_dir=str(root / "serving"),
+            query=start_continuous(
+                self.spark, str(events_dir) + "/*", spec,
+                checkpoint_dir=str(root / "ckpt"),
+                output_dir=str(root / "out"),
+                serving_dir=str(root / "serving"),
+                executor=self.executor,
+                trigger_seconds=self.trigger_seconds,
+            ),
+        )
+        self._engines[name] = handle
+        return handle
+
+    def undeploy(self, name: str, purge: bool = False) -> None:
+        handle = self._engines.pop(name, None)
+        if handle is not None:
+            handle.query.stop()
+            if purge:
+                shutil.rmtree(self.base_dir / name, ignore_errors=True)
+
+    def get(self, name: str) -> EngineHandle | None:
+        return self._engines.get(name)
+
+    def handles(self) -> list[EngineHandle]:
+        return list(self._engines.values())
+
+    def stop_all(self) -> None:
+        for name in list(self._engines):
+            self.undeploy(name)

@@ -32,6 +32,22 @@ Routes (reference verb in parens):
     GET  /wfrun/{id}/variable/{name} (GETApi.getVariable, thread-0 scope)
     GET  /wfruns                     (list ids + statuses)
     GET  /search/{key}/{value}       (GETApi.search — alias index)
+
+Metadata CRUD (spec-type resources; `POSTApi.java:40-58` validate →
+store → index lifecycle, `GETApi.java:26-40` id/alias/all routes;
+kind ∈ wfSpec | taskDef | externalEventDef):
+
+    POST   /{kind}                   body = resource document
+    GET    /{kind}/{idOrName}        (LHDatabaseClient.getByNameOrId)
+    GET    /{kind}All                (GETApi.getAll)
+    GET    /{kind}Alias/{key}/{value} (GETApi.getAlias)
+    DELETE /{kind}/{id}              (POSTApi.delete)
+
+POST /wfSpec additionally *deploys* the spec when the API holds a
+`SparkEngineManager` — the reference's processChange topology deploy —
+after which POST /wfrun routes by `wf_spec_name` to that spec's own
+engine (per-spec event topic, `WFSpec.java:375-381`) and GETs are
+served from its compacted serving store (`sinks/serving.py`).
 """
 
 from __future__ import annotations
@@ -52,40 +68,110 @@ class ApiError(Exception):
 
 
 class LittleHorseAPI:
-    """Command/query facade bound to one engine instance.
+    """Command/query facade over one or many engine instances.
 
-    `query` is the live StreamingQuery handle; when provided, POSTs
-    block on the read-your-writes barrier (P6) before returning.
+    Single-engine mode (`events_dir`/`snapshots_dir`, optional
+    `query`): POSTs produce to the one events dir and block on the
+    read-your-writes barrier (P6); GETs re-window `snapshots_dir`
+    unless `serving_dir` points at the compacted store.
+
+    Multi-spec mode (`engines` = SparkEngineManager, `metadata` =
+    MetadataStore): POST /wfSpec deploys; POST /wfrun routes to the
+    named spec's engine; GETs read per-engine compacted serving
+    stores only.
     """
 
-    def __init__(self, spark, events_dir: str, snapshots_dir: str,
-                 query=None, barrier_timeout: float = 60.0):
+    def __init__(self, spark, events_dir: str | None = None,
+                 snapshots_dir: str | None = None,
+                 query=None, barrier_timeout: float = 60.0,
+                 serving_dir: str | None = None,
+                 metadata=None, engines=None):
         self.spark = spark
         self.events_dir = events_dir
         self.snapshots_dir = snapshots_dir
         self.query = query
         self.barrier_timeout = barrier_timeout
+        self.serving_dir = serving_dir
+        self.metadata = metadata
+        self.engines = engines
+        self._run_engine: dict[str, object] = {}  # run_id → EngineHandle
+        if metadata is not None and engines is not None and \
+                metadata.on_change is None:
+            metadata.on_change = self._meta_change
+
+    # -- metadata lifecycle hooks (POSTable.processChange) -----------------
+
+    def _meta_change(self, kind: str, new: dict | None, old: dict | None):
+        if kind != "wfSpec" or self.engines is None:
+            return
+        if new is not None:
+            self.engines.deploy(new)
+        elif old is not None:
+            self.engines.undeploy(old["name"])
 
     # -- command path (POSTApi.java:40-58) --------------------------------
 
-    def _produce(self, row: dict) -> None:
+    def _produce_to(self, events_dir: str, query, row: dict) -> None:
         from ..cli import _write_event
 
-        _write_event(self.spark, self.events_dir, row)
-        if self.query is not None:
+        _write_event(self.spark, events_dir, row)
+        if query is not None:
             from ..streaming.engine import await_read_your_writes
 
-            await_read_your_writes(self.query, timeout=self.barrier_timeout)
+            await_read_your_writes(query, timeout=self.barrier_timeout)
+
+    def _engine_for_run(self, run_id: str):
+        """Owning engine of a run: the POST-time record, else a serving
+        point-lookup per engine (covers runs created before a server
+        restart)."""
+        handle = self._run_engine.get(run_id)
+        if handle is not None:
+            return handle
+        from ..sinks.serving import read_snapshot
+
+        for h in self.engines.handles():
+            try:
+                if read_snapshot(self.spark, h.serving_dir, run_id).count():
+                    self._run_engine[run_id] = h
+                    return h
+            except Exception:
+                continue  # engine with no folded runs yet → no store
+        raise ApiError(404, f"WFRun {run_id} not found")
+
+    def _produce(self, row: dict, run_id: str | None = None) -> None:
+        if self.engines is not None:
+            handle = self._engine_for_run(run_id or row["wf_run_id"])
+            self._produce_to(handle.events_dir, handle.query, row)
+        else:
+            self._produce_to(self.events_dir, self.query, row)
 
     def post_wfrun(self, body: dict) -> dict:
         run_id = body.get("run_id") or uuid.uuid4().hex
-        self._produce({
+        row = {
             "wf_run_id": run_id,
             "wf_spec_id": body.get("wf_spec_id"),
             "wf_spec_name": body.get("wf_spec_name"),
             "event_type": "WF_RUN_STARTED",
             "content": json.dumps({"variables": body.get("variables") or {}}),
-        })
+        }
+        if self.engines is not None:
+            # Route to the named spec's own engine (per-spec topic).
+            name = body.get("wf_spec_name")
+            if self.metadata is not None:
+                from .metadata import MetadataError
+
+                try:
+                    spec = self.metadata.get("wfSpec", name or "")
+                except MetadataError as e:
+                    raise ApiError(e.status, str(e)) from e
+                name, row["wf_spec_id"] = spec["name"], spec["id"]
+            handle = self.engines.get(name)
+            if handle is None:
+                raise ApiError(404, f"WFSpec {name!r} is not deployed")
+            self._run_engine[run_id] = handle
+            self._produce_to(handle.events_dir, handle.query, row)
+        else:
+            self._produce_to(self.events_dir, self.query, row)
         return {"id": run_id}
 
     def post_stop_resume(self, run_id: str, verb: str, thread_id: int) -> dict:
@@ -95,7 +181,7 @@ class LittleHorseAPI:
                            else "WF_RUN_RESUME_REQUEST"),
             "thread_id": thread_id,
             "content": "{}",
-        })
+        }, run_id=run_id)
         return {"id": run_id, "status": "ok"}
 
     def post_external_event(self, run_id: str, event_def: str,
@@ -109,8 +195,50 @@ class LittleHorseAPI:
                 "content": payload,
                 "timestamp": int(time.time() * 1000),
             }),
-        })
+        }, run_id=run_id)
         return {"id": run_id, "event": event_def, "status": "ok"}
+
+    # -- metadata CRUD (POSTApi.java:40-58, GETApi.java:26-40) -------------
+
+    def _meta(self):
+        if self.metadata is None:
+            raise ApiError(404, "metadata API not configured")
+        return self.metadata
+
+    def post_metadata(self, kind: str, body: dict) -> dict:
+        from .metadata import MetadataError
+
+        try:
+            return self._meta().post(kind, body)
+        except MetadataError as e:
+            raise ApiError(e.status, str(e)) from e
+
+    def get_metadata(self, kind: str, id_or_name: str) -> dict:
+        from .metadata import MetadataError
+
+        try:
+            return self._meta().get(kind, id_or_name)
+        except MetadataError as e:
+            raise ApiError(e.status, str(e)) from e
+
+    def delete_metadata(self, kind: str, obj_id: str) -> dict:
+        from .metadata import MetadataError
+
+        try:
+            return self._meta().delete(kind, obj_id)
+        except MetadataError as e:
+            raise ApiError(e.status, str(e)) from e
+
+    def metadata_alias(self, kind: str, key: str, value: str) -> list[dict]:
+        return self._meta().get_alias(kind, key, value)
+
+    def metadata_all(self, kind: str) -> list[dict]:
+        from .metadata import MetadataError
+
+        try:
+            return self._meta().get_all(kind)
+        except MetadataError as e:
+            raise ApiError(e.status, str(e)) from e
 
     # -- query path (GETApi.java:87-183) ----------------------------------
 
@@ -120,8 +248,20 @@ class LittleHorseAPI:
         return _snapshots(self.spark, self.snapshots_dir)
 
     def _wfrun_doc(self, run_id: str) -> dict:
-        snaps = self._latest()
-        rows = snaps.where(snaps.wf_run_id == run_id).collect()
+        if self.engines is not None:
+            from ..sinks.serving import read_snapshot
+
+            handle = self._engine_for_run(run_id)
+            rows = read_snapshot(
+                self.spark, handle.serving_dir, run_id).collect()
+        elif self.serving_dir is not None:
+            from ..sinks.serving import read_snapshot
+
+            rows = read_snapshot(
+                self.spark, self.serving_dir, run_id).collect()
+        else:
+            snaps = self._latest()
+            rows = snaps.where(snaps.wf_run_id == run_id).collect()
         if not rows:
             raise ApiError(404, f"WFRun {run_id} not found")
         return json.loads(rows[0]["state_json"])
@@ -156,16 +296,49 @@ class LittleHorseAPI:
             n = tr.get("parent_thread_id")
         raise ApiError(404, f"variable {name} not found")
 
+    def _serving_dirs(self) -> list[str] | None:
+        if self.engines is not None:
+            return [h.serving_dir for h in self.engines.handles()]
+        if self.serving_dir is not None:
+            return [self.serving_dir]
+        return None
+
     def list_wfruns(self) -> list[dict]:
-        return [{"id": r["wf_run_id"], "status": r["status"]}
-                for r in self._latest().select("wf_run_id", "status").collect()]
+        dirs = self._serving_dirs()
+        if dirs is None:
+            rows = self._latest().select("wf_run_id", "status").collect()
+        else:
+            from ..sinks.serving import read_all_snapshots
+
+            rows = []
+            for d in dirs:
+                try:
+                    rows.extend(read_all_snapshots(self.spark, d)
+                                .select("wf_run_id", "status").collect())
+                except Exception:
+                    continue  # engine with no folded runs yet
+        return [{"id": r["wf_run_id"], "status": r["status"]} for r in rows]
 
     def search(self, key: str, value: str) -> list[str]:
-        from ..operators.run_index import search
+        dirs = self._serving_dirs()
+        if dirs is None:
+            from ..operators.run_index import search
 
-        return [r["wf_run_id"]
-                for r in search(self._latest(), key, value).collect()]
+            return [r["wf_run_id"]
+                    for r in search(self._latest(), key, value).collect()]
+        from ..sinks.serving import search_aliases
 
+        out: list[str] = []
+        for d in dirs:
+            try:
+                out.extend(r["wf_run_id"] for r in
+                           search_aliases(self.spark, d, key, value).collect())
+            except Exception:
+                continue
+        return sorted(out)
+
+
+_KIND = r"(wfSpec|taskDef|externalEventDef)"
 
 _ROUTES: list[tuple[str, re.Pattern, str]] = [
     ("POST", re.compile(r"^/wfrun$"), "r_post_wfrun"),
@@ -177,6 +350,12 @@ _ROUTES: list[tuple[str, re.Pattern, str]] = [
     ("GET", re.compile(r"^/wfrun/([^/]+)/variable/([^/]+)$"), "r_variable"),
     ("GET", re.compile(r"^/wfruns$"), "r_list"),
     ("GET", re.compile(r"^/search/([^/]+)/([^/]+)$"), "r_search"),
+    # Metadata CRUD — the more-specific All/Alias routes precede /{id}.
+    ("POST", re.compile(rf"^/{_KIND}$"), "r_meta_post"),
+    ("GET", re.compile(rf"^/{_KIND}All$"), "r_meta_all"),
+    ("GET", re.compile(rf"^/{_KIND}Alias/([^/]+)/([^/]+)$"), "r_meta_alias"),
+    ("GET", re.compile(rf"^/{_KIND}/([^/]+)$"), "r_meta_get"),
+    ("DELETE", re.compile(rf"^/{_KIND}/([^/]+)$"), "r_meta_delete"),
 ]
 
 
@@ -217,6 +396,9 @@ def _make_handler(api: LittleHorseAPI):
         def do_POST(self):  # noqa: N802
             self._dispatch("POST")
 
+        def do_DELETE(self):  # noqa: N802
+            self._dispatch("DELETE")
+
         def _body(self):
             n = int(self.headers.get("Content-Length") or 0)
             raw = self.rfile.read(n) if n else b""
@@ -256,6 +438,21 @@ def _make_handler(api: LittleHorseAPI):
 
         def r_search(self, _q, key, value):
             self._respond(200, api.search(key, value))
+
+        def r_meta_post(self, _q, kind):
+            self._respond(201, api.post_metadata(kind, self._body()))
+
+        def r_meta_get(self, _q, kind, id_or_name):
+            self._respond(200, api.get_metadata(kind, id_or_name))
+
+        def r_meta_delete(self, _q, kind, obj_id):
+            self._respond(200, api.delete_metadata(kind, obj_id))
+
+        def r_meta_alias(self, _q, kind, key, value):
+            self._respond(200, api.metadata_alias(kind, key, value))
+
+        def r_meta_all(self, _q, kind):
+            self._respond(200, api.metadata_all(kind))
 
     return Handler
 

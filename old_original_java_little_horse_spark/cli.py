@@ -139,10 +139,24 @@ def cmd_event(args) -> int:
     return 0
 
 
+def _require_store(args) -> None:
+    if not getattr(args, "serving_dir", None) and \
+            not getattr(args, "snapshots_dir", None):
+        raise ValueError("one of --serving-dir / --snapshots-dir is required")
+
+
 def cmd_get(args) -> int:
+    _require_store(args)
     spark = _spark()
-    snaps = _snapshots(spark, args.snapshots_dir)
-    rows = snaps.where(snaps.wf_run_id == args.run_id).collect()
+    if getattr(args, "serving_dir", None):
+        # Compacted point lookup: one bucket partition, O(1) in run
+        # count (sinks/serving.py — APIStreamsContext.java:62-83).
+        from .sinks.serving import read_snapshot
+
+        rows = read_snapshot(spark, args.serving_dir, args.run_id).collect()
+    else:
+        snaps = _snapshots(spark, args.snapshots_dir)
+        rows = snaps.where(snaps.wf_run_id == args.run_id).collect()
     # (No name-resolution fallback: the `name` alias IS the run id, so
     # a second lookup by name could never resolve anything the direct
     # id lookup missed.  The reference's client.py:62-85 fallback
@@ -156,18 +170,32 @@ def cmd_get(args) -> int:
 
 
 def cmd_search(args) -> int:
-    from .operators.run_index import search
-
+    _require_store(args)
     spark = _spark()
-    snaps = _snapshots(spark, args.snapshots_dir)
-    for r in search(snaps, args.key, args.value).collect():
+    if getattr(args, "serving_dir", None):
+        from .sinks.serving import search_aliases
+
+        hits = search_aliases(spark, args.serving_dir, args.key, args.value)
+    else:
+        from .operators.run_index import search
+
+        hits = search(_snapshots(spark, args.snapshots_dir),
+                      args.key, args.value)
+    for r in hits.collect():
         print(r["wf_run_id"])
     return 0
 
 
 def cmd_list(args) -> int:
+    _require_store(args)
     spark = _spark()
-    for r in _snapshots(spark, args.snapshots_dir).select("wf_run_id", "status").collect():
+    if getattr(args, "serving_dir", None):
+        from .sinks.serving import read_all_snapshots
+
+        snaps = read_all_snapshots(spark, args.serving_dir)
+    else:
+        snaps = _snapshots(spark, args.snapshots_dir)
+    for r in snaps.select("wf_run_id", "status").collect():
         print(f"{r['wf_run_id']}\t{r['status']}")
     return 0
 
@@ -228,17 +256,20 @@ def main(argv: list[str] | None = None) -> int:
 
     g = sub.add_parser("get", help="GET /WFRun/{id}")
     g.add_argument("run_id")
-    g.add_argument("--snapshots-dir", required=True)
+    g.add_argument("--snapshots-dir")
+    g.add_argument("--serving-dir", help="compacted store (preferred)")
     g.set_defaults(fn=cmd_get)
 
     s = sub.add_parser("search", help="search index by (key, value)")
     s.add_argument("key")
     s.add_argument("value")
-    s.add_argument("--snapshots-dir", required=True)
+    s.add_argument("--snapshots-dir")
+    s.add_argument("--serving-dir", help="compacted store (preferred)")
     s.set_defaults(fn=cmd_search)
 
     ls = sub.add_parser("list", help="all run ids + statuses")
-    ls.add_argument("--snapshots-dir", required=True)
+    ls.add_argument("--snapshots-dir")
+    ls.add_argument("--serving-dir", help="compacted store (preferred)")
     ls.set_defaults(fn=cmd_list)
 
     pr = sub.add_parser("process", help="fold pending events (availableNow)")

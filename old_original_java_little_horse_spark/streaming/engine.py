@@ -396,7 +396,8 @@ def start_continuous(spark: SparkSession, events_dir: str, spec: dict,
                      trigger_seconds: float = 0.5,
                      native_timers: bool = True,
                      evict_completed: bool = True,
-                     tombstone_ttl_ms: int | None = None):
+                     tombstone_ttl_ms: int | None = None,
+                     serving_dir: str | None = None):
     """Start the engine as a continuously-running query (ProcessingTime
     trigger ~ the reference's 1 s punctuator cadence, Constants.java:36).
 
@@ -404,7 +405,13 @@ def start_continuous(spark: SparkSession, events_dir: str, spec: dict,
     with no external pump and no further input — Spark keeps scheduling
     micro-batches while processing-time timeouts are armed) and to
     tombstone eviction of COMPLETED runs.  Returns the StreamingQuery
-    handle."""
+    handle.
+
+    `serving_dir`: also maintain the compacted point-lookup stores
+    (`sinks/serving.py` — the reference's materialized RocksDB serving
+    layer, APIStreamsContext.java:62-83) from each micro-batch; GETs
+    then read one bucket partition instead of re-windowing the raw
+    changelog."""
     from ..engine.batch import WF_EVENT_SCHEMA
 
     events = spark.readStream.schema(WF_EVENT_SCHEMA).parquet(events_dir)
@@ -414,7 +421,15 @@ def start_continuous(spark: SparkSession, events_dir: str, spec: dict,
                               tombstone_ttl_ms=tombstone_ttl_ms)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(output_dir)
+        if serving_dir is not None:
+            from ..sinks.serving import upsert_serving_stores
+
+            batch_df.persist()
+            batch_df.write.mode("append").parquet(output_dir)
+            upsert_serving_stores(batch_df, serving_dir)
+            batch_df.unpersist()
+        else:
+            batch_df.write.mode("append").parquet(output_dir)
 
     return (
         tagged.writeStream.foreachBatch(sink)

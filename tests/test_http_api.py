@@ -53,13 +53,17 @@ def test_http_roundtrip_full_lifecycle(spark):
         start_continuous,
     )
 
+    serving_dir = str(workdir / "serving")
     q = start_continuous(
         spark, str(events_dir) + "/*", spec,
         checkpoint_dir=str(workdir / "ckpt"), output_dir=out_dir,
-        executor=greet, trigger_seconds=0.2,
+        executor=greet, trigger_seconds=0.2, serving_dir=serving_dir,
     )
+    # GETs are served from the compacted bucket-partitioned stores
+    # (sinks/serving.py), never by re-windowing the raw changelog.
     srv = LittleHorseHTTPServer(
-        LittleHorseAPI(spark, str(events_dir), out_dir, query=q)).start()
+        LittleHorseAPI(spark, str(events_dir), out_dir, query=q,
+                       serving_dir=serving_dir)).start()
     try:
         port = srv.port
         # POST /wfrun — and the response's id is immediately GETtable.

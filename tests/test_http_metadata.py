@@ -1,0 +1,186 @@
+"""Metadata CRUD over HTTP + per-spec engine deployment (reference
+`POSTApi.java:40-58` validate→store→index, `LittleHorseAPI.java:58-66`
+resource registration, `GETApi.java:26-40` id/alias/all routes) and
+the harness deploy→run→query flow (`lh_test_harness/harness/logic.py`)
+executed HTTP-only, with every GET served from the compacted
+bucket-partitioned stores (`sinks/serving.py`)."""
+
+from __future__ import annotations
+
+import json
+import shutil
+import tempfile
+import urllib.request
+from pathlib import Path
+
+import pytest
+
+from old_original_java_little_horse_spark.api.engines import SparkEngineManager
+from old_original_java_little_horse_spark.api.http_server import (
+    LittleHorseAPI, LittleHorseHTTPServer,
+)
+from old_original_java_little_horse_spark.api.metadata import (
+    MetadataError, MetadataStore,
+)
+from old_original_java_little_horse_spark.sdk.builder import Workflow, var
+
+
+def _req(port: int, method: str, path: str, body: dict | None = None):
+    data = json.dumps(body).encode() if body is not None else None
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}", data=data, method=method,
+        headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _executor(task_def_name: str, subs: dict) -> dict:
+    if task_def_name == "greet":
+        return {"stdout": f"hi {subs['name']}", "success": True,
+                "returncode": 0}
+    if task_def_name == "double":
+        return {"stdout": str(int(subs["x"]) * 2), "success": True,
+                "returncode": 0}
+    return {"stdout": "", "success": False, "returncode": 1,
+            "stderr": f"unknown task {task_def_name}"}
+
+
+def _greet_spec() -> dict:
+    wf = Workflow("greeter")
+    t = wf.thread("entrypoint")
+    t.add_variable("who", "STRING")
+    t.execute("greet", name=var("who"))
+    return wf.build()
+
+
+def _double_spec() -> dict:
+    wf = Workflow("doubler")
+    t = wf.thread("entrypoint")
+    t.add_variable("x", "INT", default=0)
+    n = t.execute("double", x=var("x"))
+    t.mutate(n, "x", "ASSIGN")
+    return wf.build()
+
+
+def test_metadata_store_lifecycle_and_replay():
+    """Unit surface: validate→store→index, name alias, conflict,
+    delete, and changelog replay on reopen."""
+    d = tempfile.mkdtemp(prefix="meta-")
+    try:
+        store = MetadataStore(d)
+        td = store.post("taskDef", {"name": "greet"})
+        assert td["id"] == "greet"  # TaskDef.objectId == name
+        store.post("externalEventDef", {"name": "approval"})
+        spec = store.post("wfSpec", _greet_spec())
+        assert spec["id"].startswith("greeter-")
+
+        # id and by-name resolution (LHDatabaseClient.getByNameOrId)
+        assert store.get("wfSpec", spec["id"])["name"] == "greeter"
+        assert store.get("wfSpec", "greeter")["id"] == spec["id"]
+        assert [d_["name"] for d_ in store.get_all("taskDef")] == ["greet"]
+        assert store.get_alias("wfSpec", "name", "greeter") == [spec]
+
+        # same name, different id → 409
+        clash = dict(_greet_spec(), id="other-id")
+        with pytest.raises(MetadataError) as e:
+            store.post("wfSpec", clash)
+        assert e.value.status == 409
+
+        # invalid spec → 400 (validate runs before store)
+        bad = _greet_spec()
+        bad["entrypoint_thread_name"] = "nope"
+        with pytest.raises(MetadataError) as e:
+            store.post("wfSpec", bad)
+        assert e.value.status == 400
+
+        # reopen replays the changelog to the same state
+        store2 = MetadataStore(d)
+        assert store2.get("wfSpec", "greeter")["id"] == spec["id"]
+        store2.delete("taskDef", "greet")
+        with pytest.raises(MetadataError):
+            store2.get("taskDef", "greet")
+        assert MetadataStore(d).get_all("taskDef") == []
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_http_metadata_deploy_run_query(spark):
+    """The harness flow HTTP-only: POST taskDef/externalEventDef/wfSpec
+    (deploying two specs, each with its own engine) → POST /wfrun on
+    both → GETs resolve from the compacted serving stores; DELETE
+    undeploys."""
+    workdir = Path(tempfile.mkdtemp(prefix="http-meta-"))
+    store = MetadataStore(str(workdir / "meta"))
+    mgr = SparkEngineManager(spark, str(workdir / "engines"),
+                             executor=_executor, trigger_seconds=0.2)
+    api = LittleHorseAPI(spark, metadata=store, engines=mgr)
+    srv = LittleHorseHTTPServer(api).start()
+    try:
+        port = srv.port
+        st, td = _req(port, "POST", "/taskDef", {"name": "greet"})
+        assert st == 201 and td["id"] == "greet"
+        st, _ = _req(port, "POST", "/taskDef", {"name": "double"})
+        assert st == 201
+        st, _ = _req(port, "POST", "/externalEventDef", {"name": "approval"})
+        assert st == 201
+
+        st, spec1 = _req(port, "POST", "/wfSpec", _greet_spec())
+        assert st == 201
+        st, spec2 = _req(port, "POST", "/wfSpec", _double_spec())
+        assert st == 201
+        assert mgr.get("greeter") is not None and mgr.get("doubler") is not None
+
+        # metadata GET routes
+        st, got = _req(port, "GET", f"/wfSpec/{spec1['id']}")
+        assert st == 200 and got["name"] == "greeter"
+        st, got = _req(port, "GET", "/wfSpec/doubler")  # by-name fallback
+        assert st == 200 and got["id"] == spec2["id"]
+        st, alles = _req(port, "GET", "/wfSpecAll")
+        assert st == 200 and {d["name"] for d in alles} == {"greeter", "doubler"}
+        st, hits = _req(port, "GET", "/wfSpecAlias/name/greeter")
+        assert st == 200 and hits[0]["id"] == spec1["id"]
+        st, _ = _req(port, "GET", "/wfSpec/nope")
+        assert st == 404
+        st, _ = _req(port, "POST", "/wfSpec", {"name": "bad", "thread_specs": {},
+                                               "entrypoint_thread_name": "x"})
+        assert st == 400  # validation failure → no store, no deploy
+        assert mgr.get("bad") is None
+
+        # runs route to their spec's own engine
+        st, r1 = _req(port, "POST", "/wfrun",
+                      {"wf_spec_name": "greeter", "variables": {"who": "ada"}})
+        assert st == 201
+        st, r2 = _req(port, "POST", "/wfrun",
+                      {"wf_spec_name": "doubler", "variables": {"x": 21}})
+        assert st == 201
+        st, _ = _req(port, "POST", "/wfrun", {"wf_spec_name": "nope"})
+        assert st == 404
+
+        st, doc = _req(port, "GET", f"/wfrun/{r1['id']}")
+        assert st == 200 and doc["status"] == "COMPLETED"
+        st, task0 = _req(port, "GET", f"/wfrun/{r1['id']}/taskRun/0/0")
+        assert st == 200 and task0["stdout"] == "hi ada"
+        st, v = _req(port, "GET", f"/wfrun/{r2['id']}/variable/x")
+        assert st == 200 and v["value"] == 42
+
+        # serving-store search + cross-engine listing
+        st, hits = _req(port, "GET", "/search/who/ada")
+        assert st == 200 and hits == [r1["id"]]
+        st, runs = _req(port, "GET", "/wfruns")
+        assert st == 200
+        assert {r["id"]: r["status"] for r in runs} == {
+            r1["id"]: "COMPLETED", r2["id"]: "COMPLETED"}
+
+        # DELETE undeploys: new runs 404, metadata gone
+        st, _ = _req(port, "DELETE", f"/wfSpec/{spec2['id']}")
+        assert st == 200
+        assert mgr.get("doubler") is None
+        st, _ = _req(port, "POST", "/wfrun", {"wf_spec_name": "doubler"})
+        assert st == 404
+    finally:
+        srv.stop()
+        mgr.stop_all()
+        shutil.rmtree(workdir, ignore_errors=True)
