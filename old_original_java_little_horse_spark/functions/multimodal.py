@@ -36,16 +36,22 @@ DECODE_SCHEMA = StructType(
 )
 
 
+# Feature-detect the real image codec once per interpreter (the module
+# is shipped to Python workers, so each worker evaluates this at
+# import — every row in a worker sees the same decoder).
+try:
+    from PIL import Image as _PILImage  # noqa: N812
+
+    _HAS_PIL = True
+except ImportError:
+    _PILImage = None
+    _HAS_PIL = False
+
+
 def fake_decode_meta(payload: bytes) -> dict:
-    """STUB for the real decoder (PIL / ffmpeg are not installed).
-
-    Deterministic pure function of the bytes so the DuckDB oracle can
-    reproduce it: "width/height/frames" derive from byte length.  A
-    real deployment replaces this body with e.g.::
-
-        img = PIL.Image.open(io.BytesIO(payload))   # real decode
-        return {"width": img.width, ...}
-    """
+    """STUB decoder: deterministic pure function of the bytes so the
+    DuckDB oracle can reproduce it — "width/height/frames" derive from
+    byte length."""
     n = len(payload)
     return {
         "byte_len": n,
@@ -56,6 +62,33 @@ def fake_decode_meta(payload: bytes) -> dict:
     }
 
 
+def decode_meta(payload: bytes) -> dict:
+    """Feature-detected decode: PIL when importable AND the bytes are a
+    decodable image; the deterministic stub otherwise.
+
+    The registered queries feed text bytes (the testdata has no binary
+    column), which no codec accepts — so their oracles mirror the stub
+    arithmetic whether or not PIL is installed.  Real image payloads
+    take the real branch when the codec exists
+    (`tests/test_multimodal_decode.py` exercises it with a handcrafted
+    BMP)."""
+    if _HAS_PIL:
+        import io
+
+        try:
+            with _PILImage.open(io.BytesIO(payload)) as img:
+                return {
+                    "byte_len": len(payload),
+                    "content_md5": hashlib.md5(payload).hexdigest(),
+                    "fake_width": img.width,
+                    "fake_height": img.height,
+                    "fake_n_frames": getattr(img, "n_frames", 1),
+                }
+        except Exception:
+            pass  # not an image these codecs know → stub
+    return fake_decode_meta(payload)
+
+
 def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas worker: Arrow batches of (doc_id, payload) →
     metadata rows.  Per-partition, no shuffle; batch size is bounded
@@ -64,7 +97,7 @@ def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out = []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            meta = fake_decode_meta(bytes(payload))
+            meta = decode_meta(bytes(payload))
             meta["doc_id"] = doc_id
             out.append(meta)
         yield pd.DataFrame(out, columns=[f.name for f in DECODE_SCHEMA.fields])

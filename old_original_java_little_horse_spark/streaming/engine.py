@@ -82,6 +82,93 @@ def _timer_key(t: dict) -> tuple:
     return (t["thread_run_id"], t["task_run_id"], t["maturation_timestamp"])
 
 
+def emit_ctx_rows(out_rows: list, wf_run_id: str, ctx, pending: list) -> None:
+    """Append a fold invocation's task-schedule and timer output rows
+    (shared by the applyInPandasWithState and transformWithState
+    engines; new timers also join `pending`, the run's stored-timer
+    list)."""
+    for tsr in ctx.to_schedule:
+        out_rows.append({
+            "wf_run_id": wf_run_id, "kind": "task_schedule",
+            "status": None,
+            "task_def_name": tsr["task_def_name"],
+            "thread_id": tsr["thread_id"],
+            "task_run_position": tsr["task_run_position"],
+            "maturation_timestamp": None, "seq": None,
+            "payload": json.dumps(tsr, separators=(",", ":")),
+        })
+    for timer in ctx.timers:
+        pending.append(timer)
+        out_rows.append({
+            "wf_run_id": wf_run_id, "kind": "timer",
+            "status": None, "task_def_name": None,
+            "thread_id": timer["thread_run_id"],
+            "task_run_position": timer["task_run_id"],
+            "maturation_timestamp": timer["maturation_timestamp"],
+            "seq": None,
+            "payload": json.dumps(timer, separators=(",", ":")),
+        })
+
+
+def prepare_events(events: list[dict], max_offset: int, max_event_ts: int,
+                   allowed_lateness_ms: int | None) -> tuple[list[dict], int, int]:
+    """Order + bound a micro-batch group's events (shared by both
+    stateful engines): sort by per-key offset (Structured Streaming
+    gives no intra-batch order), drop events beyond the lateness
+    allowance, and advance the key's (max_offset, max_event_ts) —
+    `seq` must STRICTLY increase whenever events fold, so an
+    out-of-order event with a stale offset still bumps it."""
+    events = sorted(events, key=lambda e: e.get("offset") or 0)
+    if allowed_lateness_ms is not None:
+        max_seen = max_event_ts
+        kept = []
+        for e in events:
+            ts = e.get("timestamp") or 0
+            max_seen = max(max_seen, ts)
+            if ts >= max_seen - allowed_lateness_ms:
+                kept.append(e)
+        events = kept
+    max_event_ts = max(
+        [max_event_ts] + [e.get("timestamp") or 0 for e in events])
+    prev_max_offset = max_offset
+    max_offset = max([max_offset] + [e.get("offset") or 0 for e in events])
+    if events and max_offset <= prev_max_offset:
+        max_offset = prev_max_offset + 1
+    return events, max_offset, max_event_ts
+
+
+def snapshot_row(wf_run_id: str, state: dict, max_offset: int) -> dict:
+    """The S5 snapshot output row (SchedulerTopology.java:74-87)."""
+    return {
+        "wf_run_id": wf_run_id, "kind": "snapshot",
+        "status": state["status"], "task_def_name": None,
+        "thread_id": None, "task_run_position": None,
+        "maturation_timestamp": None, "seq": max_offset,
+        "payload": json.dumps(state, separators=(",", ":")),
+    }
+
+
+def index_diff_rows(out_rows: list, wf_run_id: str, old_aliases: set,
+                    state: dict, max_offset: int) -> None:
+    """CREATE/DELETE alias changelog rows for a changed run
+    (ResourceIndexProcessor.java:41-131 semantics)."""
+    from ..operators.run_index import doc_aliases
+
+    new_aliases = doc_aliases(state)
+    for op, pairs in (("DELETE", old_aliases - new_aliases),
+                      ("CREATE", new_aliases - old_aliases)):
+        for k, v in sorted(pairs):
+            out_rows.append({
+                "wf_run_id": wf_run_id, "kind": "index",
+                "status": None, "task_def_name": None,
+                "thread_id": None, "task_run_position": None,
+                "maturation_timestamp": None, "seq": max_offset,
+                "payload": json.dumps(
+                    {"op": op, "key": k, "value": v},
+                    separators=(",", ":")),
+            })
+
+
 def make_update_fn(spec: dict, executor: TaskExecutor | None = None,
                    allowed_lateness_ms: int | None = None,
                    native_timers: bool = False,
@@ -116,28 +203,7 @@ def make_update_fn(spec: dict, executor: TaskExecutor | None = None,
     their full document (fold.py resume semantics).
     """
 
-    def _emit(out_rows: list, wf_run_id: str, ctx, pending: list) -> None:
-        for tsr in ctx.to_schedule:
-            out_rows.append({
-                "wf_run_id": wf_run_id, "kind": "task_schedule",
-                "status": None,
-                "task_def_name": tsr["task_def_name"],
-                "thread_id": tsr["thread_id"],
-                "task_run_position": tsr["task_run_position"],
-                "maturation_timestamp": None, "seq": None,
-                "payload": json.dumps(tsr, separators=(",", ":")),
-            })
-        for timer in ctx.timers:
-            pending.append(timer)
-            out_rows.append({
-                "wf_run_id": wf_run_id, "kind": "timer",
-                "status": None, "task_def_name": None,
-                "thread_id": timer["thread_run_id"],
-                "task_run_position": timer["task_run_id"],
-                "maturation_timestamp": timer["maturation_timestamp"],
-                "seq": None,
-                "payload": json.dumps(timer, separators=(",", ":")),
-            })
+    _emit = emit_ctx_rows
 
     def _fire_matured(wf_run_id: str, state, pending: list, max_offset: int,
                       now_ms: int, out_rows: list):
@@ -181,28 +247,8 @@ def make_update_fn(spec: dict, executor: TaskExecutor | None = None,
         Index work per batch is O(changed runs), never O(index).
         """
         if old_aliases is not None:
-            from ..operators.run_index import doc_aliases
-
-            new_aliases = doc_aliases(state)
-            for op, pairs in (("DELETE", old_aliases - new_aliases),
-                              ("CREATE", new_aliases - old_aliases)):
-                for k, v in sorted(pairs):
-                    out_rows.append({
-                        "wf_run_id": wf_run_id, "kind": "index",
-                        "status": None, "task_def_name": None,
-                        "thread_id": None, "task_run_position": None,
-                        "maturation_timestamp": None, "seq": max_offset,
-                        "payload": json.dumps(
-                            {"op": op, "key": k, "value": v},
-                            separators=(",", ":")),
-                    })
-        out_rows.append({
-            "wf_run_id": wf_run_id, "kind": "snapshot",
-            "status": state["status"], "task_def_name": None,
-            "thread_id": None, "task_run_position": None,
-            "maturation_timestamp": None, "seq": max_offset,
-            "payload": json.dumps(state, separators=(",", ":")),
-        })
+            index_diff_rows(out_rows, wf_run_id, old_aliases, state, max_offset)
+        out_rows.append(snapshot_row(wf_run_id, state, max_offset))
         if evict_completed and state["status"] == "COMPLETED" and not pending:
             group_state.update((_TOMB_STATE, max_offset, max_event_ts,
                                 "[]", 1))
@@ -284,30 +330,8 @@ def make_update_fn(spec: dict, executor: TaskExecutor | None = None,
             yield pd.DataFrame([], columns=cols)
             return
 
-        # Structured Streaming gives no intra-batch order — sort by the
-        # per-key offset (Kafka partition order in the reference).
-        events.sort(key=lambda e: e.get("offset") or 0)
-
-        if allowed_lateness_ms is not None:
-            max_seen = max_event_ts
-            kept = []
-            for e in events:
-                ts = e.get("timestamp") or 0
-                max_seen = max(max_seen, ts)
-                if ts >= max_seen - allowed_lateness_ms:
-                    kept.append(e)
-            events = kept
-        max_event_ts = max(
-            [max_event_ts] + [e.get("timestamp") or 0 for e in events])
-        # `seq` (= max_offset) must STRICTLY increase whenever events
-        # fold: an out-of-order event whose offset is <= the stored max
-        # would otherwise produce a different snapshot at the same seq
-        # (latest-wins selection tie, and an equal-seq CREATE/DELETE
-        # index ambiguity).
-        prev_max_offset = max_offset
-        max_offset = max([max_offset] + [e.get("offset") or 0 for e in events])
-        if events and max_offset <= prev_max_offset:
-            max_offset = prev_max_offset + 1
+        events, max_offset, max_event_ts = prepare_events(
+            events, max_offset, max_event_ts, allowed_lateness_ms)
 
         out_rows = []
         for ev in events:
@@ -343,7 +367,8 @@ def streaming_engine(events: DataFrame, spec: dict,
                      allowed_lateness_ms: int | None = None,
                      native_timers: bool = False,
                      evict_completed: bool = False,
-                     tombstone_ttl_ms: int | None = None) -> DataFrame:
+                     tombstone_ttl_ms: int | None = None,
+                     use_tws: bool = False) -> DataFrame:
     """events (streaming DF, WF_EVENT_SCHEMA) → tagged output stream.
 
     Late-data bound (SURVEY §2.10): `allowed_lateness_ms` drops
@@ -353,7 +378,22 @@ def streaming_engine(events: DataFrame, spec: dict,
     declares the watermark on the stream (state-timeout eviction +
     downstream aggregations); both complement the fold's own
     stale-result guard for in-window out-of-order arrivals.
+
+    `use_tws` selects the `transformWithStateInPandas` implementation
+    (`tws.py`: typed state variables + per-timer native callbacks);
+    default stays `applyInPandasWithState`.  Semantics are identical —
+    the twin tests run both.
     """
+    if use_tws:
+        from .tws import streaming_engine_tws
+
+        return streaming_engine_tws(
+            events, spec, executor=executor,
+            watermark_delay=watermark_delay,
+            allowed_lateness_ms=allowed_lateness_ms,
+            native_timers=native_timers,
+            evict_completed=evict_completed,
+            tombstone_ttl_ms=tombstone_ttl_ms)
     from ..session import ship_package
 
     ship_package(events.sparkSession)
@@ -397,7 +437,8 @@ def start_continuous(spark: SparkSession, events_dir: str, spec: dict,
                      native_timers: bool = True,
                      evict_completed: bool = True,
                      tombstone_ttl_ms: int | None = None,
-                     serving_dir: str | None = None):
+                     serving_dir: str | None = None,
+                     use_tws: bool = False):
     """Start the engine as a continuously-running query (ProcessingTime
     trigger ~ the reference's 1 s punctuator cadence, Constants.java:36).
 
@@ -418,7 +459,8 @@ def start_continuous(spark: SparkSession, events_dir: str, spec: dict,
     tagged = streaming_engine(events, spec, executor=executor,
                               native_timers=native_timers,
                               evict_completed=evict_completed,
-                              tombstone_ttl_ms=tombstone_ttl_ms)
+                              tombstone_ttl_ms=tombstone_ttl_ms,
+                              use_tws=use_tws)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if serving_dir is not None:
@@ -476,7 +518,8 @@ def run_streaming_availablenow(spark: SparkSession, events_dir: str, spec: dict,
                                executor: TaskExecutor | None = None,
                                max_files_per_trigger: int | None = None,
                                evict_completed: bool = False,
-                               shuffle_partitions: int | None = None) -> DataFrame:
+                               shuffle_partitions: int | None = None,
+                               use_tws: bool = False) -> DataFrame:
     """Run the engine over a parquet directory of events with an
     Available-Now trigger, appending tagged outputs to `output_dir`
     via foreachBatch (fault-tolerant: the checkpoint is recoverable,
@@ -508,7 +551,8 @@ def run_streaming_availablenow(spark: SparkSession, events_dir: str, spec: dict,
             reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
         events = reader.parquet(events_dir)
         tagged = streaming_engine(events, spec, executor=executor,
-                                  evict_completed=evict_completed)
+                                  evict_completed=evict_completed,
+                                  use_tws=use_tws)
 
         def sink(batch_df: DataFrame, batch_id: int) -> None:
             batch_df.write.mode("append").parquet(output_dir)
