@@ -95,9 +95,16 @@ class LittleHorseAPI:
         self.metadata = metadata
         self.engines = engines
         self._run_engine: dict[str, object] = {}  # run_id → EngineHandle
-        if metadata is not None and engines is not None and \
-                metadata.on_change is None:
-            metadata.on_change = self._meta_change
+        if metadata is not None and engines is not None:
+            if metadata.on_change is None:
+                metadata.on_change = self._meta_change
+            # Boot-time recovery: redeploy every stored WFSpec whose
+            # engine is not running (the reference restarts each spec's
+            # topology from its store on startup) — their checkpoints
+            # and serving stores resume where the last process left off.
+            for doc in metadata.get_all("wfSpec"):
+                if engines.get(doc["name"]) is None:
+                    engines.deploy(doc)
 
     # -- metadata lifecycle hooks (POSTable.processChange) -----------------
 

@@ -184,3 +184,57 @@ def test_http_metadata_deploy_run_query(spark):
         srv.stop()
         mgr.stop_all()
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_server_restart_recovers_specs_and_runs(spark):
+    """Process restart: a fresh MetadataStore replays the changelog, the
+    API redeploys every stored WFSpec (checkpoints + serving stores
+    resume), old runs stay GETtable, and new runs fold — the reference's
+    restart-topologies-from-store behavior."""
+    workdir = Path(tempfile.mkdtemp(prefix="http-restart-"))
+    try:
+        # -- process 1: deploy + run ----------------------------------
+        store = MetadataStore(str(workdir / "meta"))
+        mgr = SparkEngineManager(spark, str(workdir / "engines"),
+                                 executor=_executor, trigger_seconds=0.2)
+        api = LittleHorseAPI(spark, metadata=store, engines=mgr)
+        srv = LittleHorseHTTPServer(api).start()
+        try:
+            _req(srv.port, "POST", "/taskDef", {"name": "greet"})
+            st, _ = _req(srv.port, "POST", "/wfSpec", _greet_spec())
+            assert st == 201
+            st, r1 = _req(srv.port, "POST", "/wfrun",
+                          {"wf_spec_name": "greeter",
+                           "variables": {"who": "lin"}})
+            assert st == 201
+            st, doc = _req(srv.port, "GET", f"/wfrun/{r1['id']}")
+            assert st == 200 and doc["status"] == "COMPLETED"
+        finally:
+            srv.stop()
+            mgr.stop_all()
+
+        # -- process 2: same dirs, fresh objects ----------------------
+        store2 = MetadataStore(str(workdir / "meta"))
+        mgr2 = SparkEngineManager(spark, str(workdir / "engines"),
+                                  executor=_executor, trigger_seconds=0.2)
+        api2 = LittleHorseAPI(spark, metadata=store2, engines=mgr2)
+        srv2 = LittleHorseHTTPServer(api2).start()
+        try:
+            assert mgr2.get("greeter") is not None  # boot redeploy
+            # Pre-restart run still served (compacted store survived).
+            st, doc = _req(srv2.port, "GET", f"/wfrun/{r1['id']}")
+            assert st == 200 and doc["status"] == "COMPLETED"
+            # New runs fold on the resumed checkpoint.
+            st, r2 = _req(srv2.port, "POST", "/wfrun",
+                          {"wf_spec_name": "greeter",
+                           "variables": {"who": "rey"}})
+            assert st == 201
+            st, task0 = _req(srv2.port, "GET", f"/wfrun/{r2['id']}/taskRun/0/0")
+            assert st == 200 and task0["stdout"] == "hi rey"
+            st, runs = _req(srv2.port, "GET", "/wfruns")
+            assert {r["id"] for r in runs} == {r1["id"], r2["id"]}
+        finally:
+            srv2.stop()
+            mgr2.stop_all()
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)

@@ -1,0 +1,112 @@
+"""Compacted serving stores (`sinks/serving.py`): latest-wins upsert,
+bucket-partition pruning on point reads, tombstones that cannot be
+resurrected by replayed CREATEs, and partial (changed-bucket-only)
+rewrites."""
+
+from __future__ import annotations
+
+import json
+import shutil
+import tempfile
+from pathlib import Path
+
+import pyspark.sql.functions as F
+import pytest
+
+from old_original_java_little_horse_spark.sinks.serving import (
+    read_all_snapshots, read_snapshot, search_aliases, snapshots_dir,
+    upsert_serving_stores,
+)
+from old_original_java_little_horse_spark.streaming.engine import OUTPUT_SCHEMA
+
+
+def _batch(spark, rows):
+    def row(kind, run_id, seq, payload, status=None):
+        return (run_id, kind, status, None, None, None, None, seq, payload)
+
+    return spark.createDataFrame(
+        [row(*r) for r in rows], schema=OUTPUT_SCHEMA)
+
+
+def _snap(run_id, seq, status="RUNNING"):
+    return ("snapshot", run_id, seq,
+            json.dumps({"status": status, "seq": seq}), status)
+
+
+def _idx(run_id, seq, op, key, value):
+    return ("index", run_id, seq,
+            json.dumps({"op": op, "key": key, "value": value}))
+
+
+@pytest.fixture()
+def store(spark):
+    d = Path(tempfile.mkdtemp(prefix="serving-")) / "store"
+    yield spark, str(d)
+    shutil.rmtree(d.parent, ignore_errors=True)
+
+
+def test_latest_wins_across_batches(store):
+    spark, d = store
+    upsert_serving_stores(_batch(spark, [_snap("r1", 1), _snap("r2", 1)]), d)
+    upsert_serving_stores(
+        _batch(spark, [_snap("r1", 5, "COMPLETED")]), d)
+    got = {r["wf_run_id"]: r["status"]
+           for r in read_all_snapshots(spark, d).collect()}
+    assert got == {"r1": "COMPLETED", "r2": "RUNNING"}
+    one = read_snapshot(spark, d, "r1").collect()
+    assert len(one) == 1 and json.loads(one[0]["state_json"])["seq"] == 5
+
+
+def test_point_read_is_partition_pruned(store):
+    """The 100 TB contract: a GET touches ONE bucket directory — the
+    bucket predicate must reach the scan as a partition filter, not a
+    post-scan filter."""
+    spark, d = store
+    upsert_serving_stores(
+        _batch(spark, [_snap(f"r{i}", 1) for i in range(40)]), d)
+    plan = (read_snapshot(spark, d, "r7")
+            ._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution
+                .ExplainMode.fromString("formatted")))
+    assert "PartitionFilters" in plan
+    # the bucket literal appears inside the partition filter clause
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
+    assert "bucket" in pf and "dynamicpruning" not in pf
+
+
+def test_tombstoned_alias_not_resurrected_by_replay(store):
+    spark, d = store
+    upsert_serving_stores(
+        _batch(spark, [_idx("r1", 1, "CREATE", "who", "ada")]), d)
+    assert [r["wf_run_id"] for r in
+            search_aliases(spark, d, "who", "ada").collect()] == ["r1"]
+    upsert_serving_stores(
+        _batch(spark, [_idx("r1", 2, "DELETE", "who", "ada")]), d)
+    assert search_aliases(spark, d, "who", "ada").collect() == []
+    # At-least-once replay of the OLD create (stale seq) — the DELETE
+    # tombstone is retained in the store and still wins.
+    upsert_serving_stores(
+        _batch(spark, [_idx("r1", 1, "CREATE", "who", "ada")]), d)
+    assert search_aliases(spark, d, "who", "ada").collect() == []
+
+
+def test_upsert_rewrites_only_touched_buckets(store):
+    """Dynamic partition overwrite: an upsert for one run must leave
+    every other bucket's files untouched (O(changed buckets) work)."""
+    spark, d = store
+    upsert_serving_stores(
+        _batch(spark, [_snap(f"r{i}", 1) for i in range(40)]), d)
+    sd = Path(snapshots_dir(d))
+    before = {p: p.stat().st_mtime_ns for p in sd.glob("bucket=*/*.parquet")}
+    r7_bucket = (read_snapshot(spark, d, "r7")
+                 .sparkSession.read.parquet(str(sd))
+                 .where(F.col("wf_run_id") == "r7")
+                 .select("bucket").collect()[0]["bucket"])
+    upsert_serving_stores(_batch(spark, [_snap("r7", 9, "COMPLETED")]), d)
+    after = {p: p.stat().st_mtime_ns for p in sd.glob("bucket=*/*.parquet")}
+    untouched = {p for p in before
+                 if not p.parent.name.endswith(f"={r7_bucket}")}
+    for p in untouched:
+        assert after.get(p) == before[p], f"{p} was rewritten"
+    assert json.loads(read_snapshot(spark, d, "r7")
+                      .collect()[0]["state_json"])["seq"] == 9
