@@ -245,3 +245,155 @@ def t_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (scored.withColumn("rn", F.row_number().over(win))
             .where(F.col("rn") <= 5)
             .select("doc_id", "term", "tf", "df", "score_x1m"))
+
+
+# --------------------------------------------------------------------------
+# Segment-level dedup (the C4/RefinedWeb line-dedup shape)
+# --------------------------------------------------------------------------
+
+SEG_WORDS = 16  # non-overlapping segment width (the "line" analogue)
+
+
+@query(
+    "t_segment_dedup",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), segs AS (
+  SELECT doc_id,
+         start // {SEG_WORDS} AS seg_idx,
+         array_to_string(w[start + 1 : start + {SEG_WORDS}], ' ') AS seg
+  FROM t, unnest(generate_series(0, len(w) - 1, {SEG_WORDS})) AS u(start)
+), ranked AS (
+  SELECT doc_id, seg_idx, seg,
+         ROW_NUMBER() OVER (PARTITION BY md5(seg)
+                            ORDER BY doc_id, seg_idx) AS rn
+  FROM segs
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT)                                  AS n_segs,
+       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)   AS n_dup_segs,
+       md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN seg END,
+                               ' ' ORDER BY seg_idx), ''))        AS clean_md5
+FROM ranked GROUP BY doc_id
+""",
+)
+def t_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide segment-level dedup — the fixed-width analogue of
+    C4/RefinedWeb *line* dedup (the synthetic text has no newlines):
+    split every document into non-overlapping {SEG_WORDS}-word
+    segments, keep only each distinct segment's FIRST occurrence
+    (lexicographic (doc_id, seg_idx) — a total, engine-independent
+    rule), and report per document the dropped-segment count plus the
+    md5 of the text reassembled from surviving segments.
+
+    Scale shape: explode (per-row, no shuffle) → ONE hash exchange on
+    the segment digest (uniform 128-bit key — no skew) for the
+    first-occurrence window → one groupBy back on doc_id.  This is
+    exactly the two-exchange plan a 100 TB line-dedup runs; the
+    reassembly stays per-doc (collect_list bounded by document size).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    segs = d.select(
+        "doc_id", w.alias("w"),
+        F.explode(F.sequence(F.lit(0), F.size(w) - 1,
+                             F.lit(SEG_WORDS))).alias("start"),
+    ).select(
+        "doc_id",
+        (F.col("start") / SEG_WORDS).cast("long").alias("seg_idx"),
+        F.concat_ws(" ", F.slice(F.col("w"), F.col("start") + 1,
+                                 SEG_WORDS)).alias("seg"),
+    )
+    first = Window.partitionBy(F.md5("seg")).orderBy("doc_id", "seg_idx")
+    ranked = segs.withColumn("rn", F.row_number().over(first))
+    kept_sorted = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(
+                F.when(F.col("rn") == 1, F.struct("seg_idx", "seg")))),
+            lambda s: s["seg"],
+        ), " ")
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segs"),
+        F.sum((F.col("rn") > 1).cast("long")).alias("n_dup_segs"),
+        F.md5(kept_sorted).alias("clean_md5"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Bigram-LM quality score (the CCNet LM-filter shape, exact-integer)
+# --------------------------------------------------------------------------
+
+@query(
+    "t_lm_score",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), bg AS (
+  SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+           THEN list_transform(generate_series(1, len(w) - 1),
+                               i -> array_to_string(w[i:i+1], ' '))
+           ELSE [] END) AS bigram
+  FROM t
+), cb AS (
+  SELECT bigram, COUNT(*) AS cb FROM bg GROUP BY bigram
+), cp AS (
+  SELECT string_split(bigram, ' ')[1] AS prefix, COUNT(*) AS cp
+  FROM bg GROUP BY 1
+), sc AS (
+  SELECT g.doc_id, COUNT(*) AS n_bigrams,
+         SUM(cb.cb * 1000000 // cp.cp) AS total
+  FROM bg g
+  JOIN cb USING (bigram)
+  JOIN cp ON string_split(g.bigram, ' ')[1] = cp.prefix
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT)           AS n_bigrams,
+       CAST(COALESCE(sc.total // sc.n_bigrams, 0) AS BIGINT) AS lm_score_x1m
+FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+""",
+)
+def t_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-bigram language-model score per document — the CCNet-style
+    LM quality filter: train P(w2|w1) = count(w1 w2)/count(w1·) on the
+    corpus itself, score each document by the mean transition
+    probability of its bigrams.  All arithmetic is exact integer
+    (probabilities scaled ×1e6 with integral division, mean likewise)
+    so the oracle hash-matches — a float log-likelihood would drift
+    across libm implementations.
+
+    Scale shape: the model IS two aggregations (bigram counts, prefix
+    counts) — map-side combined, one exchange each; scoring re-joins
+    the exploded bigrams against the model on the bigram hash key.  At
+    100 TB the model tables are the corpus vocabulary (Zipf-bounded),
+    the joins are plain hash joins on uniform keys, and nothing is
+    ever collected — the same plan an n-gram LM trainer runs.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    from .text import shingles_col, words_col
+
+    bg = d.select(
+        "doc_id",
+        F.explode(shingles_col(words_col(F.col("text")), 2)).alias("bigram"),
+    )
+    cb = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("cb"))
+    cp = (bg.select(F.substring_index("bigram", " ", 1).alias("prefix"))
+          .groupBy("prefix").agg(F.count(F.lit(1)).alias("cp")))
+    sc = (
+        bg.join(cb, "bigram")
+        .withColumn("prefix", F.substring_index("bigram", " ", 1))
+        .join(cp, "prefix")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("nb"),
+             F.sum(F.expr("cb * 1000000L div cp")).alias("total"))
+    )
+    return (
+        d.select("doc_id").join(sc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("nb", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce(F.expr("total div nb"), F.lit(0))
+             .cast("long").alias("lm_score_x1m"),
+        )
+    )

@@ -143,3 +143,27 @@ def test_per_row_corpus_ops_shuffle_free(spark):
     for name in ("t_pii_redact", "t_doc_chunks", "t_hash_split"):
         df = Q[name].fn(spark, SF_SMOKE)
         assert count_exchanges(df) == 0, (name, explain_str(df))
+
+
+def test_segment_dedup_two_exchanges(spark):
+    """t_segment_dedup's scale contract: explode is per-row, then
+    exactly ONE exchange on the segment digest (first-occurrence
+    window) and ONE on doc_id (reassembly groupBy) — no stray
+    shuffles."""
+    df = Q["t_segment_dedup"].fn(spark, SF_SMOKE)
+    assert count_exchanges(df) == 2, explain_str(df)
+    ops = physical_ops(df)
+    assert "Window" in ops and "Generate" in ops, ops
+
+
+def test_lm_score_model_partial_aggregation(spark):
+    """t_lm_score's model tables must partial-aggregate before their
+    exchanges (map-side combine is what bounds shuffle volume by
+    vocabulary, not corpus size)."""
+    txt = explain_str(Q["t_lm_score"].fn(spark, SF_SMOKE))
+    import re
+
+    # Both model groupBys appear twice (partial + final around their
+    # exchange) — map-side combine in place for bigram and prefix.
+    assert len(re.findall(r"Keys \[1\]: \[bigram#", txt)) >= 2, txt
+    assert len(re.findall(r"Keys \[1\]: \[prefix#", txt)) >= 2, txt
