@@ -222,6 +222,7 @@ def cmd_process(args) -> int:
         checkpoint_dir=args.checkpoint_dir,
         output_dir=args.snapshots_dir,
         executor=executor,
+        use_tws=bool(getattr(args, "tws", False)),
     )
     import pyspark.sql.functions as F
 
@@ -278,6 +279,9 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--snapshots-dir", required=True)
     pr.add_argument("--checkpoint-dir", required=True)
     pr.add_argument("--executor", help="module.path:function for inline tasks")
+    pr.add_argument("--tws", action="store_true",
+                    help="use the transformWithStateInPandas engine "
+                         "(needs protobuf)")
     pr.set_defaults(fn=cmd_process)
 
     args = p.parse_args(argv)

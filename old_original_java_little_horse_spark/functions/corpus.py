@@ -364,11 +364,12 @@ def t_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     across libm implementations.
 
     Scale shape: the model IS two aggregations (bigram counts, prefix
-    counts) — map-side combined, one exchange each; scoring re-joins
-    the exploded bigrams against the model on the bigram hash key.  At
-    100 TB the model tables are the corpus vocabulary (Zipf-bounded),
-    the joins are plain hash joins on uniform keys, and nothing is
-    ever collected — the same plan an n-gram LM trainer runs.
+    counts) — map-side combined, one exchange each.  The per-bigram
+    probability is attached model-side FIRST (cb ⋈ cp is
+    vocabulary-sized — Zipf-bounded, tiny next to the corpus), so the
+    exploded corpus bigrams shuffle exactly ONCE, on the bigram key,
+    not once per model table.  Nothing is ever collected — the same
+    plan an n-gram LM trainer runs.
     """
     d = load_table(spark, sf_dir, "documents")
     from .text import shingles_col, words_col
@@ -380,13 +381,13 @@ def t_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("cb"))
     cp = (bg.select(F.substring_index("bigram", " ", 1).alias("prefix"))
           .groupBy("prefix").agg(F.count(F.lit(1)).alias("cp")))
+    model = (cb.withColumn("prefix", F.substring_index("bigram", " ", 1))
+             .join(cp, "prefix")
+             .select("bigram", F.expr("cb * 1000000L div cp").alias("p_x1m")))
     sc = (
-        bg.join(cb, "bigram")
-        .withColumn("prefix", F.substring_index("bigram", " ", 1))
-        .join(cp, "prefix")
+        bg.join(model, "bigram")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("nb"),
-             F.sum(F.expr("cb * 1000000L div cp")).alias("total"))
+        .agg(F.count(F.lit(1)).alias("nb"), F.sum("p_x1m").alias("total"))
     )
     return (
         d.select("doc_id").join(sc, "doc_id", "left")

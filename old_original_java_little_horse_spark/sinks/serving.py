@@ -78,7 +78,10 @@ def _upsert(batch: DataFrame, store_dir: str, key_cols: list[str],
     compacted = (merged.withColumn("_rn", F.row_number().over(w))
                  .where(F.col("_rn") == 1).drop("_rn"))
     with _dynamic_overwrite(spark):
-        (compacted.repartition(1, "bucket")
+        # One shuffle partition per bucket: each task owns whole bucket
+        # directories (one output file per bucket), and writes
+        # parallelize across buckets as the store grows.
+        (compacted.repartition(len(touched), "bucket")
          .write.mode("overwrite").partitionBy("bucket")
          .parquet(store_dir))
 
