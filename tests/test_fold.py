@@ -248,7 +248,9 @@ def test_jsonpath_assignments():
                   "a_str": "Hello, there!", "second_item": 2}
 
 
-def test_extend_and_defaults():
+def _var_adds_spec():
+    """The FULL var_adds.py workflow: EXTEND + jsonpath ADD, then a
+    literal ADD and REMOVE_IF_PRESENT on a second node."""
     wf = Workflow("var_adds")
     t = wf.thread("entrypoint")
     t.add_variable("arr", "ARRAY", default=[])
@@ -256,10 +258,30 @@ def test_extend_and_defaults():
     n = t.execute("big_blob", x=lit(0))
     t.mutate(n, "arr", "EXTEND", json_path="$.some_list")
     t.mutate(n, "counter", "ADD", json_path="$.some_list[1]")
-    state = run_inline(wf.build())
+    n2 = t.execute("echo", x=lit("Hello, there!"))
+    t.mutate(n2, "counter", "ADD", literal=1)
+    t.mutate(n2, "arr", "REMOVE_IF_PRESENT", literal=4)
+    return wf.build()
+
+
+def test_extend_and_defaults():
+    # var_adds.py check_var_adds_1: defaults ([], -1)
+    state = run_inline(_var_adds_spec())
     vs = state["thread_runs"][0]["variables"]
-    assert vs["arr"] == [1, 2, 3, 4]
-    assert vs["counter"] == 1  # -1 + 2
+    assert state["status"] == "COMPLETED"
+    assert vs["arr"] == [1, 2, 3]   # EXTEND [1,2,3,4], then remove 4
+    assert vs["counter"] == 2       # -1 + 2 + 1
+
+
+def test_var_adds_with_inputs():
+    # var_adds.py check_var_adds_2: arr=[5,4,3,2], counter=0 —
+    # REMOVE_IF_PRESENT drops EVERY occurrence of 4.
+    state = run_inline(_var_adds_spec(),
+                       variables={"arr": [5, 4, 3, 2], "counter": 0})
+    vs = state["thread_runs"][0]["variables"]
+    assert state["status"] == "COMPLETED"
+    assert vs["arr"] == [5, 3, 2, 1, 2, 3]
+    assert vs["counter"] == 3
 
 
 # ---------------------------------------------------------------------------
