@@ -110,3 +110,34 @@ def test_upsert_rewrites_only_touched_buckets(store):
         assert after.get(p) == before[p], f"{p} was rewritten"
     assert json.loads(read_snapshot(spark, d, "r7")
                       .collect()[0]["state_json"])["seq"] == 9
+
+
+def test_randomized_upserts_equal_global_compaction(store):
+    """Equivalence property: any partition of a changelog into upsert
+    batches must produce the same store as one global latest-wins
+    compaction of the concatenated changelog (seeded random ops)."""
+    import random
+
+    spark, d = store
+    rng = random.Random(42)
+    runs = [f"r{i}" for i in range(12)]
+    seq = 0
+    log: list[tuple] = []
+    for _ in range(3):  # 3 upsert batches
+        batch = []
+        for _ in range(rng.randint(3, 10)):
+            seq += 1
+            r = rng.choice(runs)
+            status = rng.choice(["RUNNING", "COMPLETED", "HALTED"])
+            batch.append(_snap(r, seq, status))
+        log.extend(batch)
+        upsert_serving_stores(_batch(spark, batch), d)
+
+    # Brute-force: latest seq per run over the whole log.
+    expect = {}
+    for kind, run_id, s, payload, status in log:
+        if run_id not in expect or s > expect[run_id][0]:
+            expect[run_id] = (s, status)
+    got = {r["wf_run_id"]: (json.loads(r["state_json"])["seq"], r["status"])
+           for r in read_all_snapshots(spark, d).collect()}
+    assert got == {k: v for k, v in expect.items()}
