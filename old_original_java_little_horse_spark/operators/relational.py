@@ -542,6 +542,67 @@ def s2_changelog_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# S11 — compacted serving-store upsert (sinks/serving.py under the
+# driver's hash gate: batched upserts == one global latest-wins pass)
+# --------------------------------------------------------------------------
+
+@query(
+    "s3_serving_store_upsert",
+    oracle="""
+WITH ranked AS (
+  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS wf_run_id,
+         o_orderstatus AS status,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderkey DESC) AS rn
+  FROM orders
+)
+SELECT wf_run_id, status FROM ranked WHERE rn = 1
+""",
+)
+def s3_serving_store_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compacted serving store end-to-end (sinks/serving.py — the
+    reference's materialized RocksDB, APIStreamsContext.java:62-83):
+    a synthetic snapshot changelog derived from `orders`
+    (key = customer, version seq = order key, value = order status)
+    is upserted in THREE batches — each rewriting only its touched
+    bucket partitions via dynamic partition overwrite — and the store
+    read back must equal the oracle's single global latest-wins pass.
+    Batch boundaries are part of what's under test: the split is by
+    o_orderkey mod 3, so most customers change across several batches.
+    """
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from ..sinks.serving import read_all_snapshots, upsert_serving_stores
+    from ..streaming.engine import OUTPUT_SCHEMA
+
+    o = load_table(spark, sf_dir, "orders")
+    changelog = o.select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("wf_run_id"),
+        F.lit("snapshot").alias("kind"),
+        F.col("o_orderstatus").alias("status"),
+        F.lit(None).cast("string").alias("task_def_name"),
+        F.lit(None).cast("int").alias("thread_id"),
+        F.lit(None).cast("int").alias("task_run_position"),
+        F.lit(None).cast("long").alias("maturation_timestamp"),
+        F.col("o_orderkey").alias("seq"),
+        F.to_json(F.struct(F.col("o_orderstatus").alias("status"))).alias("payload"),
+        F.pmod(F.col("o_orderkey"), F.lit(3)).alias("_b"),
+    )
+    store = _tempfile.mkdtemp(prefix="serving-q-") + "/store"
+    try:
+        for b in range(3):
+            batch = (changelog.where(F.col("_b") == b)
+                     .select(*[f.name for f in OUTPUT_SCHEMA.fields]))
+            upsert_serving_stores(batch, store)
+        out = read_all_snapshots(spark, store).select("wf_run_id", "status")
+        rows = out.collect()
+    finally:
+        _shutil.rmtree(store.rsplit("/", 1)[0], ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+# --------------------------------------------------------------------------
 # GROUPING SETS / ROLLUP — §2.5 note: absent in the reference, parity
 # queries needing them use the stock SQL surface
 # --------------------------------------------------------------------------

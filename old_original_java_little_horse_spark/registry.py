@@ -55,7 +55,8 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # two analytics queries fixed for the TIMESTAMP_NTZ testdata change;
 # the freshly-green round-3 set follows them.
 _CHECK_FIRST = [
-    "t_segment_dedup", "t_lm_score",  # new in round 4 — never checked
+    # new in round 4 — never driver-checked
+    "t_segment_dedup", "t_lm_score", "s3_serving_store_upsert",
     "w4_sessionize", "j5_asof_join",
     "x_comparison_ops", "x_mutation_arith",
     "d_ngram_jaccard_pairs", "d_simhash_pairs",
