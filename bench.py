@@ -39,6 +39,8 @@ HEADLINE = [
     "sim_ivf_ann",
     "t_quality_score",
     "t_token_count",
+    "t_segment_dedup",
+    "t_lm_score",
     "mm_metadata_extract",
     "engine_pipeline_fold",
     "engine_run_index",
