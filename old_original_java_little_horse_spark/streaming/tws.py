@@ -130,8 +130,13 @@ class WFRunFoldProcessor(StatefulProcessor):
             self._timers.put([(json.dumps(t, separators=(",", ":")),)
                               for t in pending])
             if self.native_timers:
-                for t in pending:
-                    self.handle.registerTimer(t["maturation_timestamp"])
+                # Register only NEW maturations: stored timers survive
+                # across invocations in this API (no re-arm dance), and
+                # re-registering an existing expiry must not double it.
+                armed = set(self.handle.listTimers())
+                for ts in {t["maturation_timestamp"] for t in pending}:
+                    if ts not in armed:
+                        self.handle.registerTimer(ts)
 
     def _fire_matured(self, wf_run_id: str, state, pending: list,
                       max_offset: int, now_ms: int, out_rows: list):
