@@ -38,6 +38,7 @@ from ..registry import query
 from ..sources.parquet import load_table
 from .corpus import CHUNK_SIZE, CHUNK_STRIDE, SPLIT_TRAIN
 from .dedup import SHINGLE_K, normalized_text, shingle_rows_df
+from .text import QUALITY_STOPWORDS
 
 N_SHARDS = 16       # dataloader shards of the global shuffle
 PACK_TOKENS = 256   # token budget per training pack
@@ -334,4 +335,109 @@ def t_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pack_id",
         (F.coalesce(F.sum("n_tokens").over(win), F.lit(0))
          / PACK_TOKENS).cast("long"),
+    )
+
+
+# --------------------------------------------------------------------------
+# End-to-end curation decision table
+# --------------------------------------------------------------------------
+
+CONTAM_MAX_X1M = 100_000  # drop a train doc when >=10% of its shingles are eval
+
+
+@query(
+    "t_curated_corpus",
+    oracle=f"""
+WITH norm AS (
+  SELECT doc_id, text,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS k
+  FROM documents
+), gmin AS (
+  SELECT k, MIN(doc_id) AS m FROM norm GROUP BY k
+), qual AS (
+  SELECT doc_id,
+         length(text) BETWEEN 100 AND 500
+           AND len(list_filter(string_split(text, ' '),
+                 x -> list_contains({list(QUALITY_STOPWORDS)!r}, x))) * 1.0
+               / len(string_split(text, ' ')) > 0.05 AS passes_quality
+  FROM documents
+), t AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+), srows AS (
+  SELECT doc_id,
+         unnest(list_distinct(CASE WHEN len(w) >= {{K}}
+             THEN list_transform(generate_series(1, len(w) - {{K1}}),
+                                 i -> array_to_string(w[i:i+{{K1}}], ' '))
+             ELSE [] END)) AS s
+  FROM t
+), tr AS (
+  SELECT doc_id, s FROM srows WHERE {{B}} % 100 < {{TRAIN}}
+), ev AS (
+  SELECT DISTINCT s FROM srows WHERE {{B}} % 100 >= {{TRAIN}}
+), n AS (
+  SELECT doc_id, COUNT(*) AS n_shingles FROM tr GROUP BY doc_id
+), h AS (
+  SELECT tr.doc_id, COUNT(*) AS n_hits FROM tr JOIN ev USING (s) GROUP BY tr.doc_id
+), contam AS (
+  SELECT h.doc_id, n_hits * 1000000 // n_shingles AS contam_x1m
+  FROM h JOIN n USING (doc_id)
+)
+SELECT nm.doc_id,
+       {{B}} % 100 < {{TRAIN}}                             AS in_train,
+       nm.doc_id <> g.m                                    AS is_dup,
+       q.passes_quality                                    AS passes_quality,
+       COALESCE(c.contam_x1m >= {CONTAM_MAX_X1M}, FALSE)   AS is_contaminated,
+       {{B}} % 100 < {{TRAIN}} AND nm.doc_id = g.m AND q.passes_quality
+         AND NOT COALESCE(c.contam_x1m >= {CONTAM_MAX_X1M}, FALSE) AS keep
+FROM norm nm
+JOIN gmin g USING (k)
+JOIN qual q USING (doc_id)
+LEFT JOIN contam c USING (doc_id)
+""".replace("{B}", "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)")
+   .replace("{TRAIN}", str(SPLIT_TRAIN))
+   .replace("{K}", str(SHINGLE_K)).replace("{K1}", str(SHINGLE_K - 1)),
+)
+def t_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end keep/drop decision a training-corpus build makes
+    per document, composing the independently-oracle-checked stages:
+    train-split membership (t_hash_split rule), exact-dup canonical
+    selection (keep the content group's min doc_id), the C4-style
+    quality gate (t_quality_score's passes_filter), and eval-set
+    decontamination (t_decontaminate's overlap ratio, dropped at
+    >= {CONTAM_MAX_X1M}/1e6).  `keep` is the conjunction; the flags
+    are materialized so a pipeline can audit WHY a document dropped.
+
+    Scale shape: one groupBy on the content hash (dup groups), one
+    per-row quality projection, the decontaminate shingle join, then
+    key-aligned joins back on doc_id — every stage is an operator
+    already proven at scale; the composition adds only doc_id-keyed
+    joins (co-partitioned under AQE).
+    """
+    from .corpus import t_pii_redact  # noqa: F401 — family anchor
+    from .text import t_quality_score
+
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select("doc_id",
+                     F.md5(normalized_text(F.col("text"))).alias("k"))
+    gmin = keyed.groupBy("k").agg(F.min("doc_id").alias("m"))
+    dup = (keyed.join(gmin, "k")
+           .select("doc_id", (F.col("doc_id") != F.col("m")).alias("is_dup")))
+    qual = t_quality_score(spark, sf_dir).select(
+        "doc_id", F.col("passes_filter").alias("passes_quality"))
+    contam = t_decontaminate(spark, sf_dir).select(
+        "doc_id", (F.col("contam_x1m") >= CONTAM_MAX_X1M).alias("contaminated"))
+    in_train = (_md5_bucket(F.col("doc_id"), 100) < SPLIT_TRAIN)
+    return (
+        d.select("doc_id", in_train.alias("in_train"))
+        .join(dup, "doc_id")
+        .join(qual, "doc_id")
+        .join(contam, "doc_id", "left")
+        .select(
+            "doc_id", "in_train", "is_dup", "passes_quality",
+            F.coalesce("contaminated", F.lit(False)).alias("is_contaminated"),
+            (F.col("in_train") & ~F.col("is_dup") & F.col("passes_quality")
+             & ~F.coalesce("contaminated", F.lit(False))).alias("keep"),
+        )
     )

@@ -261,3 +261,87 @@ def stream_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = out.collect()
     shutil.rmtree(workdir, ignore_errors=True)
     return spark.createDataFrame(rows, out.schema)
+
+
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+@query(
+    "stream_sessionize",
+    oracle=f"""
+WITH o AS (
+  SELECT user_id, event_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), m AS (
+  SELECT user_id, ts, value,
+         SUM(CASE WHEN prev IS NULL
+                    OR epoch_us(ts) - epoch_us(prev) >= {SESSION_GAP_US}
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM o
+)
+SELECT user_id,
+       MIN(epoch_us(ts))                      AS start_us,
+       MAX(epoch_us(ts))                      AS end_us,
+       CAST(COUNT(*) AS BIGINT)               AS n_events,
+       CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
+FROM m GROUP BY user_id, session_idx
+""",
+)
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization as a STREAMING aggregation with Spark's
+    native `session_window` — the state store merges/extends sessions
+    incrementally as events arrive across micro-batches, the form a
+    live telemetry pipeline runs (the batch twin is `w4_sessionize`'s
+    lag+running-sum plan).
+
+    Semantics note: `session_window` starts a NEW session when the
+    inter-event gap is >= the gap duration (an event extends a session
+    only while it lands strictly inside it), so the oracle's break
+    rule is `>=` — `w4_sessionize`'s window formulation uses strict
+    `>`; the two agree on any data without exact-gap pairs and both
+    rules are published in their oracles.
+
+    Scale shape: ONE stateful exchange on (user_id) with per-key
+    session state; events stage over three micro-batches
+    (maxFilesPerTrigger=1) so session extension and merge across
+    batch boundaries is what's under test.  Complete-mode output over
+    a bounded replay; a live deployment uses a watermark + append
+    mode, same plan.
+    """
+    workdir = tempfile.mkdtemp(prefix="stream-sess-q-")
+    ev_dir = f"{workdir}/events"
+    load_table(spark, sf_dir, "events") \
+        .select("user_id", "ts", "value") \
+        .repartition(3).write.parquet(ev_dir)
+    schema = spark.read.parquet(ev_dir).schema
+    out_dir = f"{workdir}/out"
+    with scoped_conf(spark,
+                     {"spark.sql.shuffle.partitions": str(_STREAM_PARTS)}):
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "1").parquet(ev_dir))
+        agg = (
+            stream.groupBy(
+                F.session_window("ts", "30 minutes"), F.col("user_id"))
+            .agg(F.min(F.unix_micros("ts")).alias("start_us"),
+                 F.max(F.unix_micros("ts")).alias("end_us"),
+                 F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+                  .alias("value_cents"))
+            .select("user_id", "start_us", "end_us", "n_events", "value_cents")
+        )
+
+        def sink(batch_df, batch_id):
+            # Complete mode re-emits the whole result; keep the last.
+            batch_df.write.mode("overwrite").parquet(out_dir)
+
+        (agg.writeStream.outputMode("complete").foreachBatch(sink)
+            .option("checkpointLocation", f"{workdir}/ckpt")
+            .trigger(availableNow=True).start().awaitTermination())
+
+    out = spark.read.parquet(out_dir)
+    rows = out.collect()
+    shutil.rmtree(workdir, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
