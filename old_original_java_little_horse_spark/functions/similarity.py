@@ -589,3 +589,67 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("xq").alias("sum_q"),
         F.count(F.lit(1)).alias("n_vecs"),
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding-level duplicate clusters: CC over the verified cosine pairs
+# --------------------------------------------------------------------------
+
+_SIM_CLUSTERS_ORACLE = _label_lsh_oracle().replace(
+    "WITH q AS", "WITH RECURSIVE q AS", 1).replace(
+    """SELECT c.vec_a, c.vec_b, c.label,
+       CAST(ROUND(
+         list_sum([x.v[i] * y.v[i] for i in generate_series(1, len(x.v))]) * 1.0 /
+         sqrt(CAST(list_sum([x.v[i] * x.v[i] for i in generate_series(1, len(x.v))]) AS DOUBLE)
+              * CAST(list_sum([y.v[i] * y.v[i] for i in generate_series(1, len(y.v))]) AS DOUBLE)),
+         4) AS DOUBLE) AS cosine
+FROM cand c JOIN q x ON c.vec_a = x.vec_id JOIN q y ON c.vec_b = y.vec_id
+WHERE list_sum([x.v[i] * y.v[i] for i in generate_series(1, len(x.v))]) * 1.0 /
+      sqrt(CAST(list_sum([x.v[i] * x.v[i] for i in generate_series(1, len(x.v))]) AS DOUBLE)
+           * CAST(list_sum([y.v[i] * y.v[i] for i in generate_series(1, len(y.v))]) AS DOUBLE)) >= 0.3
+""",
+    """, pairs AS (
+  SELECT c.vec_a, c.vec_b
+  FROM cand c JOIN q x ON c.vec_a = x.vec_id JOIN q y ON c.vec_b = y.vec_id
+  WHERE list_sum([x.v[i] * y.v[i] for i in generate_series(1, len(x.v))]) * 1.0 /
+        sqrt(CAST(list_sum([x.v[i] * x.v[i] for i in generate_series(1, len(x.v))]) AS DOUBLE)
+             * CAST(list_sum([y.v[i] * y.v[i] for i in generate_series(1, len(y.v))]) AS DOUBLE)) >= 0.3
+), edges AS (
+  SELECT vec_a AS src, vec_b AS dst FROM pairs
+  UNION SELECT vec_b, vec_a FROM pairs
+), cc(node, lbl) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, l.lbl FROM cc l JOIN edges e ON e.src = l.node
+), comp AS (
+  SELECT node, MIN(lbl) AS cluster_id FROM cc GROUP BY node
+)
+SELECT e.vec_id, COALESCE(c.cluster_id, e.vec_id) AS cluster_id
+FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.node
+""")
+
+
+@query("sim_dup_clusters", oracle=_SIM_CLUSTERS_ORACLE)
+def sim_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level duplicate clusters: connected components over
+    the verified cosine near-dup pairs (`sim_label_blocked_neardup` —
+    label+LSH blocked, cosine >= 0.3), every vector labeled with the
+    min vec_id of its component (singletons self-label).  The
+    embedding twin of `d_dup_clusters`: near-duplicate relations are
+    transitive only through connectivity, so a keep-one-per-cluster
+    pass needs components, not pairs.
+
+    Scale shape: pair generation is the already-bucketed blocked join;
+    the CC iteration (`clustering.connected_components`) shuffles only
+    the pair subgraph per round — the (overwhelming) singleton majority
+    joins in once at the end.
+    """
+    from .clustering import connected_components
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    pairs = sim_label_blocked_neardup(spark, sf_dir).select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
+    comp = connected_components(pairs)
+    return (e.join(comp, e.vec_id == comp.node, "left")
+            .select("vec_id",
+                    F.coalesce("label", F.col("vec_id")).alias("cluster_id")))

@@ -57,7 +57,7 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 _CHECK_FIRST = [
     # new in round 4 — never driver-checked
     "t_segment_dedup", "t_lm_score", "s3_serving_store_upsert",
-    "stream_sessionize", "t_curated_corpus",
+    "stream_sessionize", "t_curated_corpus", "sim_dup_clusters",
     "w4_sessionize", "j5_asof_join",
     "x_comparison_ops", "x_mutation_arith",
     "d_ngram_jaccard_pairs", "d_simhash_pairs",
