@@ -232,6 +232,42 @@ def cmd_process(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Boot the full API server (the reference's `LittleHorseAPI`
+    process): metadata store + per-spec engine manager + HTTP front
+    door.  Specs POSTed earlier redeploy from the metadata changelog;
+    ctrl-C stops the queries cleanly."""
+    from .api.engines import SparkEngineManager
+    from .api.http_server import LittleHorseAPI, LittleHorseHTTPServer
+    from .api.metadata import MetadataStore
+
+    executor = None
+    if args.executor:
+        import importlib
+
+        mod_name, _, attr = args.executor.partition(":")
+        executor = getattr(importlib.import_module(mod_name), attr)
+
+    spark = _spark()
+    base = Path(args.base_dir)
+    mgr = SparkEngineManager(spark, str(base / "engines"), executor=executor)
+    api = LittleHorseAPI(spark, metadata=MetadataStore(str(base / "meta")),
+                         engines=mgr)
+    srv = LittleHorseHTTPServer(api, host=args.host, port=args.port).start()
+    print(f"listening on {args.host}:{srv.port} "
+          f"({len(mgr.handles())} spec engine(s) deployed)")
+    try:
+        if args.smoke:  # start/stop round-trip for tests
+            return 0
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        return 0
+    finally:
+        srv.stop()
+        mgr.stop_all()
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="lhctl-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -283,6 +319,16 @@ def main(argv: list[str] | None = None) -> int:
                     help="use the transformWithStateInPandas engine "
                          "(needs protobuf)")
     pr.set_defaults(fn=cmd_process)
+
+    sv = sub.add_parser("serve", help="boot the HTTP API server "
+                                      "(metadata + per-spec engines)")
+    sv.add_argument("--base-dir", required=True,
+                    help="state root (meta/ + engines/ live here)")
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=0)
+    sv.add_argument("--executor", help="module.path:function for inline tasks")
+    sv.add_argument("--smoke", action="store_true", help=argparse.SUPPRESS)
+    sv.set_defaults(fn=cmd_serve)
 
     args = p.parse_args(argv)
     try:

@@ -238,3 +238,22 @@ def test_server_restart_recovers_specs_and_runs(spark):
             mgr2.stop_all()
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_cli_serve_smoke(spark):
+    """`lhctl-spark serve` boots metadata + engines + HTTP and, with a
+    pre-stored spec, redeploys it at startup (the reference's API
+    container boot)."""
+    from old_original_java_little_horse_spark.cli import main as cli_main
+
+    workdir = Path(tempfile.mkdtemp(prefix="cli-serve-"))
+    try:
+        # Pre-store a spec via the metadata changelog (as a prior
+        # server run would have).
+        MetadataStore(str(workdir / "meta")).post("wfSpec", _greet_spec())
+        rc = cli_main(["serve", "--base-dir", str(workdir), "--smoke",
+                       "--executor",
+                       "tests.test_http_metadata:_executor"])
+        assert rc == 0
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
