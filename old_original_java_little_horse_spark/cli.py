@@ -1,15 +1,25 @@
 """lhctl-equivalent CLI (reference: `lhctl/lh_cli/` + `lh_lib/client.py`).
 
-Commands mirror the reference's user surface against the Spark
-engine's on-disk layout (an events dir the engine consumes and a
-snapshots dir it writes — Kafka topics/Delta tables in production):
+Commands mirror the reference's user surface, in two modes:
+
+**HTTP-client mode** (`--api http://host:port`, the reference's
+`LHClient` shape — lhctl is an HTTP client): `run`/`event`/`get`/
+`search`/`list`/`deploy`/`delete` become requests against a `serve`d
+API process.
+
+**File mode** (the default, against the Spark engine's on-disk layout
+— an events dir the engine consumes and a snapshots/serving dir it
+writes; Kafka topics/Delta tables in production):
 
     run <spec.json> --events-dir D [--var k=v ...] [--run-id id]
     apply <spec.json>                 # validate + store a spec
-    get <run_id>      --snapshots-dir D
-    search <key> <value> --snapshots-dir D
-    list              --snapshots-dir D
+    compile <module:function>         # SDK workflow -> JSON spec
+    get <run_id>      --serving-dir D | --snapshots-dir D
+    search <key> <value> --serving-dir D | --snapshots-dir D
+    list              --serving-dir D | --snapshots-dir D
     event <run_id> <event_name> <payload> --events-dir D
+    process <spec.json> ...           # fold pending events once
+    serve --base-dir D                # boot the API server
 
 `run`/`event` are the POST command path (§3.1/§3.2 step 1: HTTP →
 event produce); `get`/`search`/`list` are the §3.3 query path over
@@ -31,6 +41,22 @@ def _spark():
     from .session import get_spark
 
     return get_spark("lhctl-spark")
+
+
+def _api_call(api: str, method: str, path: str, body=None):
+    """Minimal LHClient: JSON in/out against a `serve`d API."""
+    import urllib.error
+    import urllib.request
+
+    data = json.dumps(body).encode() if body is not None else None
+    req = urllib.request.Request(api.rstrip("/") + path, data=data,
+                                 method=method,
+                                 headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
 
 
 def _write_event(spark, events_dir: str, row: dict) -> None:
@@ -82,19 +108,38 @@ def _snapshots(spark, snapshots_dir: str):
               .where(F.col("_rn") == 1).drop("_rn", "seq"))
 
 
-def cmd_run(args) -> int:
-    spec = json.loads(Path(args.spec).read_text())
-    from .sdk.builder import validate_spec
-
-    validate_spec(spec)
-    run_id = args.run_id or uuid.uuid4().hex
+def _parse_vars(pairs) -> dict:
     variables = {}
-    for kv in args.var or []:
+    for kv in pairs or []:
         k, _, v = kv.partition("=")
         try:
             variables[k] = json.loads(v)
         except json.JSONDecodeError:
             variables[k] = v
+    return variables
+
+
+def cmd_run(args) -> int:
+    variables = _parse_vars(args.var)
+    if getattr(args, "api", None):
+        # HTTP-client mode: positional arg is the spec NAME (or a spec
+        # file whose name is used); the server resolves + routes.
+        name = args.spec
+        if Path(args.spec).exists():
+            name = json.loads(Path(args.spec).read_text())["name"]
+        body = {"wf_spec_name": name, "variables": variables}
+        if args.run_id:
+            body["run_id"] = args.run_id
+        st, resp = _api_call(args.api, "POST", "/wfrun", body)
+        print(resp.get("id") or json.dumps(resp))
+        return 0 if st < 400 else 1
+    if not args.events_dir:
+        raise ValueError("file mode requires --events-dir (or use --api)")
+    spec = json.loads(Path(args.spec).read_text())
+    from .sdk.builder import validate_spec
+
+    validate_spec(spec)
+    run_id = args.run_id or uuid.uuid4().hex
     spark = _spark()
     _write_event(spark, args.events_dir, {
         "wf_run_id": run_id,
@@ -120,11 +165,19 @@ def cmd_apply(args) -> int:
 
 
 def cmd_event(args) -> int:
-    spark = _spark()
     try:
         content = json.loads(args.payload)
     except json.JSONDecodeError:
         content = args.payload
+    if getattr(args, "api", None):
+        st, resp = _api_call(
+            args.api, "POST",
+            f"/externalEvent/{args.run_id}/{args.event_name}", content)
+        print(resp.get("status") or json.dumps(resp))
+        return 0 if st < 400 else 1
+    if not args.events_dir:
+        raise ValueError("file mode requires --events-dir (or use --api)")
+    spark = _spark()
     _write_event(spark, args.events_dir, {
         "wf_run_id": args.run_id,
         "event_type": "EXTERNAL_EVENT",
@@ -146,6 +199,10 @@ def _require_store(args) -> None:
 
 
 def cmd_get(args) -> int:
+    if getattr(args, "api", None):
+        st, resp = _api_call(args.api, "GET", f"/wfrun/{args.run_id}")
+        print(json.dumps(resp, indent=2))
+        return 0 if st < 400 else 1
     _require_store(args)
     spark = _spark()
     if getattr(args, "serving_dir", None):
@@ -170,6 +227,12 @@ def cmd_get(args) -> int:
 
 
 def cmd_search(args) -> int:
+    if getattr(args, "api", None):
+        st, resp = _api_call(args.api, "GET",
+                             f"/search/{args.key}/{args.value}")
+        for rid in (resp if isinstance(resp, list) else []):
+            print(rid)
+        return 0 if st < 400 else 1
     _require_store(args)
     spark = _spark()
     if getattr(args, "serving_dir", None):
@@ -187,6 +250,11 @@ def cmd_search(args) -> int:
 
 
 def cmd_list(args) -> int:
+    if getattr(args, "api", None):
+        st, resp = _api_call(args.api, "GET", "/wfruns")
+        for r in (resp if isinstance(resp, list) else []):
+            print(f"{r['id']}\t{r['status']}")
+        return 0 if st < 400 else 1
     _require_store(args)
     spark = _spark()
     if getattr(args, "serving_dir", None):
@@ -232,6 +300,45 @@ def cmd_process(args) -> int:
     return 0
 
 
+def cmd_compile(args) -> int:
+    """SDK workflow → JSON spec (reference `handle_compile.py:26-38`):
+    import `module.path:function`, call it (it returns a built spec
+    dict or a `Workflow` to build), validate, print the spec JSON."""
+    import importlib
+
+    from .sdk.builder import Workflow, validate_spec
+
+    mod_name, _, attr = args.wf_func.replace(":", ".").rpartition(".")
+    fn = getattr(importlib.import_module(mod_name), attr)
+    spec = fn()
+    if isinstance(spec, Workflow):
+        spec = spec.build()
+    validate_spec(spec)
+    print(json.dumps(spec, indent=2))
+    return 0
+
+
+def cmd_deploy(args) -> int:
+    """Validate + POST a spec to a running API (reference
+    `handle_deploy.py` → POST /wfSpec, which deploys the topology)."""
+    spec = json.loads(Path(args.spec).read_text())
+    from .sdk.builder import validate_spec
+
+    validate_spec(spec)
+    st, resp = _api_call(args.api, "POST", "/wfSpec", spec)
+    print(json.dumps(resp))
+    return 0 if st < 400 else 1
+
+
+def cmd_delete(args) -> int:
+    """DELETE a metadata resource by type + id (reference
+    `handle_delete.py` → DELETE /{type}/{id})."""
+    st, resp = _api_call(args.api, "DELETE",
+                         f"/{args.kind}/{args.object_id}")
+    print(json.dumps(resp))
+    return 0 if st < 400 else 1
+
+
 def cmd_serve(args) -> int:
     """Boot the full API server (the reference's `LittleHorseAPI`
     process): metadata store + per-spec engine manager + HTTP front
@@ -273,8 +380,9 @@ def main(argv: list[str] | None = None) -> int:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     r = sub.add_parser("run", help="start a workflow run (POST /WFRun)")
-    r.add_argument("spec")
-    r.add_argument("--events-dir", required=True)
+    r.add_argument("spec", help="spec.json (file mode) or spec name (--api)")
+    r.add_argument("--events-dir")
+    r.add_argument("--api", help="API base URL (HTTP-client mode)")
     r.add_argument("--var", action="append")
     r.add_argument("--run-id")
     r.set_defaults(fn=cmd_run)
@@ -288,13 +396,32 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("run_id")
     e.add_argument("event_name")
     e.add_argument("payload")
-    e.add_argument("--events-dir", required=True)
+    e.add_argument("--events-dir")
+    e.add_argument("--api", help="API base URL (HTTP-client mode)")
     e.set_defaults(fn=cmd_event)
+
+    cp = sub.add_parser("compile", help="SDK workflow -> JSON spec")
+    cp.add_argument("wf_func", help="module.path:function returning a "
+                                    "Workflow or spec dict")
+    cp.set_defaults(fn=cmd_compile)
+
+    dp = sub.add_parser("deploy", help="validate + POST a spec to a "
+                                       "running API (deploys it)")
+    dp.add_argument("spec")
+    dp.add_argument("--api", required=True)
+    dp.set_defaults(fn=cmd_deploy)
+
+    dl = sub.add_parser("delete", help="DELETE a metadata resource")
+    dl.add_argument("kind", choices=["wfSpec", "taskDef", "externalEventDef"])
+    dl.add_argument("object_id")
+    dl.add_argument("--api", required=True)
+    dl.set_defaults(fn=cmd_delete)
 
     g = sub.add_parser("get", help="GET /WFRun/{id}")
     g.add_argument("run_id")
     g.add_argument("--snapshots-dir")
     g.add_argument("--serving-dir", help="compacted store (preferred)")
+    g.add_argument("--api", help="API base URL (HTTP-client mode)")
     g.set_defaults(fn=cmd_get)
 
     s = sub.add_parser("search", help="search index by (key, value)")
@@ -302,11 +429,13 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("value")
     s.add_argument("--snapshots-dir")
     s.add_argument("--serving-dir", help="compacted store (preferred)")
+    s.add_argument("--api", help="API base URL (HTTP-client mode)")
     s.set_defaults(fn=cmd_search)
 
     ls = sub.add_parser("list", help="all run ids + statuses")
     ls.add_argument("--snapshots-dir")
     ls.add_argument("--serving-dir", help="compacted store (preferred)")
+    ls.add_argument("--api", help="API base URL (HTTP-client mode)")
     ls.set_defaults(fn=cmd_list)
 
     pr = sub.add_parser("process", help="fold pending events (availableNow)")

@@ -257,3 +257,55 @@ def test_cli_serve_smoke(spark):
         assert rc == 0
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_cli_http_client_mode(spark, capsys):
+    """lhctl parity: the CLI as an HTTP client (`lh_lib/client.py`
+    shape) — compile / deploy / run / get / search / list / delete all
+    against a live served API."""
+    import json as _json
+
+    from old_original_java_little_horse_spark.cli import main as cli_main
+
+    workdir = Path(tempfile.mkdtemp(prefix="cli-http-"))
+    store = MetadataStore(str(workdir / "meta"))
+    mgr = SparkEngineManager(spark, str(workdir / "engines"),
+                             executor=_executor, trigger_seconds=0.2)
+    srv = LittleHorseHTTPServer(
+        LittleHorseAPI(spark, metadata=store, engines=mgr)).start()
+    api = f"http://127.0.0.1:{srv.port}"
+    try:
+        # compile: SDK function -> JSON spec on stdout
+        rc = cli_main(["compile", "tests.test_http_metadata:_greet_spec"])
+        assert rc == 0
+        spec = _json.loads(capsys.readouterr().out)
+        spec_file = workdir / "greeter.json"
+        spec_file.write_text(_json.dumps(spec))
+
+        assert cli_main(["deploy", str(spec_file), "--api", api]) == 0
+        capsys.readouterr()
+        assert mgr.get("greeter") is not None
+
+        rc = cli_main(["run", "greeter", "--api", api,
+                       "--var", "who=grace"])
+        assert rc == 0
+        run_id = capsys.readouterr().out.strip()
+
+        assert cli_main(["get", run_id, "--api", api]) == 0
+        doc = _json.loads(capsys.readouterr().out)
+        assert doc["status"] == "COMPLETED"
+        assert doc["thread_runs"][0]["variables"]["who"] == "grace"
+
+        assert cli_main(["search", "who", "grace", "--api", api]) == 0
+        assert capsys.readouterr().out.split() == [run_id]
+
+        assert cli_main(["list", "--api", api]) == 0
+        assert run_id in capsys.readouterr().out
+
+        assert cli_main(["delete", "wfSpec", spec["id"], "--api", api]) == 0
+        capsys.readouterr()
+        assert mgr.get("greeter") is None
+    finally:
+        srv.stop()
+        mgr.stop_all()
+        shutil.rmtree(workdir, ignore_errors=True)
