@@ -536,3 +536,98 @@ def test_seq_strictly_increases_for_out_of_order_batches(spark):
         assert snaps[-1][0] > seq0, (snaps[-1][0], seq0)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_continuous_async_worker_round_trip(spark):
+    """The FULL production loop live: a continuous engine with NO
+    inline executor emits task_schedule rows; per-TaskDef worker
+    processes (LocalDeployer — the deployer-plugin contract) consume
+    them and produce TASK_EVENTs back onto the command feed; the
+    engine folds them and the run COMPLETES.  This is the reference's
+    scheduler ⇄ worker Kafka round-trip (SchedulerTopology.java:62-72)
+    minus Kafka — same topics-as-dirs, same event contract."""
+    import time
+
+    from old_original_java_little_horse_spark.engine.deployer import (
+        LocalDeployer,
+    )
+    from old_original_java_little_horse_spark.sdk.builder import Workflow, var
+    from old_original_java_little_horse_spark.streaming.engine import (
+        start_continuous,
+    )
+
+    wf = Workflow("async-rt")
+    t = wf.thread("entrypoint")
+    t.add_variable("x", "INT", default=0)
+    n1 = t.execute("double", x=var("x"))
+    t.mutate(n1, "x", "ASSIGN")
+    n2 = t.execute("double", x=var("x"))
+    t.mutate(n2, "x", "ASSIGN")
+    spec = wf.build()
+
+    def double(subs):
+        return {"stdout": str(int(subs["x"]) * 2), "success": True,
+                "returncode": 0}
+
+    workdir = Path(tempfile.mkdtemp(prefix="stream-async-rt-"))
+    events_dir = workdir / "events"
+    events_dir.mkdir()
+    out_dir = workdir / "out"
+    q = start_continuous(
+        spark, str(events_dir) + "/*", spec,
+        checkpoint_dir=str(workdir / "ckpt"), output_dir=str(out_dir),
+        trigger_seconds=0.2,  # executor=None → async task scheduling
+    )
+    try:
+        start = [("r1", "s", "s", "WF_RUN_STARTED", 0,
+                  int(time.time() * 1000), time.time_ns() // 1000,
+                  json.dumps({"variables": {"x": 5}}))]
+        spark.createDataFrame(start, schema=WF_EVENT_SCHEMA) \
+             .coalesce(1).write.parquet(str(events_dir / "cmd1"))
+
+        with LocalDeployer({"double": double}) as dep:
+            handled: set[tuple] = set()
+            deadline = time.monotonic() + 90
+            final = None
+            while time.monotonic() < deadline and final is None:
+                try:
+                    rows = spark.read.parquet(str(out_dir)).collect()
+                except Exception:
+                    rows = []
+                # Drain new schedule requests → workers → events back.
+                todo = []
+                for r in rows:
+                    if r["kind"] != "task_schedule":
+                        continue
+                    tsr = json.loads(r["payload"])
+                    key = (tsr["wf_run_id"], tsr["thread_id"],
+                           tsr["task_run_position"], tsr.get("attempt_number", 0))
+                    if key not in handled:
+                        handled.add(key)
+                        todo.append(tsr)
+                if todo:
+                    evs = dep.route(todo, start_offset=time.time_ns() // 1000)
+                    df = spark.createDataFrame(
+                        [(e["wf_run_id"], e.get("wf_spec_id"),
+                          e.get("wf_spec_name"), e["event_type"],
+                          e["thread_id"], e["timestamp"], e["offset"],
+                          e["content"]) for e in evs],
+                        schema=WF_EVENT_SCHEMA)
+                    df.coalesce(1).write.parquet(
+                        str(events_dir / f"w-{len(handled)}"))
+                snaps = sorted((r for r in rows if r["kind"] == "snapshot"),
+                               key=lambda r: r["seq"])
+                if snaps and snaps[-1]["status"] == "COMPLETED":
+                    final = snaps[-1]
+                    break
+                time.sleep(0.3)
+        assert final is not None, "async round-trip never completed"
+        state = json.loads(final["payload"])
+        assert state["thread_runs"][0]["variables"]["x"] == 20  # 5*2*2
+        trs = state["thread_runs"][0]["task_runs"]
+        assert [tr["status"] for tr in trs] == ["COMPLETED", "COMPLETED"]
+        # the fold JSON-parses numeric stdout (LHUtil jsonifyIfPossible)
+        assert trs[0]["stdout"] == 10 and trs[1]["stdout"] == 20
+    finally:
+        q.stop()
+        shutil.rmtree(workdir, ignore_errors=True)
