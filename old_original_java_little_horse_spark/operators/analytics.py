@@ -257,3 +257,71 @@ def a6_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .when(F.col("v").isNotNull(), "viewed")
                       .otherwise("none").alias("stage")))
     return staged.groupBy("stage").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+# --------------------------------------------------------------------------
+# J6 — bucketized range join (events within a time window of each other)
+# --------------------------------------------------------------------------
+
+RANGE_WINDOW_US = 5 * 60 * 1_000_000  # +/- 5-minute association window
+
+
+@query(
+    "j6_range_count",
+    oracle=f"""
+WITH err AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+), clk AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT e.event_id AS error_event_id,
+       e.user_id,
+       CAST(COUNT(c.ts) AS BIGINT) AS n_nearby_clicks
+FROM err e LEFT JOIN clk c
+  ON e.user_id = c.user_id
+ AND abs(epoch_us(e.ts) - epoch_us(c.ts)) <= {RANGE_WINDOW_US}
+GROUP BY 1, 2
+""",
+)
+def j6_range_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every error event, how many clicks by the same user landed
+    within +/- 5 minutes — the interval-association join (DuckDB
+    expresses it as a plain inequality join).
+
+    Spark-first formulation: a naive `|t1 - t2| <= W` join is a
+    per-user cross product (quadratic for active users, and Catalyst
+    can only nested-loop an inequality).  Instead, time is cut into
+    W-sized buckets: each error replicates to its bucket and both
+    neighbors, clicks keep their one bucket, and the join is EQUALITY
+    on (user_id, bucket) — every true pair shares one of the three
+    buckets, each pair matches exactly once (the click's bucket is
+    unique), and the residual |dt| <= W filter runs on the
+    bucket-pruned candidates.  3x replication buys a hash join whose
+    candidate count tracks actual temporal density — the standard
+    bucketized range-join rewrite, the same motion as the LSH band
+    joins.  One exchange on the composite key, plus the final
+    per-error rollup reusing the error keys.
+    """
+    e = load_table(spark, sf_dir, "events")
+    err = (e.where(F.col("event_type") == "error")
+           .select("event_id", "user_id", F.unix_micros("ts").alias("t")))
+    clk = (e.where(F.col("event_type") == "click")
+           .select(F.col("user_id").alias("c_user"),
+                   F.unix_micros("ts").alias("c_t")))
+    b = (F.col("t") / RANGE_WINDOW_US).cast("long")
+    err_b = err.withColumn(
+        "nb", F.explode(F.array(b - 1, b, b + 1)))
+    clk_b = clk.withColumn("nb", (F.col("c_t") / RANGE_WINDOW_US).cast("long"))
+    matched = (
+        err_b.join(clk_b, (err_b.user_id == clk_b.c_user)
+                   & (err_b.nb == clk_b.nb)
+                   & (F.abs(F.col("t") - F.col("c_t")) <= RANGE_WINDOW_US))
+        .groupBy("event_id", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        err.join(matched, ["event_id", "user_id"], "left")
+        .select(F.col("event_id").alias("error_event_id"), "user_id",
+                F.coalesce("n", F.lit(0)).cast("long")
+                 .alias("n_nearby_clicks"))
+    )

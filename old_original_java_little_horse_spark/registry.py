@@ -58,6 +58,7 @@ _CHECK_FIRST = [
     # new in round 4 — never driver-checked
     "t_segment_dedup", "t_lm_score", "s3_serving_store_upsert",
     "stream_sessionize", "t_curated_corpus", "sim_dup_clusters",
+    "j6_range_count",
     "w4_sessionize", "j5_asof_join",
     "x_comparison_ops", "x_mutation_arith",
     "d_ngram_jaccard_pairs", "d_simhash_pairs",
