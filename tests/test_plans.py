@@ -167,3 +167,13 @@ def test_lm_score_model_partial_aggregation(spark):
     # exchange) — map-side combine in place for bigram and prefix.
     assert len(re.findall(r"Keys \[1\]: \[bigram#", txt)) >= 2, txt
     assert len(re.findall(r"Keys \[1\]: \[prefix#", txt)) >= 2, txt
+
+
+def test_j6_range_join_is_hash_not_nested_loop(spark):
+    """The bucketized rewrite must give Catalyst an EQUALITY key: the
+    plan may never fall back to BroadcastNestedLoopJoin / CartesianProduct
+    (what a raw |t1-t2| <= W predicate produces)."""
+    txt = explain_str(Q["j6_range_count"].fn(spark, SF_SMOKE))
+    assert "NestedLoop" not in txt and "CartesianProduct" not in txt, txt
+    # equality join present (broadcast at smoke scale; shuffled-hash at 100TB)
+    assert "HashJoin" in txt, txt
