@@ -84,3 +84,33 @@ def test_edge_corpus_finds_the_planted_dups(spark, edge_sf_dir):
                        for r in rows.values())
     # 10, 11 and 13 all collapse to one normalized string → 3 copies.
     assert (3, 10) in by_copies, by_copies
+
+
+def test_grid_self_pairs_degenerate_bucket_exact(spark):
+    """The skew-bomb case: ONE bucket holding 40 ids must yield every
+    C(40,2)=780 pair exactly once — fragment-replicate sub-bucketing
+    changes WHERE a pair is produced, never WHETHER (or how often)."""
+    from old_original_java_little_horse_spark.functions.dedup import (
+        grid_self_pairs,
+    )
+
+    sigs = spark.createDataFrame([(i, "b0") for i in range(40)],
+                                 "doc_id long, bucket string")
+    pairs = [(r["id_a"], r["id_b"])
+             for r in grid_self_pairs(sigs, ["bucket"]).collect()]
+    assert len(pairs) == 780 and len(set(pairs)) == 780
+    assert all(a < b for a, b in pairs)
+
+
+def test_grid_self_pairs_no_cross_bucket_pairs(spark):
+    """Pairs never cross buckets, and multi-bucket membership (a doc
+    in several LSH bands) still dedupes to one output pair."""
+    from old_original_java_little_horse_spark.functions.dedup import (
+        grid_self_pairs,
+    )
+
+    rows = [(1, "x"), (2, "x"), (1, "y"), (2, "y"), (3, "z")]
+    sigs = spark.createDataFrame(rows, "doc_id long, bucket string")
+    pairs = [(r["id_a"], r["id_b"])
+             for r in grid_self_pairs(sigs, ["bucket"]).collect()]
+    assert pairs == [(1, 2)]
