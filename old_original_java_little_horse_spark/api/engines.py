@@ -40,12 +40,14 @@ class SparkEngineManager:
     def __init__(self, spark, base_dir: str,
                  executor: TaskExecutor | None = None,
                  trigger_seconds: float = 0.2,
-                 barrier_timeout: float = 60.0):
+                 barrier_timeout: float = 60.0,
+                 use_tws: bool = False):
         self.spark = spark
         self.base_dir = Path(base_dir)
         self.executor = executor
         self.trigger_seconds = trigger_seconds
         self.barrier_timeout = barrier_timeout
+        self.use_tws = use_tws  # transformWithState engine (needs protobuf)
         self._engines: dict[str, EngineHandle] = {}
 
     def deploy(self, spec: dict) -> EngineHandle:
@@ -71,6 +73,7 @@ class SparkEngineManager:
                 serving_dir=str(root / "serving"),
                 executor=self.executor,
                 trigger_seconds=self.trigger_seconds,
+                use_tws=self.use_tws,
             ),
         )
         self._engines[name] = handle
