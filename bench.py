@@ -101,7 +101,17 @@ def fold_throughput(min_seconds: float = 2.0) -> int:
     comparable for the reference's per-event cost model
     (BASELINE.md part A: full WFRun JSON deser → fixpoint → reser per
     event).  Measures the async 5-event lifecycle of a 2-task run;
-    Spark parallelism multiplies this per core."""
+    Spark parallelism multiplies this per core.
+
+    Median of 3 measurement windows — the same noise policy as the
+    query timings above: a single window was observed to read ~20% low
+    under concurrent sandbox load (r4: 18,051 vs 21.8k-26.5k measured
+    idle), which says nothing about the engine."""
+    return int(sorted(_fold_window(min_seconds) for _ in range(3))[1])
+
+
+def _fold_window(min_seconds: float) -> float:
+    """One timed fold window (events/sec)."""
     import json as _json
 
     from old_original_java_little_horse_spark.engine.fold import process_event
@@ -150,7 +160,7 @@ def fold_throughput(min_seconds: float = 2.0) -> int:
             n_events += 1
         assert state["status"] == "COMPLETED"
         i += 1
-    return int(n_events / (time.perf_counter() - t0))
+    return n_events / (time.perf_counter() - t0)
 
 
 if __name__ == "__main__":

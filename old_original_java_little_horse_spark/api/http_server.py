@@ -111,10 +111,18 @@ class LittleHorseAPI:
     def _meta_change(self, kind: str, new: dict | None, old: dict | None):
         if kind != "wfSpec" or self.engines is None:
             return
+        name = (new or old or {}).get("name")
         if new is not None:
             self.engines.deploy(new)
         elif old is not None:
             self.engines.undeploy(old["name"])
+        # Drop run→engine cache entries that pointed at the replaced
+        # (now stopped) handle; _engine_for_run re-resolves them
+        # against the new deployment's serving store.
+        current = self.engines.get(name) if name else None
+        for rid, h in list(self._run_engine.items()):
+            if (h.spec or {}).get("name") == name and h is not current:
+                del self._run_engine[rid]
 
     # -- command path (POSTApi.java:40-58) --------------------------------
 
@@ -133,16 +141,26 @@ class LittleHorseAPI:
         restart)."""
         handle = self._run_engine.get(run_id)
         if handle is not None:
-            return handle
-        from ..sinks.serving import read_snapshot
+            # A spec re-POST (deploy() replaces the handle and stops
+            # the old query) or DELETE leaves this cache entry pointing
+            # at a dead query whose read-your-writes barrier would hang
+            # for the full timeout.  Only trust the cache if it is
+            # still the current handle for its spec.
+            name = (handle.spec or {}).get("name")
+            if self.engines.get(name) is handle:
+                return handle
+            del self._run_engine[run_id]
+        from ..sinks.serving import has_snapshots, read_snapshot
 
         for h in self.engines.handles():
-            try:
-                if read_snapshot(self.spark, h.serving_dir, run_id).count():
-                    self._run_engine[run_id] = h
-                    return h
-            except Exception:
-                continue  # engine with no folded runs yet → no store
+            # 'No store yet' (engine has folded nothing) is the only
+            # quiet skip; a read error on an existing store must
+            # surface as a 500, not masquerade as a 404.
+            if not has_snapshots(h.serving_dir):
+                continue
+            if read_snapshot(self.spark, h.serving_dir, run_id).count():
+                self._run_engine[run_id] = h
+                return h
         raise ApiError(404, f"WFRun {run_id} not found")
 
     def _produce(self, row: dict, run_id: str | None = None) -> None:
@@ -315,15 +333,14 @@ class LittleHorseAPI:
         if dirs is None:
             rows = self._latest().select("wf_run_id", "status").collect()
         else:
-            from ..sinks.serving import read_all_snapshots
+            from ..sinks.serving import has_snapshots, read_all_snapshots
 
             rows = []
             for d in dirs:
-                try:
-                    rows.extend(read_all_snapshots(self.spark, d)
-                                .select("wf_run_id", "status").collect())
-                except Exception:
+                if not has_snapshots(d):
                     continue  # engine with no folded runs yet
+                rows.extend(read_all_snapshots(self.spark, d)
+                            .select("wf_run_id", "status").collect())
         return [{"id": r["wf_run_id"], "status": r["status"]} for r in rows]
 
     def search(self, key: str, value: str) -> list[str]:
@@ -333,15 +350,14 @@ class LittleHorseAPI:
 
             return [r["wf_run_id"]
                     for r in search(self._latest(), key, value).collect()]
-        from ..sinks.serving import search_aliases
+        from ..sinks.serving import has_aliases, search_aliases
 
         out: list[str] = []
         for d in dirs:
-            try:
-                out.extend(r["wf_run_id"] for r in
-                           search_aliases(self.spark, d, key, value).collect())
-            except Exception:
-                continue
+            if not has_aliases(d):
+                continue  # engine with no indexed runs yet
+            out.extend(r["wf_run_id"] for r in
+                       search_aliases(self.spark, d, key, value).collect())
         return sorted(out)
 
 

@@ -108,6 +108,13 @@ class MetadataStore:
             if old is not None:
                 self._by_name.pop((kind, old.get("name", "")), None)
         else:
+            # A re-POST keeping the id but changing the name must drop
+            # the old name's alias, or GET-by-old-name keeps resolving
+            # and a later POST legitimately reusing that name 409s
+            # against an entry that is actually free (replay included).
+            prior = self._docs.get(key)
+            if prior is not None and prior.get("name") != doc["name"]:
+                self._by_name.pop((kind, prior.get("name", "")), None)
             self._docs[key] = doc
             self._by_name[(kind, doc["name"])] = doc["id"]
 

@@ -50,24 +50,25 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # Queries with the thinnest driver-check history, surfaced to the
 # front of the registry: the driver verifies queries in registry order
 # under a time budget, so whatever it cannot reach is whatever sits at
-# the tail.  Rotated each round: round 4 fronts the 21 queries with no
-# round-3 CORRECTNESS row (the round-3 rotation's displacees) plus the
-# two analytics queries fixed for the TIMESTAMP_NTZ testdata change;
-# the freshly-green round-3 set follows them.
+# the tail.  Rotated each round: round 5 fronts any never-checked new
+# queries, then the 28 queries with no round-4 CORRECTNESS row (the
+# round-4 rotation's displacees, all green in r1-r3); the freshly-green
+# round-4 set follows.
 _CHECK_FIRST = [
-    # new in round 4 — never driver-checked
-    "t_segment_dedup", "t_lm_score", "s3_serving_store_upsert",
-    "stream_sessionize", "t_curated_corpus", "sim_dup_clusters",
-    "j6_range_count",
-    "w4_sessionize", "j5_asof_join",
-    "x_comparison_ops", "x_mutation_arith",
-    "d_ngram_jaccard_pairs", "d_simhash_pairs",
-    "d_dup_clusters", "d_dedup_canonical",
-    "t_lang_id", "t_quality_score", "t_token_count", "t_fingerprint",
-    "t_corpus_stats", "t_pii_redact", "t_doc_chunks", "t_hash_split",
-    "t_top_ngrams", "t_distinctive_terms", "t_decontaminate",
-    "t_balanced_mix", "t_repetition_score", "t_global_shuffle",
-    "t_pack_sequences",
+    # new in round 5 — never driver-checked (registered below as added)
+    "d_url_dedup", "t_decontaminate_bloom", "t_stratified_sample",
+    "q2_min_cost_supplier", "a6_event_rate_windows", "j7_interval_overlap",
+    # no round-4 driver row (green r1-r3)
+    "s2_changelog_upsert", "agg_rollup_sets", "engine_run_index",
+    "d_exact_dedup", "d_minhash_signatures", "d_minhash_lsh_pairs",
+    "d_simhash", "x_mutation_string", "x_mutation_array",
+    "x_mutation_remove_key", "x_jsonpath", "x_type_coercion",
+    "x_template_substitution", "mm_metadata_extract", "mm_frame_sample",
+    "mm_resize_crop", "sim_topk_bruteforce", "sim_lsh_bucketed_ann",
+    "sim_label_blocked_neardup", "sim_ivf_ann", "sim_label_centroids",
+    "engine_pipeline_fold", "engine_task_runs_flat", "engine_result_counts",
+    "engine_streaming_fold", "engine_index_incremental", "stream_doc_dedup",
+    "stream_minhash_incremental",
 ]
 
 

@@ -107,6 +107,72 @@ def test_metadata_store_lifecycle_and_replay():
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_metadata_rename_frees_old_alias():
+    """A re-POST keeping the id but changing the name must retire the
+    old name: GET by old name 404s, a new resource may legitimately
+    reuse it (no phantom 409), and changelog replay agrees."""
+    d = tempfile.mkdtemp(prefix="meta-rename-")
+    try:
+        store = MetadataStore(d)
+        spec = store.post("wfSpec", _greet_spec())
+        renamed = dict(_greet_spec(), id=spec["id"], name="greeter-v2")
+        store.post("wfSpec", renamed)
+        assert store.get("wfSpec", "greeter-v2")["id"] == spec["id"]
+        with pytest.raises(MetadataError) as e:
+            store.get("wfSpec", "greeter")
+        assert e.value.status == 404
+        # the old name is genuinely free for a different id
+        fresh = store.post("wfSpec", dict(_greet_spec(), id="greeter-ng"))
+        assert fresh["id"] != spec["id"]
+        assert store.get("wfSpec", "greeter")["id"] == fresh["id"]
+        # replay reproduces the post-rename state, not the stale alias
+        store2 = MetadataStore(d)
+        assert store2.get("wfSpec", "greeter")["id"] == fresh["id"]
+        assert store2.get("wfSpec", "greeter-v2")["id"] == spec["id"]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_spec_redeploy_invalidates_run_engine_cache(spark):
+    """Re-POSTing a WFSpec stops the old continuous query and starts a
+    new one.  Commands against a run created BEFORE the redeploy must
+    route to the live replacement query — not hang the read-your-writes
+    barrier against the stopped one's frozen progress."""
+    workdir = Path(tempfile.mkdtemp(prefix="http-redeploy-"))
+    store = MetadataStore(str(workdir / "meta"))
+    mgr = SparkEngineManager(spark, str(workdir / "engines"),
+                             executor=_executor, trigger_seconds=0.2)
+    api = LittleHorseAPI(spark, metadata=store, engines=mgr,
+                         barrier_timeout=60.0)
+    srv = LittleHorseHTTPServer(api).start()
+    try:
+        port = srv.port
+        _req(port, "POST", "/taskDef", {"name": "greet"})
+        st, spec = _req(port, "POST", "/wfSpec", _greet_spec())
+        assert st == 201
+        old_handle = mgr.get("greeter")
+        st, r1 = _req(port, "POST", "/wfrun",
+                      {"wf_spec_name": "greeter", "variables": {"who": "ada"}})
+        assert st == 201
+
+        # spec update → redeploy (same id and name keeps the run's dirs)
+        st, _ = _req(port, "POST", "/wfSpec", dict(_greet_spec(),
+                                                   id=spec["id"]))
+        assert st == 201
+        assert mgr.get("greeter") is not old_handle
+
+        # command against the pre-redeploy run folds on the NEW query
+        # (would 500 after a 60 s barrier timeout with a stale handle)
+        st, _ = _req(port, "POST", f"/wfrun/{r1['id']}/stop")
+        assert st == 200
+        st, doc = _req(port, "GET", f"/wfrun/{r1['id']}")
+        assert st == 200 and doc["status"] == "COMPLETED"
+    finally:
+        srv.stop()
+        mgr.stop_all()
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
 def test_http_metadata_deploy_run_query(spark):
     """The harness flow HTTP-only: POST taskDef/externalEventDef/wfSpec
     (deploying two specs, each with its own engine) → POST /wfrun on

@@ -112,6 +112,43 @@ def test_upsert_rewrites_only_touched_buckets(store):
                       .collect()[0]["state_json"])["seq"] == 9
 
 
+def test_nbuckets_pinned_at_creation(store, monkeypatch):
+    """Bucket fanout is a creation-time property: later writers and
+    readers must keep the original hash→bucket mapping even if the
+    process-wide default changes (otherwise pruned point reads look in
+    the wrong partition and miss live keys)."""
+    from old_original_java_little_horse_spark.sinks import serving
+
+    spark, d = store
+    upsert_serving_stores(
+        _batch(spark, [_snap(f"r{i}", 1) for i in range(20)]), d, n_buckets=4)
+    sd = Path(snapshots_dir(d))
+    assert (sd / ".nbuckets").read_text() == "4"
+    assert {p.name for p in sd.glob("bucket=*")} <= {
+        f"bucket={i}" for i in range(4)}
+    # Default changes (new deploy, env override) — store keeps N=4.
+    monkeypatch.setattr(serving, "N_BUCKETS", 64)
+    upsert_serving_stores(_batch(spark, [_snap("r3", 9, "COMPLETED")]), d)
+    assert {p.name for p in sd.glob("bucket=*")} <= {
+        f"bucket={i}" for i in range(4)}
+    for rid, want in [("r3", "COMPLETED"), ("r11", "RUNNING")]:
+        rows = read_snapshot(spark, d, rid).collect()
+        assert len(rows) == 1 and rows[0]["status"] == want
+
+
+def test_corrupt_store_read_raises_not_lossy(store):
+    """A real read failure on an existing store must propagate (so the
+    micro-batch retries) — NOT silently degrade to a batch-only
+    overwrite that drops previously-stored keys in touched buckets."""
+    spark, d = store
+    upsert_serving_stores(
+        _batch(spark, [_snap(f"r{i}", 1) for i in range(20)]), d)
+    for p in Path(snapshots_dir(d)).glob("bucket=*/*.parquet"):
+        p.write_bytes(b"not a parquet footer")
+    with pytest.raises(Exception):
+        upsert_serving_stores(_batch(spark, [_snap("r1", 2)]), d)
+
+
 def test_randomized_upserts_equal_global_compaction(store):
     """Equivalence property: any partition of a changelog into upsert
     batches must produce the same store as one global latest-wins
