@@ -22,8 +22,14 @@ from old_original_java_little_horse_spark.session import get_spark
 
 HEADLINE = [
     "q1_pricing_summary",
+    "q2_min_cost_supplier",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "a7_event_rate_windows",
+    "j7_interval_overlap",
+    "d_url_dedup",
+    "t_decontaminate_bloom",
+    "t_stratified_sample",
     "j4_fifo_correlation",
     "a1_index_posting",
     "w1_position_numbering",

@@ -441,3 +441,161 @@ def t_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
              & ~F.coalesce("contaminated", F.lit(False))).alias("keep"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter decontamination (the at-scale variant of t_decontaminate)
+# --------------------------------------------------------------------------
+
+BLOOM_M = 1 << 20   # bits in the filter
+BLOOM_K = 3         # hash functions (md5 hex substrings 1-8, 9-16, 17-24)
+
+_BLOOM_POS_SQL = [
+    f"CAST(('0x' || substr(md5(s), {1 + 8 * i}, 8)) AS BIGINT) % {BLOOM_M}"
+    for i in range(BLOOM_K)
+]
+
+
+def _bloom_pos(col: Column, i: int) -> Column:
+    return (F.conv(F.substring(F.md5(col), 1 + 8 * i, 8), 16, 10)
+             .cast("long") % BLOOM_M)
+
+
+@query(
+    "t_decontaminate_bloom",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+), srows AS (
+  SELECT doc_id,
+         unnest(list_distinct(CASE WHEN len(w) >= {SHINGLE_K}
+             THEN list_transform(generate_series(1, len(w) - {SHINGLE_K - 1}),
+                                 i -> array_to_string(w[i:i+{SHINGLE_K - 1}], ' '))
+             ELSE [] END)) AS s
+  FROM t
+), ev AS (
+  SELECT DISTINCT s FROM srows WHERE {_BUCKET_SQL} % 100 >= {SPLIT_TRAIN}
+), bits AS (
+  SELECT DISTINCT p FROM (
+    SELECT {_BLOOM_POS_SQL[0]} AS p FROM ev
+    UNION ALL SELECT {_BLOOM_POS_SQL[1]} FROM ev
+    UNION ALL SELECT {_BLOOM_POS_SQL[2]} FROM ev
+  )
+), tr AS (
+  SELECT doc_id, s FROM srows WHERE {_BUCKET_SQL} % 100 < {SPLIT_TRAIN}
+), hit AS (
+  SELECT doc_id, s FROM tr
+  WHERE {_BLOOM_POS_SQL[0]} IN (SELECT p FROM bits)
+    AND {_BLOOM_POS_SQL[1]} IN (SELECT p FROM bits)
+    AND {_BLOOM_POS_SQL[2]} IN (SELECT p FROM bits)
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_flagged
+FROM hit GROUP BY doc_id
+""",
+)
+def t_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination by Bloom-filter probe: train docs whose shingles
+    hit a {BLOOM_M}-bit / {BLOOM_K}-hash filter built from the eval
+    splits' shingles, with the flagged-shingle count per doc.
+
+    The at-scale shape of `t_decontaminate`: the exact variant ships
+    the full DISTINCT eval-shingle set through a string-keyed join —
+    at 100 TB the eval STRING payload is what hurts, not the row
+    count.  The Bloom probe replaces it with membership against a
+    fixed {BLOOM_M}-bit position set: the filter side shrinks to at
+    most 3x|eval shingles| deduped BIGINTs (bounded by the bit-array
+    size — a broadcast-sized artifact by construction, which is the
+    whole point of a Bloom filter), and the probe is {BLOOM_K} chained
+    broadcast LEFT SEMI hash joins on a long key — all JVM-side, no
+    strings shuffled, map-side only (zero exchange on the train side).
+    False-positive rate ~ (3|ev|/m)^3; deterministic (md5-derived
+    positions), so the oracle reproduces the same filter bit-for-bit.
+    A doc's n_flagged >= its true n_hits: this op is the cheap
+    OVER-approximating screen you run first, `t_decontaminate` the
+    exact confirm on the survivors."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingle_rows_df(d, SHINGLE_K).select(
+        "doc_id", "s", _md5_bucket(F.col("doc_id"), 100).alias("bucket"))
+    ev = (sh.where(F.col("bucket") >= SPLIT_TRAIN).select("s").distinct())
+    bits = (ev.select(F.explode(F.array(*[
+                _bloom_pos(F.col("s"), i) for i in range(BLOOM_K)
+            ])).alias("p")).distinct())
+    tr = sh.where(F.col("bucket") < SPLIT_TRAIN).select("doc_id", "s")
+    probe = tr.select(
+        "doc_id", *[_bloom_pos(F.col("s"), i).alias(f"p{i}")
+                    for i in range(BLOOM_K)])
+    for i in range(BLOOM_K):
+        probe = probe.join(
+            F.broadcast(bits.withColumnRenamed("p", f"p{i}")),
+            f"p{i}", "left_semi")
+    return probe.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_flagged"))
+
+
+# --------------------------------------------------------------------------
+# Stratified sampling with proportional allocation
+# --------------------------------------------------------------------------
+
+SAMPLE_TOTAL = 200  # target corpus-wide sample size
+
+
+@query(
+    "t_stratified_sample",
+    oracle=f"""
+WITH c AS (
+  SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+), t AS (
+  SELECT SUM(n) AS total FROM c
+), k AS (
+  SELECT lang, CAST((n * {SAMPLE_TOTAL} + total - 1) // total AS BIGINT) AS quota
+  FROM c, t
+), r AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+)
+SELECT doc_id, r.lang, CAST(rk AS BIGINT) AS rk, quota
+FROM r JOIN k ON r.lang = k.lang WHERE rk <= quota
+""",
+)
+def t_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: ~{SAMPLE_TOTAL} docs allocated
+    to language strata proportionally to stratum size (exact-integer
+    ceil division — no float quotas), each stratum sampled by md5-rank
+    (a uniform pseudo-random order that any re-run, any engine, and
+    the oracle reproduce exactly).
+
+    The eval-set / ablation-corpus builder: unlike `t_balanced_mix`
+    (equal quotas at the smallest stratum), allocation preserves the
+    corpus distribution.  Scale shape: stratum counts are one
+    map-side-combined groupBy; the quota table (|langs| rows) and the
+    single-row total BROADCAST back onto the rank window — the only
+    real exchange is the per-stratum sort, partitioned by lang.  Skew
+    note: a dominant stratum (en at ~44%) concentrates one partition's
+    sort; at 100 TB swap the row_number for the md5-threshold filter
+    (keep if md5 < quota/n scaled), which is exchange-free at the cost
+    of approximate quota sizes."""
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    # The corpus total is a 1-row aggregate attached by broadcast;
+    # Catalyst plans a scalar cross join as a BroadcastNestedLoopJoin
+    # whose build side is that single row — constant work per stratum
+    # row, nothing like a data-sized nested loop (plan-pinned).
+    total = c.agg(F.sum("n").alias("total"))
+    k = (c.crossJoin(F.broadcast(total))
+          .select("lang", F.expr(
+              f"CAST((n * {SAMPLE_TOTAL} + total - 1) div total AS BIGINT)")
+              .alias("quota")))
+    r = d.select(
+        "doc_id", "lang",
+        F.row_number().over(
+            Window.partitionBy("lang")
+            .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id"))
+         .alias("rk"))
+    return (r.join(F.broadcast(k), "lang")
+            .where(F.col("rk") <= F.col("quota"))
+            .select("doc_id", "lang", F.col("rk").cast("long").alias("rk"),
+                    "quota"))

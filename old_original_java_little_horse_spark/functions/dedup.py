@@ -670,3 +670,98 @@ def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
         .where(F.col("hamming") <= SIMHASH_HAMMING_T)
     )
+
+
+# --------------------------------------------------------------------------
+# URL-normalized dedup (the CommonCrawl-style fetch-dedup pass)
+# --------------------------------------------------------------------------
+
+# The corpus has no URL column, so a crawl-shaped URL is DERIVED
+# deterministically per document (same expression in the oracle):
+# host from `source`, page slot from doc_id mod 240 (collisions = the
+# same page fetched more than once), and an md5-picked messy variant —
+# plain http, uppercased host, trailing slash, or tracking query —
+# exactly the noise URL normalization exists to cancel.
+_URL_PAGE_MOD = 240
+
+_URL_SQL = """
+CASE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS BIGINT) % 4
+  WHEN 0 THEN 'https://' || source || '.example.com/doc/' || (doc_id % 240)
+  WHEN 1 THEN 'https://' || upper(source) || '.EXAMPLE.COM/doc/' || (doc_id % 240)
+  WHEN 2 THEN 'https://' || source || '.example.com/doc/' || (doc_id % 240) || '/'
+  ELSE 'http://' || source || '.example.com/doc/' || (doc_id % 240) || '?utm_source=feed&ref=rss'
+END
+"""
+
+
+def _url_col() -> Column:
+    variant = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2),
+                      16, 10).cast("long") % 4)
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    page = F.concat(F.lit("/doc/"),
+                    (F.col("doc_id") % _URL_PAGE_MOD).cast("string"))
+    base = F.concat(F.lit("https://"), host, page)
+    return (F.when(variant == 0, base)
+             .when(variant == 1, F.concat(F.lit("https://"), F.upper(host),
+                                          page))
+             .when(variant == 2, F.concat(base, F.lit("/")))
+             .otherwise(F.concat(F.lit("http://"), host, page,
+                                 F.lit("?utm_source=feed&ref=rss"))))
+
+
+@query(
+    "d_url_dedup",
+    oracle=f"""
+WITH u AS (
+  SELECT doc_id, n_chars, {_URL_SQL} AS url FROM documents
+), n AS (
+  SELECT doc_id, n_chars,
+         lower(regexp_replace(regexp_replace(regexp_replace(url,
+               '^http://', 'https://'), '\\?.*$', ''), '/$', '')) AS url_norm
+  FROM u
+), r AS (
+  SELECT url_norm, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY url_norm
+                            ORDER BY n_chars DESC, doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY url_norm) AS n_dups
+  FROM n
+)
+SELECT url_norm,
+       doc_id            AS canonical_doc_id,
+       CAST(n_dups AS BIGINT) AS n_dups
+FROM r WHERE rk = 1
+""",
+)
+def d_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One canonical document per normalized URL — the fetch-level
+    dedup every crawl corpus runs before any content dedup (the same
+    page arrives as http/https, cased hosts, trailing slashes, and
+    tracking-parameter variants).
+
+    Normalization = scheme unification + query-string strip + trailing
+    slash strip + lowercase, all JVM-side `regexp_replace`/`lower`
+    (no UDF).  Canonical pick: longest text wins, doc_id tiebreak.
+    Scale shape: stateless normalize, then ONE exchange on the
+    normalized URL (uniform keys — URL hash has no skew) with a
+    window rank; identical motion to `d_exact_dedup`'s hash-groupBy,
+    keyed on the normalized URL instead of the content hash."""
+    d = load_table(spark, sf_dir, "documents")
+    u = d.select("doc_id", "n_chars", _url_col().alias("url"))
+    norm = F.lower(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("url"), "^http://", "https://"),
+                r"\?.*$", ""),
+            "/$", ""))
+    n = u.select("doc_id", "n_chars", norm.alias("url_norm"))
+    from pyspark.sql import Window as W
+    win = W.partitionBy("url_norm")
+    r = n.select(
+        "url_norm", "doc_id",
+        F.row_number().over(win.orderBy(F.col("n_chars").desc(), "doc_id"))
+         .alias("rk"),
+        F.count(F.lit(1)).over(win).alias("n_dups"),
+    )
+    return (r.where(F.col("rk") == 1)
+            .select("url_norm", F.col("doc_id").alias("canonical_doc_id"),
+                    F.col("n_dups").cast("long").alias("n_dups")))

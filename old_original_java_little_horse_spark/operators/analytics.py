@@ -325,3 +325,117 @@ def j6_range_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce("n", F.lit(0)).cast("long")
                  .alias("n_nearby_clicks"))
     )
+
+
+# --------------------------------------------------------------------------
+# A6 — tumbling-window event rates (the streaming dashboard rollup)
+# --------------------------------------------------------------------------
+
+@query(
+    "a7_event_rate_windows",
+    oracle="""
+SELECT epoch_us(date_trunc('hour', ts))   AS window_start_us,
+       event_type,
+       CAST(COUNT(*) AS BIGINT)           AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY 1, 2
+""",
+)
+def a7_event_rate_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour, per-type event rates: counts, distinct users, and
+    cent-quantized value totals over tumbling 1-hour windows — the
+    rollup behind every rate dashboard and alerting threshold.
+
+    Spark-first: `F.window(ts, '1 hour')` keyed with event_type is ONE
+    exchange with map-side partial aggregation (count/sum combine;
+    distinct users expand to (window, type, user) partials first — all
+    Catalyst-planned, no UDFs).  The identical plan runs under
+    `readStream` with a watermark for the continuous variant
+    (`streaming/queries.py` sessionizer shows the same batch/stream
+    twinning).  Tumbling windows align to the epoch, so the oracle's
+    `date_trunc('hour')` is the same bucketing under the pinned-UTC
+    session."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+             .alias("value_cents"),
+        )
+        .select(
+            F.unix_micros("w.start").alias("window_start_us"),
+            "event_type", "n_events", "n_users", "value_cents",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# J7 — interval-overlap attribution (errors → containing session)
+# --------------------------------------------------------------------------
+
+@query(
+    "j7_interval_overlap",
+    oracle=f"""
+WITH o AS (
+  SELECT user_id, event_id, ts, event_type,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), m AS (
+  SELECT user_id, ts,
+         SUM(CASE WHEN prev IS NULL
+                    OR epoch_us(ts) - epoch_us(prev) > {SESSION_GAP_US}
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM o
+), s AS (
+  SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+         MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM m GROUP BY 1, 2
+), err AS (
+  SELECT user_id, epoch_us(ts) AS t FROM events WHERE event_type = 'error'
+)
+SELECT s.user_id, s.session_idx, s.start_us, s.end_us, s.n_events,
+       CAST(COUNT(err.t) AS BIGINT) AS n_errors
+FROM s LEFT JOIN err
+  ON s.user_id = err.user_id AND err.t BETWEEN s.start_us AND s.end_us
+GROUP BY 1, 2, 3, 4, 5
+""",
+)
+def j7_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every session with the count of error events it contains — the
+    point-in-interval overlap join (attribute each error to the
+    session interval covering it).
+
+    The oracle states it as the literal interval join: sessions LEFT
+    JOIN errors ON user AND t BETWEEN start AND end — per-user
+    sessions x errors candidate pairs, quadratic for active users.
+    The Spark formulation exploits that the intervals are DERIVED from
+    the same stream the probes live in: sessionize once with an
+    is-error flag per event and aggregate — the session id IS the
+    containing interval.  ONE exchange on user_id, linear scan, zero
+    join; per-key cost never depends on how many errors a power user
+    has.  (For intervals that are NOT derived from the probe stream,
+    `j6_range_count` shows the bucketized equi-join rewrite.)"""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("ts").over(w)
+    is_new = (prev.isNull()
+              | (F.unix_micros(F.col("ts")) - F.unix_micros(prev)
+                 > SESSION_GAP_US)).cast("long")
+    m = e.select(
+        "user_id", "ts",
+        (F.col("event_type") == "error").cast("long").alias("is_err"),
+        F.sum(is_new).over(run).alias("session_idx"),
+    )
+    return m.groupBy("user_id", "session_idx").agg(
+        F.min(F.unix_micros("ts")).alias("start_us"),
+        F.max(F.unix_micros("ts")).alias("end_us"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("is_err").alias("n_errors"),
+    )

@@ -635,3 +635,69 @@ def agg_rollup_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders", "total",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Q2-shape: min-cost supplier per part (argmin join over a region)
+# --------------------------------------------------------------------------
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+WITH euro AS (
+  SELECT s_suppkey, s_name, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+), offer AS (
+  SELECT l_partkey AS p_partkey, s_suppkey, s_name, n_name,
+         MIN(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+             // CAST(l_quantity AS BIGINT)) AS cost_cents
+  FROM lineitem JOIN euro ON l_suppkey = s_suppkey
+  GROUP BY 1, 2, 3, 4
+), best AS (
+  SELECT p_partkey, s_suppkey, s_name, n_name, cost_cents,
+         ROW_NUMBER() OVER (PARTITION BY p_partkey
+                            ORDER BY cost_cents, s_suppkey) AS rk
+  FROM offer
+)
+SELECT p_partkey, s_name, n_name, cost_cents
+FROM best WHERE rk = 1
+""",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every part shipped by a European supplier, the supplier
+    offering the lowest observed unit cost — TPC-H Q2's argmin-join
+    shape re-expressed over this schema's tables (no partsupp table;
+    the offer book is derived from lineitem).
+
+    Unit cost is exact-integer: price to cents (one float round whose
+    parity w4 already proves), then BIGINT floor-division by quantity
+    — MIN over integers is order-independent, so the hash can't drift.
+    Scale shape: supplier x nation x region collapse to a BROADCAST
+    dim (supplier is the small side by construction), lineitem takes
+    ONE exchange into the (part, supplier) partial-aggregated offer
+    book, and the argmin is a window on part — the textbook
+    scan -> broadcast -> partial-agg -> rank plan, no subquery
+    re-scan of lineitem (the literal TPC-H Q2 correlated subquery
+    would read it twice)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    euro = (s.join(n, s.s_nationkey == n.n_nationkey)
+             .join(r.where(F.col("r_name") == "EUROPE"),
+                   n.n_regionkey == F.col("r_regionkey"))
+             .select("s_suppkey", "s_name", "n_name"))
+    cost = F.expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT) "
+                  "div CAST(l_quantity AS BIGINT)")
+    offer = (li.join(F.broadcast(euro), li.l_suppkey == euro.s_suppkey)
+             .groupBy(F.col("l_partkey").alias("p_partkey"),
+                      "s_suppkey", "s_name", "n_name")
+             .agg(F.min(cost).alias("cost_cents")))
+    best = offer.withColumn(
+        "rk", F.row_number().over(
+            Window.partitionBy("p_partkey")
+            .orderBy("cost_cents", "s_suppkey")))
+    return (best.where(F.col("rk") == 1)
+            .select("p_partkey", "s_name", "n_name", "cost_cents"))

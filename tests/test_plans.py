@@ -177,3 +177,49 @@ def test_j6_range_join_is_hash_not_nested_loop(spark):
     assert "NestedLoop" not in txt and "CartesianProduct" not in txt, txt
     # equality join present (broadcast at smoke scale; shuffled-hash at 100TB)
     assert "HashJoin" in txt, txt
+
+
+def test_r5_linear_scan_ops_single_exchange(spark):
+    """j7 (interval attribution) and d_url_dedup (normalized-URL
+    dedup) are one-exchange linear scans: window + rollup share the
+    partition key, no join operator anywhere."""
+    for name in ("j7_interval_overlap", "d_url_dedup"):
+        df = Q[name].fn(spark, SF_SMOKE)
+        assert count_exchanges(df) == 1, (name, explain_str(df))
+        ops = physical_ops(df)
+        assert not any("Join" in op for op in ops), (name, ops)
+
+
+def test_q2_broadcast_dims_and_rank_pushdown(spark):
+    """The argmin join broadcasts the supplier dim (lineitem never
+    shuffles for the join) and prunes below the rank window
+    (WindowGroupLimit) instead of ranking full groups."""
+    df = Q["q2_min_cost_supplier"].fn(spark, SF_SMOKE)
+    ops = physical_ops(df)
+    assert "BroadcastHashJoin" in ops, ops
+    assert "SortMergeJoin" not in ops, ops
+    assert "WindowGroupLimit" in ops, ops
+    assert count_exchanges(df) <= 2, explain_str(df)
+
+
+def test_bloom_probe_is_broadcast_semi(spark):
+    """The Bloom probe side must stay map-side: membership tests plan
+    as broadcast hash joins (no shuffle of the train shingles for the
+    probe, no nested loop)."""
+    df = Q["t_decontaminate_bloom"].fn(spark, SF_SMOKE)
+    ops = physical_ops(df)
+    assert ops.count("BroadcastHashJoin") >= 3, ops
+    assert "SortMergeJoin" not in ops and "CartesianProduct" not in ops, ops
+
+
+def test_stratified_sample_broadcast_quota(spark):
+    """The quota table joins back to the rank side by BROADCAST hash
+    join (the corpus never shuffles for it).  The only nested loop
+    allowed is the scalar corpus-total attach — a broadcast of ONE
+    aggregated row, constant work per stratum."""
+    df = Q["t_stratified_sample"].fn(spark, SF_SMOKE)
+    ops = physical_ops(df)
+    assert "BroadcastHashJoin" in ops, ops
+    assert "SortMergeJoin" not in ops, ops
+    assert "CartesianProduct" not in ops, ops
+    assert ops.count("BroadcastNestedLoopJoin") <= 1, ops
