@@ -339,6 +339,54 @@ def cmd_delete(args) -> int:
     return 0 if st < 400 else 1
 
 
+def cmd_work(args) -> int:
+    """Standalone per-TaskDef worker (the reference's
+    DockerTaskDeployer contract, `DockerTaskDeployer.java:40-88`: one
+    worker deployment per TaskDef consuming that TaskDef's own request
+    topic).  File mode: polls the spec engine's tagged output for this
+    TaskDef's `task_schedule` rows, executes them through the
+    idempotent `TaskWorker` (duplicate schedule deliveries across
+    polls are skipped on the task-run attempt key), and appends the
+    started/ended TASK_EVENTs to the engine's event-topic dir, where
+    the continuous query folds them.  With a Kafka transport the same
+    loop consumes the TaskDef topic instead (`sources/kafka.py`)."""
+    import importlib
+
+    import pyspark.sql.functions as F
+
+    from .engine.worker import TaskWorker
+
+    mod_name, _, attr = args.executor.partition(":")
+    fn = getattr(importlib.import_module(mod_name), attr)
+    spark = _spark()
+    root = Path(args.base_dir) / "engines" / args.spec
+    out_dir, events_dir = root / "out", root / "events"
+    worker = TaskWorker({args.task_def: fn},
+                        worker_id=f"worker-{args.task_def}")
+    deadline = (time.time() + args.max_seconds) if args.max_seconds else None
+    n_done = 0
+    while True:
+        if any(out_dir.rglob("*.parquet")):
+            rows = (spark.read.parquet(str(out_dir))
+                    .where((F.col("kind") == "task_schedule")
+                           & (F.col("task_def_name") == args.task_def))
+                    .select("payload").collect())
+            for r in rows:
+                tsr = json.loads(r["payload"])
+                evs = worker.handle(tsr, int(time.time() * 1000),
+                                    time.time_ns() // 1000)
+                for ev in evs:
+                    _write_event(spark, str(events_dir), ev)
+                if evs:
+                    n_done += 1
+                    print(f"executed {tsr['task_def_name']} for "
+                          f"{tsr['wf_run_id']} pos {tsr['task_run_position']}")
+        if deadline is not None and time.time() >= deadline:
+            print(f"worker exiting: {n_done} task(s) executed")
+            return 0
+        time.sleep(args.poll)
+
+
 def cmd_serve(args) -> int:
     """Boot the full API server (the reference's `LittleHorseAPI`
     process): metadata store + per-spec engine manager + HTTP front
@@ -448,6 +496,19 @@ def main(argv: list[str] | None = None) -> int:
                     help="use the transformWithStateInPandas engine "
                          "(needs protobuf)")
     pr.set_defaults(fn=cmd_process)
+
+    wk = sub.add_parser("work", help="standalone per-TaskDef worker "
+                                     "(DockerTaskDeployer contract)")
+    wk.add_argument("--base-dir", required=True,
+                    help="serve state root (engines/ lives here)")
+    wk.add_argument("--spec", required=True, help="WFSpec name (engine dir)")
+    wk.add_argument("--task-def", required=True)
+    wk.add_argument("--executor", required=True,
+                    help="module.path:function(subs) -> result dict")
+    wk.add_argument("--poll", type=float, default=0.5)
+    wk.add_argument("--max-seconds", type=float, default=0,
+                    help="exit after this long (0 = run forever)")
+    wk.set_defaults(fn=cmd_work)
 
     sv = sub.add_parser("serve", help="boot the HTTP API server "
                                       "(metadata + per-spec engines)")

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import shutil
 import tempfile
+import time
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -342,6 +343,105 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True).start().awaitTermination())
 
     out = spark.read.parquet(out_dir)
+    rows = out.collect()
+    shutil.rmtree(workdir, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+@query(
+    "stream_event_rates",
+    oracle="""
+SELECT epoch_us(date_trunc('hour', ts))   AS window_start_us,
+       event_type,
+       CAST(COUNT(*) AS BIGINT)           AS n_events,
+       CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY 1, 2
+""",
+)
+def stream_event_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour per-type rates as a WATERMARKED streaming
+    aggregation in append mode — the canonical Structured Streaming
+    windowed agg (`a7_event_rate_windows` is the batch twin, minus its
+    distinct-user count, which append-mode watermark semantics layer
+    over the same plan).
+
+    Watermark + append matters here (vs `stream_sessionize`'s
+    complete-mode replay): each window emits EXACTLY ONCE, when the
+    watermark passes its end, and state for closed windows is dropped
+    — the form that holds at unbounded stream length.  The replay
+    models a real arrival order: events are cut into three TIME slices
+    delivered as strictly-ordered availableNow runs against one
+    checkpoint (a watermark presumes in-order-ish arrival; shuffling
+    the whole month into arbitrary files would mark most of it late —
+    that lateness path has its own tests).  Windows close
+    progressively as the watermark advances between runs; the windows
+    still open after the last slice are closed by a FLUSH SENTINEL
+    run (one `__flush__` event 3 h past max event time — its own
+    window is the only state left unemitted, filtered out).  ONE
+    stateful exchange on (window, event_type); map-side partial
+    aggregation ahead of it exactly as in batch.
+    """
+    import os
+
+    workdir = tempfile.mkdtemp(prefix="stream-rates-q-")
+    ev_dir = f"{workdir}/events"
+    os.makedirs(ev_dir)
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    # Three time slices (ntile over ts) + the flush sentinel, staged
+    # as separate directories and moved into the source dir run by run.
+    from pyspark.sql import Window as _W
+
+    sliced = ev.withColumn(
+        "_slice", F.ntile(3).over(_W.orderBy("ts")))
+    slice_dirs = []
+    for i in (1, 2, 3):
+        d = f"{workdir}/slice{i}"
+        (sliced.where(F.col("_slice") == i).drop("_slice")
+         .coalesce(1).write.parquet(d))
+        slice_dirs.append(d)
+    flush_ts = ev.agg(
+        (F.max(F.unix_micros("ts")) + 3 * 3600 * 1_000_000).alias("t")
+    ).collect()[0]["t"]
+    sentinel_dir = f"{workdir}/sentinel"
+    (spark.createDataFrame([(flush_ts,)], "t long")
+     .select(F.timestamp_micros("t").alias("ts"),
+             F.lit("__flush__").alias("event_type"),
+             F.lit(0.0).alias("value"))
+     .coalesce(1).write.parquet(sentinel_dir))
+    slice_dirs.append(sentinel_dir)
+
+    schema = spark.read.parquet(slice_dirs[0]).schema
+    out_dir = f"{workdir}/out"
+    with scoped_conf(spark,
+                     {"spark.sql.shuffle.partitions": str(_STREAM_PARTS)}):
+        stream = spark.readStream.schema(schema).parquet(ev_dir)
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+                  .alias("value_cents"))
+            .select(F.unix_micros("w.start").alias("window_start_us"),
+                    "event_type", "n_events", "value_cents")
+        )
+        # NB: no in-stream sentinel filter — a predicate on event_type
+        # would be PUSHED BELOW the watermark node by Catalyst,
+        # silently removing the sentinel before it can advance the
+        # watermark (observed).  The sentinel's own window never closes
+        # (nothing arrives after it), so it cannot reach the sink; the
+        # read-side filter below is belt-and-braces only.
+        for n, d in enumerate(slice_dirs):
+            for f in os.listdir(d):
+                if f.endswith(".parquet"):
+                    os.rename(os.path.join(d, f),
+                              os.path.join(ev_dir, f"s{n}-{f}"))
+            (agg.writeStream.outputMode("append")
+                .format("parquet").option("path", out_dir)
+                .option("checkpointLocation", f"{workdir}/ckpt")
+                .trigger(availableNow=True).start().awaitTermination())
+
+    out = (spark.read.parquet(out_dir)
+           .where(F.col("event_type") != "__flush__"))
     rows = out.collect()
     shutil.rmtree(workdir, ignore_errors=True)
     return spark.createDataFrame(rows, out.schema)

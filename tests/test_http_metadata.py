@@ -107,6 +107,58 @@ def test_metadata_store_lifecycle_and_replay():
         shutil.rmtree(d, ignore_errors=True)
 
 
+def _greet_task(subs: dict) -> dict:
+    """Worker-contract executor (fn(subs) -> result) for `cli work`."""
+    return {"stdout": f"hi {subs['name']}", "success": True, "returncode": 0}
+
+
+def test_cli_work_out_of_process_worker(spark):
+    """The DockerTaskDeployer contract end-to-end in file mode: an
+    engine deployed WITHOUT an inline executor emits task_schedule
+    rows; a standalone `lhctl-spark work` loop polls them, executes,
+    and appends TASK_EVENTs the continuous query folds — the run
+    completes with the worker's stdout, asynchronously."""
+    import threading
+    import time as _time
+
+    from old_original_java_little_horse_spark.cli import main as cli_main
+
+    workdir = Path(tempfile.mkdtemp(prefix="cli-work-"))
+    store = MetadataStore(str(workdir / "meta"))
+    mgr = SparkEngineManager(spark, str(workdir / "engines"),
+                             executor=None, trigger_seconds=0.2)
+    api = LittleHorseAPI(spark, metadata=store, engines=mgr)
+    srv = LittleHorseHTTPServer(api).start()
+    try:
+        port = srv.port
+        _req(port, "POST", "/taskDef", {"name": "greet"})
+        st, _ = _req(port, "POST", "/wfSpec", _greet_spec())
+        assert st == 201
+        st, r1 = _req(port, "POST", "/wfrun",
+                      {"wf_spec_name": "greeter", "variables": {"who": "ada"}})
+        assert st == 201
+
+        t = threading.Thread(target=cli_main, args=([
+            "work", "--base-dir", str(workdir), "--spec", "greeter",
+            "--task-def", "greet",
+            "--executor", "tests.test_http_metadata:_greet_task",
+            "--poll", "0.3", "--max-seconds", "45"],), daemon=True)
+        t.start()
+
+        doc = None
+        for _ in range(150):
+            st, doc = _req(port, "GET", f"/wfrun/{r1['id']}")
+            if st == 200 and doc.get("status") == "COMPLETED":
+                break
+            _time.sleep(0.3)
+        assert doc is not None and doc["status"] == "COMPLETED", doc
+        assert doc["thread_runs"][0]["task_runs"][0]["stdout"] == "hi ada"
+    finally:
+        srv.stop()
+        mgr.stop_all()
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
 def test_metadata_rename_frees_old_alias():
     """A re-POST keeping the id but changing the name must retire the
     old name: GET by old name 404s, a new resource may legitimately
