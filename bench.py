@@ -30,6 +30,7 @@ HEADLINE = [
     "d_url_dedup",
     "t_decontaminate_bloom",
     "t_stratified_sample",
+    "t_source_overlap",
     "j4_fifo_correlation",
     "a1_index_posting",
     "w1_position_numbering",

@@ -356,31 +356,47 @@ def cmd_work(args) -> int:
 
     from .engine.worker import TaskWorker
 
+    from .streaming.engine import OUTPUT_SCHEMA
+
     mod_name, _, attr = args.executor.partition(":")
     fn = getattr(importlib.import_module(mod_name), attr)
     spark = _spark()
     root = Path(args.base_dir) / "engines" / args.spec
     out_dir, events_dir = root / "out", root / "events"
+    # The worker keeps its OWN streaming checkpoint over the engine's
+    # tagged output: each poll is an availableNow run that reads only
+    # files not yet consumed — O(new schedule rows) per poll, never a
+    # rescan of the engine's full history (the consumer-group offset
+    # of the Kafka variant, in file-source form).
+    ckpt = root / "work-ckpt" / args.task_def
     worker = TaskWorker({args.task_def: fn},
                         worker_id=f"worker-{args.task_def}")
     deadline = (time.time() + args.max_seconds) if args.max_seconds else None
     n_done = 0
+
+    def execute_batch(batch_df, _batch_id):
+        nonlocal n_done
+        rows = (batch_df
+                .where((F.col("kind") == "task_schedule")
+                       & (F.col("task_def_name") == args.task_def))
+                .select("payload").collect())
+        for r in rows:
+            tsr = json.loads(r["payload"])
+            evs = worker.handle(tsr, int(time.time() * 1000),
+                                time.time_ns() // 1000)
+            for ev in evs:
+                _write_event(spark, str(events_dir), ev)
+            if evs:
+                n_done += 1
+                print(f"executed {tsr['task_def_name']} for "
+                      f"{tsr['wf_run_id']} pos {tsr['task_run_position']}")
+
     while True:
         if any(out_dir.rglob("*.parquet")):
-            rows = (spark.read.parquet(str(out_dir))
-                    .where((F.col("kind") == "task_schedule")
-                           & (F.col("task_def_name") == args.task_def))
-                    .select("payload").collect())
-            for r in rows:
-                tsr = json.loads(r["payload"])
-                evs = worker.handle(tsr, int(time.time() * 1000),
-                                    time.time_ns() // 1000)
-                for ev in evs:
-                    _write_event(spark, str(events_dir), ev)
-                if evs:
-                    n_done += 1
-                    print(f"executed {tsr['task_def_name']} for "
-                          f"{tsr['wf_run_id']} pos {tsr['task_run_position']}")
+            (spark.readStream.schema(OUTPUT_SCHEMA).parquet(str(out_dir))
+             .writeStream.foreachBatch(execute_batch)
+             .option("checkpointLocation", str(ckpt))
+             .trigger(availableNow=True).start().awaitTermination())
         if deadline is not None and time.time() >= deadline:
             print(f"worker exiting: {n_done} task(s) executed")
             return 0

@@ -398,3 +398,81 @@ def t_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
              .cast("long").alias("lm_score_x1m"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-source overlap matrix (between-snapshot duplication measurement)
+# --------------------------------------------------------------------------
+
+from .dedup import SHINGLE_K as _OVERLAP_K
+
+@query(
+    "t_source_overlap",
+    oracle=f"""
+WITH t AS (
+  SELECT source,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+), srows AS (
+  SELECT source,
+         unnest(list_distinct(CASE WHEN len(w) >= {_OVERLAP_K}
+             THEN list_transform(generate_series(1, len(w) - {_OVERLAP_K - 1}),
+                                 i -> array_to_string(w[i:i+{_OVERLAP_K - 1}], ' '))
+             ELSE [] END)) AS s
+  FROM t
+), ss AS (
+  SELECT DISTINCT source, s FROM srows
+), c AS (
+  SELECT source, COUNT(*) AS n FROM ss GROUP BY source
+), p AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM ss a JOIN ss b ON a.s = b.s AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_shared,
+       CAST(ca.n AS BIGINT) AS n_a,
+       CAST(cb.n AS BIGINT) AS n_b,
+       CAST(n_shared * 1000000 // (ca.n + cb.n - n_shared) AS BIGINT)
+         AS jaccard_x1m
+FROM p JOIN c ca ON p.source_a = ca.source
+       JOIN c cb ON p.source_b = cb.source
+""",
+)
+def t_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise shingle overlap between sources — the duplication
+    matrix a corpus team runs between crawl snapshots / dataset
+    components before mixing them (how much of source B is already in
+    source A), with exact-integer Jaccard (ppm).
+
+    Scale shape: distinct (source, shingle) first — that rolls the
+    corpus down to its vocabulary BEFORE any join — then a self-join
+    on the shingle string whose per-key fanout is bounded by the
+    number of SOURCES carrying that shingle (≤ |sources| per key, a
+    few dozen — never corpus-sized; with thousands of sources you'd
+    grid the per-shingle source lists like `grid_self_pairs`).  The
+    per-source totals re-attach by BROADCAST (|sources| rows).  One
+    content-keyed exchange for the distinct, one for the pair join,
+    map-side partial aggregation on both."""
+    from .dedup import shingle_rows_df
+
+    d = load_table(spark, sf_dir, "documents")
+    ss = shingle_rows_df(d, _OVERLAP_K).select("source", "s").distinct()
+    c = ss.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a, b = ss.alias("a"), ss.alias("b")
+    p = (a.join(b, (F.col("a.s") == F.col("b.s"))
+                & (F.col("a.source") < F.col("b.source")))
+         .groupBy(F.col("a.source").alias("source_a"),
+                  F.col("b.source").alias("source_b"))
+         .agg(F.count(F.lit(1)).alias("n_shared")))
+    ca = F.broadcast(c.select(F.col("source").alias("source_a"),
+                              F.col("n").alias("n_a")))
+    cb = F.broadcast(c.select(F.col("source").alias("source_b"),
+                              F.col("n").alias("n_b")))
+    return (p.join(ca, "source_a").join(cb, "source_b")
+            .select("source_a", "source_b",
+                    F.col("n_shared").cast("long").alias("n_shared"),
+                    F.col("n_a").cast("long").alias("n_a"),
+                    F.col("n_b").cast("long").alias("n_b"),
+                    F.expr("n_shared * 1000000L div (n_a + n_b - n_shared)")
+                     .alias("jaccard_x1m")))

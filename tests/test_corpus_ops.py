@@ -105,3 +105,19 @@ def test_hash_split_is_stable_and_complete(spark, planted_sf_dir):
     b = sorted(tuple(r) for r in specs["t_hash_split"].fn(spark, planted_sf_dir).collect())
     assert a == b  # deterministic across runs
     assert {r[2] for r in a} <= {"train", "val", "test"}
+
+
+def test_bloom_screen_is_superset_of_exact(spark):
+    """The Bloom decontamination screen may over-flag (false positives
+    by design) but must NEVER under-flag: every doc the exact op finds
+    contaminated appears in the Bloom output with n_flagged >= its
+    exact n_hits — the property that makes screen-then-confirm sound."""
+    Q = all_queries()
+    exact = {r["doc_id"]: r["n_hits"]
+             for r in Q["t_decontaminate"].fn(spark, SF_SMOKE).collect()}
+    bloom = {r["doc_id"]: r["n_flagged"]
+             for r in Q["t_decontaminate_bloom"].fn(spark, SF_SMOKE).collect()}
+    assert exact, "planted corpus should have contamination"
+    for doc_id, n_hits in exact.items():
+        assert doc_id in bloom, f"exact-contaminated doc {doc_id} not screened"
+        assert bloom[doc_id] >= n_hits, (doc_id, bloom[doc_id], n_hits)
