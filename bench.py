@@ -24,7 +24,9 @@ HEADLINE = [
     "q1_pricing_summary",
     "q2_min_cost_supplier",
     "q3_shipping_priority",
+    "q4_priority_semi",
     "q5_local_supplier_volume",
+    "q22_idle_customers_anti",
     "a7_event_rate_windows",
     "j7_interval_overlap",
     "d_url_dedup",

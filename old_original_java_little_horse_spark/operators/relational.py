@@ -701,3 +701,84 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("cost_cents", "s_suppkey")))
     return (best.where(F.col("rk") == 1)
             .select("p_partkey", "s_name", "n_name", "cost_cents"))
+
+
+# --------------------------------------------------------------------------
+# Q4-shape: existence rollup (LEFT SEMI join)
+# --------------------------------------------------------------------------
+
+@query(
+    "q4_priority_semi",
+    oracle="""
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+""",
+)
+def q4_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders with at least one returned line item, counted by
+    priority — TPC-H Q4's EXISTS shape on this schema (no commit /
+    receipt dates here; the predicate is the return flag).
+
+    The semi join is the right physical shape for EXISTS: the probe
+    emits each order AT MOST ONCE no matter how many matching line
+    items exist (an inner join + distinct would shuffle the multiplied
+    matches first).  Both sides shuffle on l_orderkey/o_orderkey —
+    at 100 TB neither side is broadcastable and the filter prunes the
+    build side at the scan (PushedFilters) — then ONE more exchange
+    for the priority rollup, partial-aggregated map-side."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    returned = li.where(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (o.join(returned, o.o_orderkey == returned.l_orderkey, "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders")))
+
+
+# --------------------------------------------------------------------------
+# Q22-shape: absence rollup (LEFT ANTI join)
+# --------------------------------------------------------------------------
+
+@query(
+    "q22_idle_customers_anti",
+    oracle="""
+SELECT n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_custs,
+       CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+         AS total_bal_cents
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > 5000
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY n_name
+""",
+)
+def q22_idle_customers_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Well-funded customers with no URGENT order, rolled up by
+    nation — TPC-H Q22's NOT EXISTS shape (fixed balance threshold
+    instead of Q22's floating-point average subquery, which would be
+    hash-unstable; the urgent-order predicate keeps the anti side
+    selective on this data, where every customer has SOME order).
+
+    LEFT ANTI is the safe physical form of NOT EXISTS (NOT IN would
+    silently return nothing if the subquery side ever contained a
+    NULL).  Both filters prune at their scans (PushedFilters); both
+    sides exchange on the customer key; the nation dim re-attaches by
+    BROADCAST after the anti join so the rollup shuffles only
+    surviving rows.  Balances aggregate as exact cents."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    idle = (c.where(F.col("c_acctbal") > 5000)
+            .join(o.where(F.col("o_orderpriority") == "1-URGENT")
+                   .select("o_custkey"),
+                  F.col("c_custkey") == F.col("o_custkey"), "left_anti"))
+    return (idle.join(F.broadcast(n),
+                      idle.c_nationkey == n.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.count(F.lit(1)).alias("n_custs"),
+                 F.sum(F.round(F.col("c_acctbal") * 100, 0).cast("long"))
+                  .alias("total_bal_cents")))

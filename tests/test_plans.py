@@ -223,3 +223,19 @@ def test_stratified_sample_broadcast_quota(spark):
     assert "SortMergeJoin" not in ops, ops
     assert "CartesianProduct" not in ops, ops
     assert ops.count("BroadcastNestedLoopJoin") <= 1, ops
+
+
+def test_semi_anti_join_shapes(spark):
+    """EXISTS compiles to a semi join, NOT EXISTS to an anti join —
+    never an inner-join + distinct (which shuffles multiplied matches)
+    and never a nested loop; filters reach the scans."""
+    df = Q["q4_priority_semi"].fn(spark, SF_SMOKE)
+    txt = explain_str(df)
+    assert "LeftSemi" in txt, txt
+    assert "CartesianProduct" not in txt and "NestedLoop" not in txt, txt
+    assert "l_returnflag" in " ".join(pushed_filters(df))
+    df = Q["q22_idle_customers_anti"].fn(spark, SF_SMOKE)
+    txt = explain_str(df)
+    assert "LeftAnti" in txt, txt
+    assert "BroadcastHashJoin" in physical_ops(df), physical_ops(df)
+    assert "c_acctbal" in " ".join(pushed_filters(df))
