@@ -782,3 +782,81 @@ def q22_idle_customers_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_custs"),
                  F.sum(F.round(F.col("c_acctbal") * 100, 0).cast("long"))
                   .alias("total_bal_cents")))
+
+
+# --------------------------------------------------------------------------
+# Data-quality check suite (pre-training corpus/table validation)
+# --------------------------------------------------------------------------
+
+@query(
+    "dq_check_suite",
+    oracle="""
+SELECT 'lineitem_null_keys' AS check_name, CAST(COUNT(*) AS BIGINT) AS n_violations
+FROM lineitem WHERE l_orderkey IS NULL OR l_partkey IS NULL OR l_suppkey IS NULL
+UNION ALL
+SELECT 'lineitem_qty_out_of_range', CAST(COUNT(*) AS BIGINT)
+FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50
+UNION ALL
+SELECT 'lineitem_orphan_order', CAST(COUNT(*) AS BIGINT)
+FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+UNION ALL
+SELECT 'orders_duplicate_pk', CAST(COUNT(*) AS BIGINT)
+FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)
+UNION ALL
+SELECT 'customer_negative_balance', CAST(COUNT(*) AS BIGINT)
+FROM customer WHERE c_acctbal < 0
+UNION ALL
+SELECT 'documents_char_count_drift', CAST(COUNT(*) AS BIGINT)
+FROM documents WHERE n_chars != length(text)
+UNION ALL
+SELECT 'documents_under_200_chars', CAST(COUNT(*) AS BIGINT)
+FROM documents WHERE n_chars < 200
+""",
+)
+def dq_check_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint validation over the warehouse + corpus — the
+    pre-training data-quality gate (null keys, domain ranges,
+    referential integrity, PK uniqueness, derived-column drift,
+    min-length corpus policy), one row per check with its violation
+    count.
+
+    Every check is a scan with map-side-combined counting or a
+    key-shuffled anti-join/group — no check materializes violating
+    ROWS (at 100 TB you page violations separately, counts first), and
+    the seven 1-row aggregates union driver-free.  Catalyst folds each
+    check's filter into its scan; checks on the same table still scan
+    separately — at scale you would fuse same-table checks into one
+    pass with conditional counts, which `t_corpus_stats` demonstrates;
+    here they stay separate so each check's pushed filter is visible
+    and individually plan-pinned."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    d = load_table(spark, sf_dir, "documents")
+
+    def chk(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_violations")).select(
+            F.lit(name).alias("check_name"), "n_violations")
+
+    orphan = li.join(o.select("o_orderkey"),
+                     li.l_orderkey == o.o_orderkey, "left_anti")
+    dup_pk = (o.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n"))
+              .where(F.col("n") > 1))
+    checks = [
+        chk("lineitem_null_keys",
+            li.where(F.col("l_orderkey").isNull()
+                     | F.col("l_partkey").isNull()
+                     | F.col("l_suppkey").isNull())),
+        chk("lineitem_qty_out_of_range",
+            li.where((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50))),
+        chk("lineitem_orphan_order", orphan),
+        chk("orders_duplicate_pk", dup_pk),
+        chk("customer_negative_balance", c.where(F.col("c_acctbal") < 0)),
+        chk("documents_char_count_drift",
+            d.where(F.col("n_chars") != F.length("text"))),
+        chk("documents_under_200_chars", d.where(F.col("n_chars") < 200)),
+    ]
+    out = checks[0]
+    for x in checks[1:]:
+        out = out.unionByName(x)
+    return out
