@@ -33,6 +33,7 @@ HEADLINE = [
     "t_decontaminate_bloom",
     "t_stratified_sample",
     "t_source_overlap",
+    "dq_check_suite",
     "j4_fifo_correlation",
     "a1_index_posting",
     "w1_position_numbering",
