@@ -258,3 +258,39 @@ def d_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("n_members").cast("long").alias("n_members"),
                     (F.col("total_chars") - F.col("n_chars"))
                     .cast("long").alias("chars_removed")))
+
+
+DUP_STATS_ORACLE = _CLUSTERS_WITH + """
+, clustered AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+), sizes AS (
+  SELECT cluster_id, COUNT(*) AS sz FROM clustered GROUP BY cluster_id
+)
+SELECT CAST(sz AS BIGINT)       AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(sz) AS BIGINT)  AS n_docs,
+       CAST(SUM(sz - 1) AS BIGINT) AS n_removable
+FROM sizes GROUP BY sz
+"""
+
+
+@query("d_dup_cluster_stats", oracle=DUP_STATS_ORACLE)
+def d_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram: how many clusters of each
+    size, how many documents they hold, and how many a keep-one pass
+    would remove — the dedup-audit table every corpus report leads
+    with (duplication factor, removable fraction) before anyone
+    commits to deleting data.
+
+    Two map-side-combined rollups on top of the shared memoized edge
+    set + CC labels (`_dup_edges`): cluster sizes (exchange on
+    cluster_id — key count = number of clusters), then the histogram
+    (exchange on size — key count = distinct sizes, tiny).  Cost
+    beyond `d_dup_clusters` is two small aggregations."""
+    stats = (d_dup_clusters(spark, sf_dir)
+             .groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz")))
+    return (stats.groupBy(F.col("sz").cast("long").alias("cluster_size"))
+            .agg(F.count(F.lit(1)).alias("n_clusters"),
+                 F.sum("sz").cast("long").alias("n_docs"),
+                 F.sum(F.col("sz") - 1).cast("long").alias("n_removable")))
