@@ -105,11 +105,15 @@ def t_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side.  No cross join anywhere.
     """
     d = load_table(spark, sf_dir, "documents")
-    sh = shingle_rows_df(d, SHINGLE_K).select(
-        "doc_id", "s", _md5_bucket(F.col("doc_id"), 100).alias("bucket"))
-    train = sh.where(F.col("bucket") < SPLIT_TRAIN).select("doc_id", "s")
-    ev = (sh.where(F.col("bucket") >= SPLIT_TRAIN)
-            .select("s").distinct())
+    # Split BEFORE shingling: the md5-bucket predicate evaluates on
+    # doc_id at the scan, so each branch shingles only its own split
+    # (train 80% / eval 20%) instead of shingling the full corpus
+    # twice and filtering after the explode+window.
+    bucket = _md5_bucket(F.col("doc_id"), 100)
+    train = (shingle_rows_df(d.where(bucket < SPLIT_TRAIN), SHINGLE_K)
+             .select("doc_id", "s"))
+    ev = (shingle_rows_df(d.where(bucket >= SPLIT_TRAIN), SHINGLE_K)
+          .select("s").distinct())
     n = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     h = (train.join(ev, "s")
               .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hits")))
@@ -516,13 +520,16 @@ def t_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     OVER-approximating screen you run first, `t_decontaminate` the
     exact confirm on the survivors."""
     d = load_table(spark, sf_dir, "documents")
-    sh = shingle_rows_df(d, SHINGLE_K).select(
-        "doc_id", "s", _md5_bucket(F.col("doc_id"), 100).alias("bucket"))
-    ev = (sh.where(F.col("bucket") >= SPLIT_TRAIN).select("s").distinct())
+    # Split before shingling (same scan-level pruning as
+    # t_decontaminate): each branch shingles only its split.
+    bucket = _md5_bucket(F.col("doc_id"), 100)
+    ev = (shingle_rows_df(d.where(bucket >= SPLIT_TRAIN), SHINGLE_K)
+          .select("s").distinct())
     bits = (ev.select(F.explode(F.array(*[
                 _bloom_pos(F.col("s"), i) for i in range(BLOOM_K)
             ])).alias("p")).distinct())
-    tr = sh.where(F.col("bucket") < SPLIT_TRAIN).select("doc_id", "s")
+    tr = (shingle_rows_df(d.where(bucket < SPLIT_TRAIN), SHINGLE_K)
+          .select("doc_id", "s"))
     probe = tr.select(
         "doc_id", *[_bloom_pos(F.col("s"), i).alias(f"p{i}")
                     for i in range(BLOOM_K)])
