@@ -439,3 +439,52 @@ def j7_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum("is_err").alias("n_errors"),
     )
+
+
+# --------------------------------------------------------------------------
+# W6 — cohort retention matrix
+# --------------------------------------------------------------------------
+
+US_PER_WEEK = 7 * 86_400 * 1_000_000
+
+
+@query(
+    "w6_cohort_retention",
+    oracle=f"""
+WITH a AS (
+  SELECT DISTINCT user_id,
+         epoch_us(ts) // {US_PER_WEEK} AS wk
+  FROM events
+), f AS (
+  SELECT user_id, MIN(wk) AS cohort_wk FROM a GROUP BY user_id
+)
+SELECT CAST(f.cohort_wk AS BIGINT)      AS cohort_week,
+       CAST(a.wk - f.cohort_wk AS BIGINT) AS week_offset,
+       CAST(COUNT(*) AS BIGINT)         AS n_users
+FROM a JOIN f ON a.user_id = f.user_id
+GROUP BY 1, 2
+""",
+)
+def w6_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retention triangle: users bucketed by first-seen week
+    (cohort), counted in every later week they return — the
+    product-analytics table behind every retention curve.
+
+    Weeks are exact integer epoch-week indices (no date arithmetic to
+    drift between engines).  Scale shape: the cohort week attaches as
+    a per-user WINDOW MIN over the distinct activity set — not a
+    self-join against a per-user aggregate, which re-scans the events
+    and (being one row per user) is never broadcastable at real user
+    counts.  ONE scan; exchanges: (user, week) distinct → user window
+    → final (cohort, offset) rollup whose key cardinality is
+    O(weeks²), tiny forever — each partial-aggregated map-side."""
+    e = load_table(spark, sf_dir, "events")
+    a = (e.select("user_id",
+                  F.expr(f"unix_micros(ts) div {US_PER_WEEK}").alias("wk"))
+         .distinct())
+    cohort = F.min("wk").over(Window.partitionBy("user_id"))
+    return (a.withColumn("cohort_wk", cohort)
+            .groupBy(F.col("cohort_wk").cast("long").alias("cohort_week"),
+                     (F.col("wk") - F.col("cohort_wk")).cast("long")
+                      .alias("week_offset"))
+            .agg(F.count(F.lit(1)).alias("n_users")))

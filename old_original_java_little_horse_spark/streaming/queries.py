@@ -391,6 +391,10 @@ def stream_event_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # as separate directories and moved into the source dir run by run.
     from pyspark.sql import Window as _W
 
+    # ntile over a GLOBAL order is harness-only staging (bounded replay
+    # data, single sort to cut arrival slices) — the operator under
+    # test is the windowed agg; a production stream arrives already
+    # time-ordered from its transport and needs no such sort.
     sliced = ev.withColumn(
         "_slice", F.ntile(3).over(_W.orderBy("ts")))
     slice_dirs = []

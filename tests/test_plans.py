@@ -239,3 +239,13 @@ def test_semi_anti_join_shapes(spark):
     assert "LeftAnti" in txt, txt
     assert "BroadcastHashJoin" in physical_ops(df), physical_ops(df)
     assert "c_acctbal" in " ".join(pushed_filters(df))
+
+
+def test_cohort_retention_join_free_single_scan(spark):
+    """The retention triangle attaches cohorts by window min, never a
+    self-join against a per-user aggregate (unbroadcastable at real
+    user counts) — one scan, no join operator."""
+    df = Q["w6_cohort_retention"].fn(spark, SF_SMOKE)
+    ops = physical_ops(df)
+    assert not any("Join" in op for op in ops), ops
+    assert ops.count("Scan") == 1, ops
