@@ -250,3 +250,73 @@ def mm_resize_crop(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
     )
     return d.mapInPandas(resize_batches, schema=RESIZE_SCHEMA)
+
+
+AUDIO_WIN = 256    # bytes per window (stand-in for e.g. 30 s of PCM)
+AUDIO_STRIDE = 192 # 25% overlap — the ASR-chunking shape
+
+AUDIO_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("win_idx", LongType()),
+    StructField("start_byte", LongType()),
+    StructField("win_len", LongType()),
+    StructField("win_md5", StringType()),
+])
+
+
+def audio_window_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: each payload explodes into OVERLAPPING
+    fixed-size windows (stride < size — consecutive windows share
+    bytes, the chunking every ASR/audio-embedding pipeline feeds its
+    model).  Same no-shuffle explode shape as frame sampling; overlap
+    means output bytes exceed input bytes by size/stride, which is why
+    the explode must stay worker-side and windows must flow straight
+    into the next per-partition stage instead of being shuffled."""
+    for pdf in batches:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(payload)
+            n = len(b)
+            for w in range((max(n - 1, 0)) // AUDIO_STRIDE + 1):
+                start = w * AUDIO_STRIDE
+                win = b[start: start + AUDIO_WIN]
+                out.append({"doc_id": doc_id, "win_idx": w,
+                            "start_byte": start, "win_len": len(win),
+                            "win_md5": hashlib.md5(win).hexdigest()})
+        yield pd.DataFrame(out, columns=[f.name for f in AUDIO_SCHEMA.fields])
+
+
+@query(
+    "mm_audio_windows",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id, text, strlen(text) AS n FROM documents
+), w AS (
+  SELECT doc_id, text, n,
+         unnest(generate_series(0, (greatest(n - 1, 0)) // {AUDIO_STRIDE}))
+           AS win_idx
+  FROM m
+)
+SELECT doc_id, win_idx,
+       win_idx * {AUDIO_STRIDE}                                    AS start_byte,
+       strlen(substr(text, 1 + win_idx * {AUDIO_STRIDE}, {AUDIO_WIN})) AS win_len,
+       md5(substr(text, 1 + win_idx * {AUDIO_STRIDE}, {AUDIO_WIN}))    AS win_md5
+FROM w
+""",
+)
+def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window chunking over "audio" payloads ({AUDIO_WIN}-
+    byte windows, {AUDIO_STRIDE}-byte stride): the decode-and-chunk
+    front of every speech pipeline.  Differs from `mm_frame_sample` in
+    the property that matters at scale: windows OVERLAP, so output
+    volume is input x (size/stride) — the explode stays worker-side in
+    one mapInPandas pass and nothing re-shuffles the duplicated bytes.
+    Oracle reproduces the byte arithmetic with substr (ascii payloads:
+    char offsets == byte offsets)."""
+    from ..session import ship_package
+
+    ship_package(spark)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return d.mapInPandas(audio_window_batches, schema=AUDIO_SCHEMA)

@@ -60,7 +60,7 @@ _CHECK_FIRST = [
     "q2_min_cost_supplier", "a7_event_rate_windows", "j7_interval_overlap",
     "stream_event_rates", "t_source_overlap", "q4_priority_semi",
     "q22_idle_customers_anti", "dq_check_suite", "d_dup_cluster_stats",
-    "w6_cohort_retention",
+    "w6_cohort_retention", "mm_audio_windows",
     # no round-4 driver row (green r1-r3)
     "s2_changelog_upsert", "agg_rollup_sets", "engine_run_index",
     "d_exact_dedup", "d_minhash_signatures", "d_minhash_lsh_pairs",
