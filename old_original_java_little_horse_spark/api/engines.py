@@ -35,26 +35,78 @@ class EngineHandle:
 
 
 class SparkEngineManager:
-    """Deploys/undeploys one continuous engine per WFSpec name."""
+    """Deploys/undeploys one continuous engine per WFSpec name.
+
+    `shared=True` selects the consolidated ops profile (SURVEY §7):
+    ONE continuous query serves every deployed spec through the
+    fold's multi-spec registry (`fold.make_spec_registry`) — one
+    checkpoint and one state store instead of N, while serving
+    stores stay per spec so the HTTP read paths are unchanged.  A
+    deploy/undeploy restarts the shared query over the same
+    checkpoint; Structured Streaming resumes offsets + state, so
+    in-flight runs of other specs carry on.
+    """
 
     def __init__(self, spark, base_dir: str,
                  executor: TaskExecutor | None = None,
                  trigger_seconds: float = 0.2,
                  barrier_timeout: float = 60.0,
-                 use_tws: bool = False):
+                 use_tws: bool = False,
+                 shared: bool = False):
         self.spark = spark
         self.base_dir = Path(base_dir)
         self.executor = executor
         self.trigger_seconds = trigger_seconds
         self.barrier_timeout = barrier_timeout
         self.use_tws = use_tws  # transformWithState engine (needs protobuf)
+        self.shared = shared
         self._engines: dict[str, EngineHandle] = {}
+        self._specs: dict[str, dict] = {}  # shared mode: deployed specs
+
+    # -- shared-mode plumbing ------------------------------------------------
+
+    def _shared_restart(self) -> None:
+        """(Re)start the single shared query over all deployed specs."""
+        from ..streaming.engine import start_continuous_shared
+
+        for h in self._engines.values():
+            if h.query is not None:
+                h.query.stop()
+        self._engines.clear()
+        if not self._specs:
+            return
+        root = self.base_dir / "_shared"
+        events_dir = root / "events"
+        events_dir.mkdir(parents=True, exist_ok=True)
+        serving_dirs = {name: str(self.base_dir / name / "serving")
+                        for name in self._specs}
+        query = start_continuous_shared(
+            self.spark, str(events_dir) + "/*", list(self._specs.values()),
+            checkpoint_dir=str(root / "ckpt"),
+            output_dir=str(root / "out"),
+            serving_dirs=serving_dirs,
+            executor=self.executor,
+            trigger_seconds=self.trigger_seconds,
+            use_tws=self.use_tws,
+        )
+        for name, spec in self._specs.items():
+            self._engines[name] = EngineHandle(
+                spec=spec,
+                events_dir=str(events_dir),
+                output_dir=str(root / "out"),
+                serving_dir=serving_dirs[name],
+                query=query,
+            )
 
     def deploy(self, spec: dict) -> EngineHandle:
         """Start (or restart, on spec update) the spec's engine."""
         from ..streaming.engine import start_continuous
 
         name = spec["name"]
+        if self.shared:
+            self._specs[name] = spec
+            self._shared_restart()
+            return self._engines[name]
         old = self._engines.pop(name, None)
         if old is not None:
             old.query.stop()
@@ -80,6 +132,12 @@ class SparkEngineManager:
         return handle
 
     def undeploy(self, name: str, purge: bool = False) -> None:
+        if self.shared:
+            if self._specs.pop(name, None) is not None:
+                self._shared_restart()  # remaining specs carry on
+                if purge:
+                    shutil.rmtree(self.base_dir / name, ignore_errors=True)
+            return
         handle = self._engines.pop(name, None)
         if handle is not None:
             handle.query.stop()
@@ -93,5 +151,9 @@ class SparkEngineManager:
         return list(self._engines.values())
 
     def stop_all(self) -> None:
+        if self.shared:
+            self._specs.clear()
+            self._shared_restart()  # no specs left → stops the query
+            return
         for name in list(self._engines):
             self.undeploy(name)

@@ -421,7 +421,8 @@ def cmd_serve(args) -> int:
 
     spark = _spark()
     base = Path(args.base_dir)
-    mgr = SparkEngineManager(spark, str(base / "engines"), executor=executor)
+    mgr = SparkEngineManager(spark, str(base / "engines"), executor=executor,
+                             shared=bool(getattr(args, "shared", False)))
     api = LittleHorseAPI(spark, metadata=MetadataStore(str(base / "meta")),
                          engines=mgr)
     srv = LittleHorseHTTPServer(api, host=args.host, port=args.port).start()
@@ -533,6 +534,9 @@ def main(argv: list[str] | None = None) -> int:
     sv.add_argument("--host", default="127.0.0.1")
     sv.add_argument("--port", type=int, default=0)
     sv.add_argument("--executor", help="module.path:function for inline tasks")
+    sv.add_argument("--shared", action="store_true",
+                    help="one shared engine for all specs (one checkpoint/"
+                         "state store; per-spec serving stores)")
     sv.add_argument("--smoke", action="store_true", help=argparse.SUPPRESS)
     sv.set_defaults(fn=cmd_serve)
 

@@ -482,6 +482,76 @@ def start_continuous(spark: SparkSession, events_dir: str, spec: dict,
     )
 
 
+def start_continuous_shared(spark: SparkSession, events_dir: str,
+                            specs: list[dict], checkpoint_dir: str,
+                            output_dir: str, serving_dirs: dict[str, str],
+                            executor: TaskExecutor | None = None,
+                            trigger_seconds: float = 0.5,
+                            use_tws: bool = False):
+    """ONE engine for ALL deployed specs (SURVEY §7 ops profile: 100
+    specs should not need 100 checkpoints/state stores).
+
+    The reference deploys one scheduler app per WFSpec
+    (`Scheduler.java:29-47`); this is the consolidated alternative the
+    fold already supports: the update function receives a
+    `make_spec_registry` dict and each run resolves its pinned spec
+    per event (`fold.resolve_spec`).  One events directory (the shared
+    event topic — rows carry `wf_spec_name`), one checkpoint, one
+    state store; serving stays PER SPEC.
+
+    Per-spec serving routing: the update fn emits a snapshot row in
+    every invocation that emits index rows (`_store`), and the
+    snapshot payload carries `wf_spec_name` — so a broadcast join of
+    the batch against its own snapshot rows attributes every serving
+    row to its spec without widening OUTPUT_SCHEMA.  The driver loop
+    is over specs PRESENT IN THE BATCH (bounded by deployed-spec
+    count); at 100s of specs you would instead add a spec partition
+    column to the store root — same motion, one pass.
+    """
+    from ..engine.batch import WF_EVENT_SCHEMA
+    from ..engine.fold import make_spec_registry
+
+    registry = make_spec_registry(specs)
+    events = spark.readStream.schema(WF_EVENT_SCHEMA).parquet(events_dir)
+    tagged = streaming_engine(events, registry, executor=executor,
+                              native_timers=True, evict_completed=True,
+                              use_tws=use_tws)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from ..sinks.serving import upsert_serving_stores
+
+        batch_df.persist()
+        batch_df.write.mode("append").parquet(output_dir)
+        run_spec = (
+            batch_df.where(F.col("kind") == "snapshot")
+            .select("wf_run_id",
+                    F.get_json_object("payload", "$.wf_spec_name")
+                    .alias("_spec"))
+            .distinct())
+        attributed = (batch_df
+                      .join(F.broadcast(run_spec), "wf_run_id", "left")
+                      .persist())
+        present = [r["_spec"] for r in
+                   attributed.select("_spec").distinct().collect()
+                   if r["_spec"] is not None]
+        for name in present:
+            sdir = serving_dirs.get(name)
+            if sdir is not None:
+                upsert_serving_stores(
+                    attributed.where(F.col("_spec") == name).drop("_spec"),
+                    sdir)
+        attributed.unpersist()
+        batch_df.unpersist()
+
+    return (
+        tagged.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
+
+
 def await_read_your_writes(query, timeout: float = 60.0) -> None:
     """Read-your-writes barrier: block until the engine has folded
     everything produced before this call.

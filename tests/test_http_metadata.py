@@ -427,3 +427,69 @@ def test_cli_http_client_mode(spark, capsys):
         srv.stop()
         mgr.stop_all()
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_shared_engine_two_specs(spark):
+    """SURVEY §7 consolidated ops profile: TWO specs deployed into ONE
+    shared engine (`SparkEngineManager(shared=True)`) — a single
+    streaming query + checkpoint serves both, with per-spec serving
+    stores, entirely through the HTTP deploy path.  Undeploying one
+    spec leaves the other's runs GETtable and foldable."""
+    workdir = Path(tempfile.mkdtemp(prefix="http-shared-"))
+    store = MetadataStore(str(workdir / "meta"))
+    mgr = SparkEngineManager(spark, str(workdir / "engines"),
+                             executor=_executor, trigger_seconds=0.2,
+                             shared=True)
+    api = LittleHorseAPI(spark, metadata=store, engines=mgr)
+    srv = LittleHorseHTTPServer(api).start()
+    try:
+        port = srv.port
+        _req(port, "POST", "/taskDef", {"name": "greet"})
+        _req(port, "POST", "/taskDef", {"name": "double"})
+        st, _ = _req(port, "POST", "/wfSpec", _greet_spec())
+        assert st == 201
+        st, spec2 = _req(port, "POST", "/wfSpec", _double_spec())
+        assert st == 201
+
+        # ONE query object behind both handles; one shared events dir
+        g, d = mgr.get("greeter"), mgr.get("doubler")
+        assert g.query is d.query
+        assert g.events_dir == d.events_dir
+        # ... but per-spec serving stores
+        assert g.serving_dir != d.serving_dir
+
+        st, r1 = _req(port, "POST", "/wfrun",
+                      {"wf_spec_name": "greeter", "variables": {"who": "ada"}})
+        assert st == 201
+        st, r2 = _req(port, "POST", "/wfrun",
+                      {"wf_spec_name": "doubler", "variables": {"x": 21}})
+        assert st == 201
+
+        st, doc = _req(port, "GET", f"/wfrun/{r1['id']}")
+        assert st == 200 and doc["status"] == "COMPLETED"
+        st, v = _req(port, "GET", f"/wfrun/{r2['id']}/variable/x")
+        assert st == 200 and v["value"] == 42
+
+        # serving rows routed to the right spec's store: greeter's
+        # alias search hits only its own run
+        st, hits = _req(port, "GET", "/search/who/ada")
+        assert st == 200 and hits == [r1["id"]]
+
+        # Undeploy one spec: the shared query restarts over the same
+        # checkpoint; the survivor's old runs resolve and new runs fold
+        st, _ = _req(port, "DELETE", f"/wfSpec/{spec2['id']}")
+        assert st == 200
+        assert mgr.get("doubler") is None and mgr.get("greeter") is not None
+        st, _ = _req(port, "POST", "/wfrun", {"wf_spec_name": "doubler"})
+        assert st == 404
+        st, doc = _req(port, "GET", f"/wfrun/{r1['id']}")
+        assert st == 200 and doc["status"] == "COMPLETED"
+        st, r3 = _req(port, "POST", "/wfrun",
+                      {"wf_spec_name": "greeter", "variables": {"who": "lin"}})
+        assert st == 201
+        st, doc = _req(port, "GET", f"/wfrun/{r3['id']}")
+        assert st == 200 and doc["status"] == "COMPLETED"
+    finally:
+        srv.stop()
+        mgr.stop_all()
+        shutil.rmtree(workdir, ignore_errors=True)

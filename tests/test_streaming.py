@@ -631,3 +631,79 @@ def test_continuous_async_worker_round_trip(spark):
     finally:
         q.stop()
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_session_window_state_evicted_past_watermark(spark):
+    """VERDICT r4 #7: the live sessionizer shape (session_window +
+    watermark + append mode) keeps state BOUNDED — a session whose
+    window falls behind the watermark horizon is finalized to the sink
+    and its state row dropped, mirroring the engine-side
+    `test_completed_run_state_evicted_to_tombstone`.
+
+    Four single-event waves, 2 h apart, one user: each wave both opens
+    a new session (gap 30 min) and advances the watermark (10 min
+    delay) far past the previous session, so by end-of-replay exactly
+    the last two sessions can still be open in state and the first two
+    MUST have been emitted and evicted."""
+    import datetime as dt
+
+    from pyspark.sql.types import (
+        DoubleType, StringType, StructField, StructType, TimestampType,
+    )
+
+    schema = StructType([
+        StructField("user_id", StringType()),
+        StructField("ts", TimestampType()),
+        StructField("value", DoubleType()),
+    ])
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    waves = [
+        # wave 0: three events inside one session (minutes 0, 1, 2)
+        [("a", base, 1.0),
+         ("a", base + dt.timedelta(minutes=1), 1.0),
+         ("a", base + dt.timedelta(minutes=2), 1.0)],
+        [("a", base + dt.timedelta(minutes=120), 1.0)],
+        [("a", base + dt.timedelta(minutes=240), 1.0)],
+        [("a", base + dt.timedelta(minutes=360), 1.0)],
+    ]
+    workdir = Path(tempfile.mkdtemp(prefix="sess-evict-"))
+    try:
+        ev_dir = workdir / "events"
+        for i, rows in enumerate(waves):
+            spark.createDataFrame(rows, schema=schema) \
+                 .coalesce(1).write.parquet(str(ev_dir / f"wave{i}"))
+        out_dir = str(workdir / "out")
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(str(ev_dir) + "/*"))
+        agg = (stream.withWatermark("ts", "10 minutes")
+               .groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+               .agg(F.count(F.lit(1)).alias("n_events")))
+
+        def sink(batch_df, batch_id):
+            batch_df.select("user_id", "n_events") \
+                    .write.mode("append").parquet(out_dir)
+
+        q = (agg.writeStream.outputMode("append").foreachBatch(sink)
+             .option("checkpointLocation", str(workdir / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+        # Closed sessions reached the sink: the 3-event session and two
+        # singletons (availableNow runs a final flush batch with the
+        # last file's watermark, closing the minute-240 session too).
+        # The minute-360 session is still open — append mode emits
+        # nothing for it; its row lives in state, which is the point.
+        emitted = sorted(r["n_events"]
+                         for r in spark.read.parquet(out_dir).collect())
+        assert emitted == [1, 1, 3]
+
+        # State is bounded by the watermark horizon, not session count:
+        # 4 sessions existed, only the one the watermark has not passed
+        # remains (finalized ones evicted with their emission).
+        progress = [p for p in q.recentProgress if p.get("stateOperators")]
+        assert progress, "no stateOperators progress recorded"
+        final_state_rows = progress[-1]["stateOperators"][0]["numRowsTotal"]
+        assert final_state_rows == 1
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
