@@ -26,6 +26,10 @@ HEADLINE = [
     "q3_shipping_priority",
     "q4_priority_semi",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
     "q22_idle_customers_anti",
     "a7_event_rate_windows",
     "j7_interval_overlap",

@@ -860,3 +860,188 @@ def dq_check_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     for x in checks[1:]:
         out = out.unionByName(x)
     return out
+
+
+# --------------------------------------------------------------------------
+# Q6-shape: pure scan-aggregate (every predicate at the scan)
+# --------------------------------------------------------------------------
+
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+SELECT CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+               * CAST(round(l_discount * 100, 0) AS BIGINT)) AS BIGINT)
+         AS revenue_e4,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_quantity < 24
+  AND round(l_discount * 100, 0) BETWEEN 5 AND 7
+""",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: revenue delta from discounted small orders — the
+    canonical zero-join plan: scan → filter → ONE partial+final agg,
+    no exchange of any width beyond the single-row combine.
+
+    The shipdate range and quantity bound are plain column predicates
+    and reach the parquet scan (PushedFilters → row-group pruning at
+    100 TB with date-sorted files); the discount band is applied on
+    the exact integer percent (one float round, same on both engines)
+    so 0.05's binary representation can't flip boundary rows — that
+    one stays a post-scan filter by design.  Revenue is
+    cents × percent (e4 units), a BIGINT sum — associative, safe
+    under any partial-agg schedule."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pct = F.round(F.col("l_discount") * 100, 0).cast("long")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    return (li.where((F.col("l_shipdate") >= "1996-01-01")
+                     & (F.col("l_shipdate") < "1997-01-01")
+                     & (F.col("l_quantity") < 24)
+                     & pct.between(5, 7))
+            .agg(F.sum(cents * pct).alias("revenue_e4"),
+                 F.count(F.lit(1)).alias("n_lines")))
+
+
+# --------------------------------------------------------------------------
+# Q14-shape: conditional aggregation over a dimension join
+# --------------------------------------------------------------------------
+
+@query(
+    "q14_promo_revenue",
+    oracle="""
+SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                          * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))
+                     ELSE 0 END) AS BIGINT) AS promo_rev_e4,
+       CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS BIGINT)
+         AS total_rev_e4
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+""",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promotion revenue share for one quarter — the
+    conditional-aggregate-over-join shape (`SUM(CASE WHEN ...)`)
+    every marketing rollup uses.
+
+    Returned as exact numerator/denominator BIGINTs (e4 = cents ×
+    (100 − discount%)); the float ratio is the caller's one division,
+    so the hash gate stays drift-free.  Scale shape: the quarter
+    filter prunes lineitem AT THE SCAN to ~1/20 of rows before the
+    join; part joins BROADCAST here (only p_partkey/p_type survive
+    column pruning — a few MB per million parts).  At 100 TB with a
+    billion-row part table you'd let AQE pick the shuffle join; the
+    declared plan is identical either way."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+           * (F.lit(100) - F.round(F.col("l_discount") * 100, 0).cast("long")))
+    return (li.where((F.col("l_shipdate") >= "1997-01-01")
+                     & (F.col("l_shipdate") < "1997-04-01"))
+            .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+            .agg(F.sum(F.when(F.col("p_type") == "PROMO", rev)
+                       .otherwise(F.lit(0))).alias("promo_rev_e4"),
+                 F.sum(rev).alias("total_rev_e4")))
+
+
+# --------------------------------------------------------------------------
+# Q18-shape: HAVING on a child aggregate, re-joined to the parents
+# --------------------------------------------------------------------------
+
+@query(
+    "q18_large_orders",
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+           AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS BIGINT)) > 300
+)
+SELECT o_orderkey, c_name,
+       CAST(o_orderdate AS DATE) AS orderdate,
+       CAST(round(o_totalprice * 100, 0) AS BIGINT) AS totalprice_cents,
+       total_qty
+FROM big JOIN orders   ON o_orderkey = l_orderkey
+         JOIN customer ON c_custkey = o_custkey
+""",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: orders whose line items total >300 units, with their
+    customers — the aggregate-HAVING-rejoin shape (GROUP BY child,
+    filter the rollup, recover parent attributes).
+
+    Scale shape: lineitem partial-aggregates map-side then exchanges
+    ONCE on l_orderkey; the HAVING collapses it to a tiny key set
+    (~0.5% of orders), so the join back to orders is effectively a
+    semi-join with payload — Spark probes orders with the small
+    aggregated side (AQE re-plans it broadcast at runtime).  Customer
+    attaches by its key afterwards, moving only the surviving rows.
+    Quantities are integral by generation; the BIGINT cast keeps the
+    sum exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+           .where(F.col("total_qty") > 300))
+    return (big.join(o, o.o_orderkey == big.l_orderkey)
+            .join(c, c.c_custkey == o.o_custkey)
+            .select("o_orderkey", "c_name",
+                    F.col("o_orderdate").cast("date").alias("orderdate"),
+                    F.round(F.col("o_totalprice") * 100, 0).cast("long")
+                     .alias("totalprice_cents"),
+                    "total_qty"))
+
+
+# --------------------------------------------------------------------------
+# Q19-shape: disjunctive multi-clause predicate over a join
+# --------------------------------------------------------------------------
+
+@query(
+    "q19_disjunctive_revenue",
+    oracle="""
+SELECT CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS BIGINT)
+         AS revenue_e4,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+""",
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: revenue from three disjunctive brand/size/quantity
+    clauses — the OR-of-ANDs shape that separates engines that push
+    partial predicates from ones that evaluate the whole disjunction
+    post-join.
+
+    Catalyst's CNF conversion extracts the per-side residuals —
+    `p_brand IN (12,23,34) AND p_size BETWEEN 1 AND 35` prunes part
+    and `l_quantity BETWEEN 1 AND 30` prunes lineitem AT THEIR SCANS
+    — before the equi-join on partkey; the full disjunction then
+    filters the joined rows.  Part's surviving columns broadcast;
+    revenue is the exact e4 integer of q14."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size")
+    rev = (F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+           * (F.lit(100) - F.round(F.col("l_discount") * 100, 0).cast("long")))
+    clause = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35)
+           & F.col("l_quantity").between(20, 30)))
+    return (li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+            .where(clause)
+            .agg(F.sum(rev).alias("revenue_e4"),
+                 F.count(F.lit(1)).alias("n_lines")))

@@ -56,6 +56,8 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # round-4 set follows.
 _CHECK_FIRST = [
     # new in round 5 — never driver-checked (registered below as added)
+    "q6_forecast_revenue", "q14_promo_revenue", "q18_large_orders",
+    "q19_disjunctive_revenue",
     "d_url_dedup", "t_decontaminate_bloom", "t_stratified_sample",
     "q2_min_cost_supplier", "a7_event_rate_windows", "j7_interval_overlap",
     "stream_event_rates", "t_source_overlap", "q4_priority_semi",

@@ -249,3 +249,39 @@ def test_cohort_retention_join_free_single_scan(spark):
     ops = physical_ops(df)
     assert not any("Join" in op for op in ops), ops
     assert ops.count("Scan") == 1, ops
+
+
+def test_q6_all_simple_predicates_pushed(spark):
+    """Q6's scan-agg plan: shipdate + quantity reach the parquet scan;
+    zero wide exchanges (single-row combine only)."""
+    df = Q["q6_forecast_revenue"].fn(spark, SF_SMOKE)
+    filters = " ".join(pushed_filters(df))
+    assert "l_shipdate" in filters and "l_quantity" in filters, filters
+    ops = physical_ops(df)
+    assert "HashAggregate" in ops
+    assert "SortMergeJoin" not in ops and "BroadcastHashJoin" not in ops
+
+
+def test_q14_q19_part_broadcast_no_shuffle_join(spark):
+    """The part dim joins broadcast in q14/q19; q19's disjunction
+    leaves per-side residual predicates at the scans (CNF pushdown)."""
+    for name in ("q14_promo_revenue", "q19_disjunctive_revenue"):
+        df = Q[name].fn(spark, SF_SMOKE)
+        ops = physical_ops(df)
+        assert "BroadcastHashJoin" in ops, (name, ops)
+        assert "SortMergeJoin" not in ops, (name, ops)
+        assert "CartesianProduct" not in ops and "BroadcastNestedLoop" \
+            not in " ".join(ops), (name, ops)
+    filters = " ".join(pushed_filters(Q["q19_disjunctive_revenue"]
+                                      .fn(spark, SF_SMOKE)))
+    assert "l_quantity" in filters, filters  # residual range pushed
+
+
+def test_q18_partial_agg_before_exchange(spark):
+    """Q18's child aggregate partial-aggregates map-side; the HAVING
+    output (tiny) probes orders — no cartesian, no nested loop."""
+    df = Q["q18_large_orders"].fn(spark, SF_SMOKE)
+    txt = explain_str(df)
+    assert txt.count("HashAggregate") >= 2, txt  # partial + final
+    ops = physical_ops(df)
+    assert "CartesianProduct" not in ops, ops
