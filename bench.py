@@ -30,6 +30,10 @@ HEADLINE = [
     "q14_promo_revenue",
     "q18_large_orders",
     "q19_disjunctive_revenue",
+    "sk_hll_registers",
+    "idx_tfidf_topk",
+    "d_winnow_fingerprint_pairs",
+    "g_pagerank_purchases",
     "q22_idle_customers_anti",
     "a7_event_rate_windows",
     "j7_interval_overlap",

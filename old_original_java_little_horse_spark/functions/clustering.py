@@ -294,3 +294,105 @@ def d_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_clusters"),
                  F.sum("sz").cast("long").alias("n_docs"),
                  F.sum(F.col("sz") - 1).cast("long").alias("n_removable")))
+
+
+# --------------------------------------------------------------------------
+# PageRank over the purchase graph — iterative matrix-vector on Spark
+# --------------------------------------------------------------------------
+
+PR_ITERS = 5
+PR_SCALE = 1_000_000_000_000  # e12 fixed-point
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled fixed-point PageRank in DuckDB SQL: every quantity is
+    integer (e12 scale, floor division), so each iteration is
+    bit-identical to the Spark loop."""
+    base = f"(SELECT 15 * ({PR_SCALE} // COUNT(*)) // 100 FROM nodes)"
+    its = []
+    for i in range(1, PR_ITERS + 1):
+        its.append(f"""
+pr{i} AS (
+  SELECT n.node,
+         {base} + 85 * COALESCE(s.m, 0) // 100 AS pr
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, SUM(p.pr // e.outdeg) AS m
+    FROM edges e JOIN pr{i - 1} p ON p.node = e.src
+    GROUP BY e.dst) s ON s.node = n.node
+)""")
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT 'c:' || o.o_custkey AS c, 's:' || l.l_suppkey AS s
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+), raw AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs
+), deg AS (
+  SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM raw GROUP BY src
+), edges AS (
+  SELECT r.src, r.dst, d.outdeg FROM raw r JOIN deg d ON d.src = r.src
+), nodes AS (
+  SELECT DISTINCT src AS node FROM raw
+), pr0 AS (
+  SELECT node, {PR_SCALE} // (SELECT COUNT(*) FROM nodes) AS pr FROM nodes
+),{",".join(its)}
+SELECT node, CAST(pr AS BIGINT) AS pr_e12 FROM pr{PR_ITERS}
+"""
+
+
+@query("g_pagerank_purchases", oracle=_pagerank_oracle())
+def g_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the bipartite customer↔supplier purchase graph
+    (edges: a customer bought from a supplier, both directions so the
+    chain is irreducible) — the canonical ITERATIVE algorithm on
+    Spark, complementing the hash-min connected components already in
+    this module.
+
+    Exact fixed-point arithmetic: ranks are e12-scaled BIGINTs,
+    contributions are floor divisions, and the damping mix is integer
+    — {iters} iterations replay bit-identically on DuckDB via an
+    unrolled CTE chain, so an ITERATIVE float algorithm sits under
+    the hash gate (float PageRank would drift across engines by
+    summation order).
+
+    Scale shape: the edge list (with out-degrees attached ONCE) is
+    persisted and reused every iteration; each iteration is
+    join-on-src → groupBy-dst — two exchanges on the same keys, the
+    exact shuffle pattern of Pregel/GraphX's message passing, with
+    map-side combine on the contribution sum.  Ranks stay (node, pr)
+    rows; nothing ever collects to the driver.  At real scale you
+    would also `localCheckpoint` every few iterations to truncate
+    lineage — bounded here at {iters} plans."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (o.join(li, li.l_orderkey == o.o_orderkey)
+             .select(F.concat(F.lit("c:"), "o_custkey").alias("c"),
+                     F.concat(F.lit("s:"), "l_suppkey").alias("s"))
+             .distinct())
+    raw = (pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+           .unionByName(
+               pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))))
+    deg = raw.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    edges = raw.join(deg, "src").persist()
+    nodes = raw.select(F.col("src").alias("node")).distinct().persist()
+    n_nodes = nodes.count()  # driver scalar: one small agg, reused in
+    # every iteration's literal (the oracle's scalar subquery)
+    base = 15 * (PR_SCALE // n_nodes) // 100
+    pr = nodes.select("node", F.lit(PR_SCALE // n_nodes).alias("pr"))
+    for _ in range(PR_ITERS):
+        contrib = (edges.join(pr, edges.src == pr.node)
+                   .select(F.col("dst").alias("node"),
+                           F.expr("pr div outdeg").alias("m"))
+                   .groupBy("node").agg(F.sum("m").alias("m")))
+        pr = (nodes.join(contrib, "node", "left")
+              .select("node",
+                      (F.lit(base)
+                       + F.expr(f"85 * coalesce(m, 0L) div 100"))
+                      .alias("pr")))
+    out = pr.select("node", F.col("pr").cast("long").alias("pr_e12"))
+    return out
+
+
+g_pagerank_purchases.__doc__ = g_pagerank_purchases.__doc__.format(
+    iters=PR_ITERS)

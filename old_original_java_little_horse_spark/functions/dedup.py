@@ -17,7 +17,7 @@ signatures bit-for-bit.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from ..registry import query
 from ..sources.parquet import load_table
@@ -765,3 +765,99 @@ def d_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (r.where(F.col("rk") == 1)
             .select("url_norm", F.col("doc_id").alias("canonical_doc_id"),
                     F.col("n_dups").cast("long").alias("n_dups")))
+
+
+# --------------------------------------------------------------------------
+# Winnowing fingerprints (MOSS) — robust local near-dup detection
+# --------------------------------------------------------------------------
+
+WINNOW_K = 5      # k-gram width (words)
+WINNOW_W = 4      # winnowing window (hashes per window)
+WINNOW_MAX_DF = 50   # stop-fingerprint cap: drop h shared by more docs
+WINNOW_MIN_SHARED = 2
+
+_WINNOW_ORACLE = f"""
+WITH w0 AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= {WINNOW_K}
+              THEN list_transform(generate_series(1, len(w) - {WINNOW_K - 1}),
+                     i -> CAST(('0x' || substr(md5(array_to_string(
+                            w[i:i+{WINNOW_K - 1}], ' ')), 1, 14)) AS BIGINT))
+              ELSE [] END AS hs
+  FROM w0
+), fps AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(hs) >= {WINNOW_W}
+              THEN list_transform(generate_series(1, len(hs) - {WINNOW_W - 1}),
+                     i -> list_aggregate(hs[i:i+{WINNOW_W - 1}], 'min'))
+              ELSE [] END) AS fp
+  FROM g
+), fp AS (
+  SELECT doc_id, unnest(fp) AS h FROM fps
+), live AS (
+  SELECT * FROM fp
+  QUALIFY COUNT(*) OVER (PARTITION BY h) <= {WINNOW_MAX_DF}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM live a JOIN live b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+"""
+
+
+@query("d_winnow_fingerprint_pairs", oracle=_WINNOW_ORACLE)
+def d_winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS, Schleimer/Wilkerson/Aiken SIGMOD 2003)
+    near-dup pairs: hash every {k}-gram, keep the MINIMUM of each
+    window of {w} consecutive hashes — the selected fingerprints are
+    position-robust (any shared substring of length ≥ k+w−1
+    guarantees a shared fingerprint), which is what plain n-gram
+    sampling lacks.  Pairs sharing ≥ {t} fingerprints are emitted
+    with their overlap count.
+
+    Spark-first shape: the per-doc pipeline (k-grams → hashes →
+    window minima → distinct) is ALL JVM-side higher-order array
+    functions (`transform`/`slice`/`array_min`/`array_distinct`) —
+    zero explode until the final fingerprint table, so tokenization
+    never shuffles.  The posting join then exchanges ONCE on the
+    fingerprint value; a window count caps posting-list length at
+    {df} first (stop-fingerprint rule — boilerplate grams would
+    otherwise emit O(df²) pairs at 100 TB), reusing the same hash
+    partitioning, and the pair rollup is the one remaining exchange.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    k, w = WINNOW_K, WINNOW_W
+    words = F.split(
+        F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+    doc = d.select("doc_id", words.alias("w"))
+    hs = F.expr(
+        f"CASE WHEN size(w) >= {k} THEN "
+        f"transform(sequence(1, size(w) - {k - 1}), "
+        f"i -> cast(conv(substring(md5(array_join(slice(w, i, {k}), ' ')), "
+        f"1, 14), 16, 10) AS bigint)) ELSE array() END")
+    fp = F.expr(
+        f"array_distinct(CASE WHEN size(hs) >= {w} THEN "
+        f"transform(sequence(1, size(hs) - {w - 1}), "
+        f"i -> array_min(slice(hs, i, {w}))) ELSE array() END)")
+    posting = (doc.withColumn("hs", hs)
+               .select("doc_id", F.explode(fp).alias("h")))
+    live = (posting
+            .withColumn("_df", F.count(F.lit(1)).over(
+                Window.partitionBy("h")))
+            .where(F.col("_df") <= WINNOW_MAX_DF).drop("_df"))
+    a, b = live.alias("a"), live.alias("b")
+    return (a.join(b, (F.col("a.h") == F.col("b.h"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .where(F.col("n_shared") >= WINNOW_MIN_SHARED))
+
+
+d_winnow_fingerprint_pairs.__doc__ = d_winnow_fingerprint_pairs.__doc__.format(
+    k=WINNOW_K, w=WINNOW_W, t=WINNOW_MIN_SHARED, df=WINNOW_MAX_DF)

@@ -1,0 +1,162 @@
+"""Distributed cardinality sketches: HLL registers and KMV bottom-k.
+
+Counting distinct users per event type over 100 TB is the canonical
+"can't afford exact" aggregation: exact distinct shuffles every
+distinct key; a sketch shuffles a CONSTANT number of bytes per group.
+Both sketches here are built from deterministic md5-derived integers,
+so the DuckDB oracle reproduces the registers BIT FOR BIT — the
+driver hash-gate verifies the sketch construction itself, not a
+tolerance band around a float estimate (the estimate is a one-line
+driver-side formula over the verified registers).
+
+- **HLL** (`sk_hll_registers`): register = first byte of md5(user),
+  rho = leading-zero count of the next 60 bits + 1; the sketch is
+  `max(rho)` per (group, register) — a 256-register table per group,
+  built with ONE map-side-combined exchange.  This is exactly the
+  aggregation shape of Spark's own `approx_count_distinct`
+  (HyperLogLog++), spelled out so the oracle can replay it.
+- **KMV / bottom-k** (`sk_kmv_distinct`): keep the k smallest
+  distinct hash values per group; the k-th smallest pins the
+  estimate  (k−1) · 2^56 / h_k  — integer division on both engines,
+  drift-free.  Emitted next to the EXACT distinct count so the
+  sketch's error is itself an oracle-checked integer.
+
+Reference basis: HLL per Flajolet et al. (AofA 2007) / HLL++ (Heule
+et al., EDBT 2013 — the variant inside Spark); KMV per
+Bar-Yossef et al. (RANDOM 2002).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..registry import query
+from ..sources.parquet import load_table
+
+HLL_REGISTERS = 256  # first md5 byte
+KMV_K = 32
+
+
+def _hex_long(col, start: int, length: int):
+    """First `length` hex chars of md5(col) from `start` (1-based) as
+    a non-negative BIGINT (≤ 60 bits, so signed-long safe).  DuckDB
+    mirror: CAST('0x' || substr(md5(x), start, length) AS BIGINT)."""
+    return F.conv(F.substring(F.md5(col), start, length), 16, 10).cast("long")
+
+
+# --------------------------------------------------------------------------
+# HLL register table
+# --------------------------------------------------------------------------
+
+@query(
+    "sk_hll_registers",
+    oracle="""
+WITH h AS (
+  SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS hx
+  FROM events
+), r AS (
+  SELECT event_type,
+         CAST(('0x' || substr(hx, 1, 2)) AS BIGINT) AS register,
+         CAST(('0x' || substr(hx, 3, 15)) AS BIGINT) AS tail
+  FROM h
+)
+SELECT event_type, register,
+       MAX(CASE WHEN tail = 0 THEN 61
+                ELSE 61 - length(bin(tail)) END) AS max_rho
+FROM r GROUP BY event_type, register
+""",
+)
+def sk_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog register table per event type, oracle-replayable.
+
+    rho = (leading zeros of the 60-bit tail) + 1 = 61 − bitlength —
+    `length(bin(x))` on both engines.  Scale shape: ONE exchange on
+    (event_type, register) with map-side `max` partial aggregation —
+    per-group sketch state is 256 bytes no matter how many billion
+    users pass through, which is the entire reason this operator
+    exists at 100 TB.  (The distinct-hash pre-step collapses
+    duplicate users map-side too; HLL's max() makes it optional, but
+    it keeps the oracle's row set identical under any plan.)
+
+    Estimate (driver-side, over the verified registers):
+    alpha_256 * 256² / Σ 2^(−rho), with the standard small-range
+    correction — deliberately not emitted: it is derived float math
+    over exactly this table."""
+    ev = load_table(spark, sf_dir, "events")
+    hx = F.md5(F.col("user_id").cast("string"))
+    h = ev.select("event_type", hx.alias("hx")).distinct()
+    tail = F.conv(F.substring("hx", 3, 15), 16, 10).cast("long")
+    return (h.select(
+                "event_type",
+                F.conv(F.substring("hx", 1, 2), 16, 10).cast("long")
+                 .alias("register"),
+                tail.alias("tail"))
+            .groupBy("event_type", "register")
+            .agg(F.max(F.when(F.col("tail") == 0, F.lit(61))
+                       .otherwise(F.lit(61) - F.length(F.expr("bin(tail)"))))
+                 .alias("max_rho")))
+
+
+# --------------------------------------------------------------------------
+# KMV bottom-k with oracle-checked error
+# --------------------------------------------------------------------------
+
+@query(
+    "sk_kmv_distinct",
+    oracle=f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 14)) AS BIGINT)
+           AS hv
+  FROM events
+), rk AS (
+  SELECT event_type, hv,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+  FROM h
+), kth AS (
+  SELECT event_type, hv AS kth_hash FROM rk WHERE rn = {KMV_K}
+), exact AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS exact_distinct FROM h
+  GROUP BY event_type
+)
+SELECT event_type, kth_hash,
+       ({KMV_K} - 1) * (1::BIGINT << 56) // kth_hash AS distinct_est,
+       exact_distinct,
+       abs(({KMV_K} - 1) * (1::BIGINT << 56) // kth_hash - exact_distinct)
+         * 100 // exact_distinct AS err_pct
+FROM kth JOIN exact USING (event_type)
+""",
+)
+def sk_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count sketch per event type, with its
+    error against the exact count as oracle-checked integers.
+
+    The k-th smallest of the distinct 56-bit hashes pins the sketch:
+    est = (k−1)·2^56 / h_k (uniform order statistics; 56 bits so
+    (k−1)·2^56 stays inside int64), integer division on both
+    engines.  Scale shape: distinct hashes collapse
+    map-side into ONE exchange; the rank-k selection is a per-group
+    window (k·|groups| survivors).  At extreme group cardinality the
+    same sketch is an algebraic aggregate (merge = bottom-k of
+    unions) — Spark's `approx_count_distinct` is the built-in with
+    identical shuffle shape; this spelled-out form exists so the
+    sketch itself sits under the hash gate."""
+    ev = load_table(spark, sf_dir, "events")
+    h = (ev.select("event_type",
+                   _hex_long(F.col("user_id").cast("string"), 1, 14)
+                   .alias("hv"))
+         .distinct())
+    w = Window.partitionBy("event_type").orderBy("hv")
+    kth = (h.withColumn("rn", F.row_number().over(w))
+           .where(F.col("rn") == KMV_K)
+           .select("event_type", F.col("hv").alias("kth_hash")))
+    exact = (h.groupBy("event_type")
+             .agg(F.count(F.lit(1)).alias("exact_distinct")))
+    est = F.expr(f"({KMV_K} - 1) * shiftleft(1L, 56) div kth_hash")
+    return (kth.join(exact, "event_type")
+            .select("event_type", "kth_hash",
+                    est.alias("distinct_est"), "exact_distinct",
+                    F.expr(f"abs(({KMV_K} - 1) * shiftleft(1L, 56)"
+                           f" div kth_hash - exact_distinct)"
+                           f" * 100 div exact_distinct").alias("err_pct")))

@@ -57,7 +57,9 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 _CHECK_FIRST = [
     # new in round 5 — never driver-checked (registered below as added)
     "q6_forecast_revenue", "q14_promo_revenue", "q18_large_orders",
-    "q19_disjunctive_revenue",
+    "q19_disjunctive_revenue", "sk_hll_registers", "sk_kmv_distinct",
+    "idx_tfidf_topk", "d_winnow_fingerprint_pairs", "g_pagerank_purchases",
+    "stream_hll_registers",
     "d_url_dedup", "t_decontaminate_bloom", "t_stratified_sample",
     "q2_min_cost_supplier", "a7_event_rate_windows", "j7_interval_overlap",
     "stream_event_rates", "t_source_overlap", "q4_priority_semi",
@@ -82,7 +84,7 @@ def all_queries() -> dict[str, QuerySpec]:
     with the least-driver-proven queries first (`_CHECK_FIRST`)."""
     # Imports are deferred so `import registry` stays cheap.
     from .operators import analytics, indexing, relational, run_index  # noqa: F401
-    from .functions import clustering, corpus, curation, dedup, expressions, multimodal, similarity, text  # noqa: F401
+    from .functions import clustering, corpus, curation, dedup, expressions, multimodal, retrieval, similarity, sketches, text  # noqa: F401
     from .engine import queries as engine_queries  # noqa: F401
     from .streaming import queries as streaming_queries  # noqa: F401
 

@@ -449,3 +449,77 @@ def stream_event_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = out.collect()
     shutil.rmtree(workdir, ignore_errors=True)
     return spark.createDataFrame(rows, out.schema)
+
+
+# --------------------------------------------------------------------------
+# Streaming HLL: live cardinality dashboard registers
+# --------------------------------------------------------------------------
+
+@query(
+    "stream_hll_registers",
+    oracle="""
+WITH h AS (
+  SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS hx
+  FROM events
+), r AS (
+  SELECT event_type,
+         CAST(('0x' || substr(hx, 1, 2)) AS BIGINT) AS register,
+         CAST(('0x' || substr(hx, 3, 15)) AS BIGINT) AS tail
+  FROM h
+)
+SELECT event_type, register,
+       MAX(CASE WHEN tail = 0 THEN 61
+                ELSE 61 - length(bin(tail)) END) AS max_rho
+FROM r GROUP BY event_type, register
+""",
+)
+def stream_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL register table (`sk_hll_registers`) maintained as a LIVE
+    streaming aggregation — the distinct-users-right-now dashboard at
+    stream scale.
+
+    This is the sketch's killer property under streaming: state per
+    (event_type, register) key is a single max-rho byte, so TOTAL
+    state is 256·|types| rows FOREVER — no watermark or eviction
+    needed for boundedness, which is why complete-mode output is
+    legitimate here (contrast `stream_sessionize`, where completeness
+    is a bounded-replay concession, and `stream_event_rates`, where
+    append+watermark is load-bearing).  Events stage over three
+    micro-batches; registers must merge across batch boundaries via
+    max().  Final table == the batch build == the DuckDB oracle,
+    hash-equal."""
+    workdir = tempfile.mkdtemp(prefix="stream-hll-q-")
+    ev_dir = f"{workdir}/events"
+    (load_table(spark, sf_dir, "events")
+     .select("event_type", "user_id")
+     .repartition(3).write.parquet(ev_dir))
+    schema = spark.read.parquet(ev_dir).schema
+    out_dir = f"{workdir}/out"
+    with scoped_conf(spark,
+                     {"spark.sql.shuffle.partitions": str(_STREAM_PARTS)}):
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "1").parquet(ev_dir))
+        hx = F.md5(F.col("user_id").cast("string"))
+        tail = F.conv(F.substring("hx", 3, 15), 16, 10).cast("long")
+        agg = (stream.select("event_type", hx.alias("hx"))
+               .select("event_type",
+                       F.conv(F.substring("hx", 1, 2), 16, 10).cast("long")
+                        .alias("register"),
+                       tail.alias("tail"))
+               .groupBy("event_type", "register")
+               .agg(F.max(F.when(F.col("tail") == 0, F.lit(61))
+                          .otherwise(F.lit(61)
+                                     - F.length(F.expr("bin(tail)"))))
+                    .alias("max_rho")))
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("overwrite").parquet(out_dir)
+
+        (agg.writeStream.outputMode("complete").foreachBatch(sink)
+            .option("checkpointLocation", f"{workdir}/ckpt")
+            .trigger(availableNow=True).start().awaitTermination())
+
+    rows = spark.read.parquet(out_dir).collect()
+    shutil.rmtree(workdir, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "event_type string, register long, max_rho int")

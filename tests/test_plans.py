@@ -285,3 +285,47 @@ def test_q18_partial_agg_before_exchange(spark):
     assert txt.count("HashAggregate") >= 2, txt  # partial + final
     ops = physical_ops(df)
     assert "CartesianProduct" not in ops, ops
+
+
+def test_hll_single_mapside_combined_exchange(spark):
+    """The HLL register build: distinct collapses map-side, then one
+    partial+final aggregate per (type, register) — constant state per
+    group regardless of user count."""
+    df = Q["sk_hll_registers"].fn(spark, SF_SMOKE)
+    txt = explain_str(df)
+    assert txt.count("HashAggregate") >= 2, txt
+    assert count_exchanges(df) <= 2, txt  # distinct + register rollup
+
+
+def test_winnow_no_cartesian_and_capped_posting(spark):
+    """Winnowing pair join is equi-join-only; the per-doc gram/window
+    pipeline stays array-function (no explode before the fingerprint
+    table)."""
+    df = Q["d_winnow_fingerprint_pairs"].fn(spark, SF_SMOKE)
+    ops = physical_ops(df)
+    assert "CartesianProduct" not in ops, ops
+    assert "BroadcastNestedLoop" not in " ".join(ops), ops
+    txt = explain_str(df)
+    assert "transform(" in txt or "Generate" in txt  # array pipeline
+
+
+def test_tfidf_topk_broadcast_and_takeordered(spark):
+    """df and N broadcast onto the tf stream; the global top-k is a
+    TakeOrdered, never a full sort."""
+    df = Q["idx_tfidf_topk"].fn(spark, SF_SMOKE)
+    ops = physical_ops(df)
+    assert "TakeOrderedAndProject" in ops, ops
+    assert "BroadcastHashJoin" in ops, ops
+    assert "SortMergeJoin" not in ops, ops
+
+
+def test_pagerank_no_cartesian_and_reused_edges(spark):
+    """Each PageRank iteration is equi-join + partial-aggregated
+    rollup; the degree-attached edge list is persisted (InMemoryRelation
+    appears), and nothing degenerates to a nested loop."""
+    df = Q["g_pagerank_purchases"].fn(spark, SF_SMOKE)
+    txt = explain_str(df)
+    ops = physical_ops(df)
+    assert "CartesianProduct" not in ops, ops
+    assert "InMemoryTableScan" in txt or "InMemoryRelation" in txt, \
+        "edges/nodes not persisted across iterations"
