@@ -31,6 +31,7 @@ HEADLINE = [
     "q18_large_orders",
     "q19_disjunctive_revenue",
     "sk_hll_registers",
+    "sk_cms_point_queries",
     "idx_tfidf_topk",
     "d_winnow_fingerprint_pairs",
     "g_pagerank_purchases",

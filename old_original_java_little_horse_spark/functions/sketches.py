@@ -1,4 +1,4 @@
-"""Distributed cardinality sketches: HLL registers and KMV bottom-k.
+"""Distributed sketches: HLL / KMV (cardinality) and count-min (counts).
 
 Counting distinct users per event type over 100 TB is the canonical
 "can't afford exact" aggregation: exact distinct shuffles every
@@ -21,9 +21,16 @@ driver-side formula over the verified registers).
   drift-free.  Emitted next to the EXACT distinct count so the
   sketch's error is itself an oracle-checked integer.
 
+- **Count-min** (`sk_cms_registers` / `sk_cms_point_queries`): the
+  frequency-estimation twin — 4×256 salted registers whose map-side
+  combine is bounded at 1024 rows per partition at ANY event volume,
+  plus point queries whose one-sided overestimate is itself an
+  oracle-checked integer column.
+
 Reference basis: HLL per Flajolet et al. (AofA 2007) / HLL++ (Heule
 et al., EDBT 2013 — the variant inside Spark); KMV per
-Bar-Yossef et al. (RANDOM 2002).
+Bar-Yossef et al. (RANDOM 2002); CMS per Cormode & Muthukrishnan
+(J. Algorithms 2005).
 """
 
 from __future__ import annotations
@@ -160,3 +167,114 @@ def sk_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.expr(f"abs(({KMV_K} - 1) * shiftleft(1L, 56)"
                            f" div kth_hash - exact_distinct)"
                            f" * 100 div exact_distinct").alias("err_pct")))
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch: frequency estimation (the counts-side sketch)
+# --------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256  # one md5 byte per row
+
+
+@query(
+    "sk_cms_registers",
+    oracle=f"""
+SELECT d.depth,
+       CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':' ||
+                                CAST(d.depth AS VARCHAR)), 1, 2)) AS BIGINT)
+         AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS total
+FROM events, (SELECT unnest([0, 1, 2, 3]) AS depth) d
+GROUP BY 1, 2
+""",
+)
+def sk_cms_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch registers over per-user event counts — the
+    COUNTS sketch next to the CARDINALITY sketches above (Cormode &
+    Muthukrishnan, J.Algorithms 2005): {d} independent md5-salted
+    hash rows × {w} buckets; register = total events hashing there.
+
+    Scale shape: the stream is replicated ×{d} by a literal-array
+    explode, then ONE exchange — and because the group space is
+    capped at {d}·{w} keys, map-side partial aggregation collapses
+    each partition to ≤{dw} rows before the shuffle no matter how
+    many trillion events flow through.  That bounded-combine property
+    is the entire sketch: a heavy-hitter dashboard at 100 TB ships
+    {dw} integers per partition, not a per-user table."""
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.select(F.col("user_id").cast("string").alias("uid")) \
+             .withColumn("depth", F.explode(F.array(
+                 *[F.lit(i) for i in range(CMS_DEPTH)])))
+    bucket = F.conv(
+        F.substring(F.md5(F.concat_ws(":", "uid", "depth")), 1, 2),
+        16, 10).cast("long")
+    return (rows.groupBy("depth", bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("total")))
+
+
+@query(
+    "sk_cms_point_queries",
+    oracle=f"""
+WITH reg AS (
+  SELECT d.depth,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':' ||
+                                  CAST(d.depth AS VARCHAR)), 1, 2)) AS BIGINT)
+           AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS total
+  FROM events, (SELECT unnest([0, 1, 2, 3]) AS depth) d
+  GROUP BY 1, 2
+), exact AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n FROM events
+  GROUP BY user_id ORDER BY exact_n DESC, user_id LIMIT 5
+), probe AS (
+  SELECT e.user_id, e.exact_n, d.depth,
+         CAST(('0x' || substr(md5(CAST(e.user_id AS VARCHAR) || ':' ||
+                                  CAST(d.depth AS VARCHAR)), 1, 2)) AS BIGINT)
+           AS bucket
+  FROM exact e, (SELECT unnest([0, 1, 2, 3]) AS depth) d
+)
+SELECT p.user_id, p.exact_n,
+       MIN(r.total) AS cms_est,
+       MIN(r.total) - p.exact_n AS overestimate
+FROM probe p JOIN reg r ON r.depth = p.depth AND r.bucket = p.bucket
+GROUP BY p.user_id, p.exact_n
+""",
+)
+def sk_cms_point_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS point queries for the 5 heaviest users: est = MIN over the
+    {d} rows of the register each hash lands in — never under the
+    true count, and the oracle-checked `overestimate` column IS the
+    sketch's one-sided error, as exact integers.
+
+    Scale shape: registers build as in `sk_cms_registers`; the probe
+    side is 5 users × {d} rows and joins the ({d}·{w})-row register
+    table — both sides broadcastable; the heavy-key selection itself
+    is a TakeOrdered over the per-user rollup (in production the
+    probe keys come from the application, not a rollup)."""
+    ev = load_table(spark, sf_dir, "events")
+    depths = F.array(*[F.lit(i) for i in range(CMS_DEPTH)])
+    rows = ev.select(F.col("user_id").cast("string").alias("uid")) \
+             .withColumn("depth", F.explode(depths))
+    bucket = F.conv(
+        F.substring(F.md5(F.concat_ws(":", "uid", "depth")), 1, 2),
+        16, 10).cast("long")
+    reg = (rows.groupBy("depth", bucket.alias("bucket"))
+           .agg(F.count(F.lit(1)).alias("total")))
+    exact = (ev.groupBy("user_id")
+             .agg(F.count(F.lit(1)).alias("exact_n"))
+             .orderBy(F.col("exact_n").desc(), "user_id").limit(5))
+    probe = (exact.withColumn("depth", F.explode(depths))
+             .withColumn("bucket", F.conv(
+                 F.substring(F.md5(F.concat_ws(
+                     ":", F.col("user_id").cast("string"), "depth")), 1, 2),
+                 16, 10).cast("long")))
+    return (probe.join(reg, ["depth", "bucket"])
+            .groupBy("user_id", "exact_n")
+            .agg(F.min("total").alias("cms_est"),
+                 (F.min("total") - F.col("exact_n")).alias("overestimate")))
+
+
+for _f in (sk_cms_registers, sk_cms_point_queries):
+    _f.__doc__ = _f.__doc__.format(d=CMS_DEPTH, w=CMS_WIDTH,
+                                   dw=CMS_DEPTH * CMS_WIDTH)

@@ -59,7 +59,7 @@ _CHECK_FIRST = [
     "q6_forecast_revenue", "q14_promo_revenue", "q18_large_orders",
     "q19_disjunctive_revenue", "sk_hll_registers", "sk_kmv_distinct",
     "idx_tfidf_topk", "d_winnow_fingerprint_pairs", "g_pagerank_purchases",
-    "stream_hll_registers",
+    "stream_hll_registers", "sk_cms_registers", "sk_cms_point_queries",
     "d_url_dedup", "t_decontaminate_bloom", "t_stratified_sample",
     "q2_min_cost_supplier", "a7_event_rate_windows", "j7_interval_overlap",
     "stream_event_rates", "t_source_overlap", "q4_priority_semi",

@@ -329,3 +329,12 @@ def test_pagerank_no_cartesian_and_reused_edges(spark):
     assert "CartesianProduct" not in ops, ops
     assert "InMemoryTableScan" in txt or "InMemoryRelation" in txt, \
         "edges/nodes not persisted across iterations"
+
+
+def test_cms_registers_bounded_partial_agg(spark):
+    """CMS register build: one exchange, map-side partial aggregation
+    (bounded at depth*width rows per partition by construction)."""
+    df = Q["sk_cms_registers"].fn(spark, SF_SMOKE)
+    txt = explain_str(df)
+    assert txt.count("HashAggregate") >= 2, txt  # partial + final
+    assert count_exchanges(df) == 1, txt
