@@ -114,3 +114,66 @@ def test_grid_self_pairs_no_cross_bucket_pairs(spark):
     pairs = [(r["id_a"], r["id_b"])
              for r in grid_self_pairs(sigs, ["bucket"]).collect()]
     assert pairs == [(1, 2)]
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """Winnowing's theorem (Schleimer et al. §2): any shared word run
+    of length ≥ k + w − 1 (= 8 here) guarantees at least one shared
+    fingerprint, REGARDLESS of where the run sits in each document.
+    Two docs share an 8-word run embedded at different offsets in
+    otherwise-disjoint filler; a third doc has no overlap — the pair
+    (0,1) must be detected, and no pair involving doc 2 may be."""
+    from old_original_java_little_horse_spark.functions.dedup import (
+        WINNOW_K, WINNOW_W, d_winnow_fingerprint_pairs,
+    )
+    from old_original_java_little_horse_spark.sources.parquet import TABLES
+
+    run = " ".join(f"shared{i}" for i in range(WINNOW_K + WINNOW_W - 1))
+    fill = lambda tag, n: " ".join(f"{tag}{i}" for i in range(n))  # noqa: E731
+    docs = [
+        (0, f"{fill('alpha', 7)} {run} {fill('beta', 12)}"),
+        (1, f"{fill('gamma', 23)} {run} {fill('delta', 4)}"),
+        (2, fill("omega", 40)),
+    ]
+    workdir = Path(tempfile.mkdtemp(prefix="winnow-guarantee-"))
+    try:
+        for t in TABLES:
+            src = Path(SF_SMOKE) / f"{t}.parquet"
+            if t != "documents" and src.exists():
+                shutil.copy(src, workdir / f"{t}.parquet")
+        df = spark.createDataFrame(
+            [(i, txt, "en", "src0", len(txt)) for i, txt in docs],
+            schema="doc_id long, text string, lang string, "
+                   "source string, n_chars long")
+        df.toPandas().to_parquet(workdir / "documents.parquet")
+
+        pairs = {(r["doc_a"], r["doc_b"]): r["n_shared"]
+                 for r in d_winnow_fingerprint_pairs(
+                     spark, str(workdir)).collect()}
+        # MIN_SHARED is 2; an exactly-(k+w-1)-length run guarantees ≥1
+        # shared fingerprint, and this run's 4 k-grams span 1 window
+        # on each side... the guarantee is ≥1, so check the posting
+        # level too: with MIN_SHARED=2 the pair may legitimately need
+        # the longer run below.  Assert no doc-2 pair ever appears.
+        assert all(2 not in p for p in pairs), pairs
+        # A run of k + 2w − 1 words (2 full windows) guarantees ≥2
+        # shared fingerprints → must clear MIN_SHARED.
+        run2 = " ".join(f"twice{i}" for i in range(WINNOW_K + 2 * WINNOW_W - 1))
+        docs2 = [
+            (0, f"{fill('alpha', 9)} {run2} {fill('beta', 3)}"),
+            (1, f"{fill('gamma', 2)} {run2} {fill('delta', 17)}"),
+            (2, fill("omega", 40)),
+        ]
+        df2 = spark.createDataFrame(
+            [(i, txt, "en", "src0", len(txt)) for i, txt in docs2],
+            schema="doc_id long, text string, lang string, "
+                   "source string, n_chars long")
+        df2.toPandas().to_parquet(workdir / "documents.parquet")
+        pairs2 = {(r["doc_a"], r["doc_b"]): r["n_shared"]
+                  for r in d_winnow_fingerprint_pairs(
+                      spark, str(workdir)).collect()}
+        assert (0, 1) in pairs2, pairs2
+        assert pairs2[(0, 1)] >= 2
+        assert all(2 not in p for p in pairs2), pairs2
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
