@@ -45,6 +45,15 @@ class SparkEngineManager:
     deploy/undeploy restarts the shared query over the same
     checkpoint; Structured Streaming resumes offsets + state, so
     in-flight runs of other specs carry on.
+
+    Shared-mode contracts: (1) run ids share ONE keyspace across
+    specs (the reference namespaces them per spec topic; the HTTP
+    API's GUID default satisfies this — don't reuse a caller-chosen
+    run_id across specs).  (2) A (re)deploy stops the old query
+    before starting the new one — two queries may not share a
+    checkpoint — so commands against OTHER specs see the same brief
+    restart window a per-spec redeploy has for its own spec;
+    `_engine_for_run`'s handle revalidation re-resolves them after.
     """
 
     def __init__(self, spark, base_dir: str,

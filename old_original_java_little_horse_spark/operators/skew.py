@@ -38,6 +38,8 @@ def salted_join(fact: DataFrame, dim: DataFrame, on: str,
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    if "_salt" in fact.columns or "_salt" in dim.columns:
+        raise ValueError("salted_join reserves the column name '_salt'")
     cells = F.array(*[F.lit(i) for i in range(salt)])
     fact_s = fact.withColumn(
         "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]),
