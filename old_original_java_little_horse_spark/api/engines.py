@@ -54,6 +54,8 @@ class SparkEngineManager:
     checkpoint — so commands against OTHER specs see the same brief
     restart window a per-spec redeploy has for its own spec;
     `_engine_for_run`'s handle revalidation re-resolves them after.
+    (3) `undeploy(purge=True)` cannot delete a spec's run state from
+    the shared checkpoint — see `undeploy` for the consequences.
     """
 
     def __init__(self, spark, base_dir: str,
@@ -113,6 +115,10 @@ class SparkEngineManager:
 
         name = spec["name"]
         if self.shared:
+            # Direct (non-HTTP) callers may pass specs without the
+            # metadata-stamped id; the registry needs one to pin runs.
+            spec = dict(spec)
+            spec.setdefault("id", name)
             self._specs[name] = spec
             self._shared_restart()
             return self._engines[name]
@@ -140,7 +146,34 @@ class SparkEngineManager:
         self._engines[name] = handle
         return handle
 
+    def deploy_many(self, specs: list[dict]) -> list[EngineHandle]:
+        """Deploy a batch of specs — the boot-recovery path.  In
+        shared mode this is ONE query restart for the whole batch
+        instead of N sequential stop/recover/start cycles (each of
+        which replays the checkpoint)."""
+        if not specs:
+            return []
+        if self.shared:
+            for spec in specs:
+                spec = dict(spec)
+                spec.setdefault("id", spec["name"])
+                self._specs[spec["name"]] = spec
+            self._shared_restart()
+            return [self._engines[s["name"]] for s in specs]
+        return [self.deploy(s) for s in specs]
+
     def undeploy(self, name: str, purge: bool = False) -> None:
+        """Stop serving `name`.  `purge` removes the spec's
+        SERVING/metadata directory; in shared mode the run STATE
+        (snapshots folded into the shared checkpoint, tombstones,
+        pending timers) necessarily survives — it lives in the one
+        shared state store, where per-spec deletion isn't expressible.
+        Consequences, documented as shared-mode contract #3: a later
+        spec of the same name inherits old runs' tombstones (reused
+        run ids are dropped as duplicates — GUID run ids make this
+        moot) and a still-pending timer for an old run can fold a
+        fresh snapshot into the new deployment's serving store.  The
+        per-spec mode's purge removes checkpoint and state wholesale."""
         if self.shared:
             if self._specs.pop(name, None) is not None:
                 self._shared_restart()  # remaining specs carry on

@@ -101,10 +101,11 @@ class LittleHorseAPI:
             # Boot-time recovery: redeploy every stored WFSpec whose
             # engine is not running (the reference restarts each spec's
             # topology from its store on startup) — their checkpoints
-            # and serving stores resume where the last process left off.
-            for doc in metadata.get_all("wfSpec"):
-                if engines.get(doc["name"]) is None:
-                    engines.deploy(doc)
+            # and serving stores resume where the last process left
+            # off.  Batched: in shared mode this is ONE query restart
+            # for all stored specs, not N stop/recover/start cycles.
+            engines.deploy_many([doc for doc in metadata.get_all("wfSpec")
+                                 if engines.get(doc["name"]) is None])
 
     # -- metadata lifecycle hooks (POSTable.processChange) -----------------
 

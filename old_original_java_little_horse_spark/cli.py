@@ -349,7 +349,13 @@ def cmd_work(args) -> int:
     polls are skipped on the task-run attempt key), and appends the
     started/ended TASK_EVENTs to the engine's event-topic dir, where
     the continuous query folds them.  With a Kafka transport the same
-    loop consumes the TaskDef topic instead (`sources/kafka.py`)."""
+    loop consumes the TaskDef topic instead (`sources/kafka.py`).
+
+    Against `serve --shared` the engine dirs collapse to
+    engines/_shared (auto-detected); run ONE worker per TaskDef
+    total — the worker serves that TaskDef for every spec, and a
+    second worker on the same TaskDef would contend for the shared
+    work checkpoint."""
     import importlib
 
     import pyspark.sql.functions as F
@@ -362,6 +368,14 @@ def cmd_work(args) -> int:
     fn = getattr(importlib.import_module(mod_name), attr)
     spark = _spark()
     root = Path(args.base_dir) / "engines" / args.spec
+    shared_root = Path(args.base_dir) / "engines" / "_shared"
+    if not root.exists() and shared_root.exists():
+        # `serve --shared` runs ONE engine for all specs: the tagged
+        # output and event topic live under engines/_shared.  The
+        # TaskDef filter below already scopes this worker's rows, and
+        # posted TASK_EVENTs resolve their spec through the run's
+        # pinned id — so the only difference is the directory.
+        root = shared_root
     out_dir, events_dir = root / "out", root / "events"
     # The worker keeps its OWN streaming checkpoint over the engine's
     # tagged output: each poll is an availableNow run that reads only

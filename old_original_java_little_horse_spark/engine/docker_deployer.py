@@ -85,9 +85,22 @@ class DockerTaskDeployer:
     # -- lifecycle -------------------------------------------------------
 
     def deploy(self) -> None:
-        for task_def in self.executors:
-            subprocess.run(self.run_argv(task_def), check=True,
-                           capture_output=True)
+        """Launch one container per TaskDef; on a partial failure the
+        already-started containers are torn down before the error
+        propagates (no unmanaged leftovers)."""
+        started: list[str] = []
+        try:
+            for task_def in self.executors:
+                subprocess.run(self.run_argv(task_def), check=True,
+                               capture_output=True)
+                started.append(task_def)
+        except subprocess.CalledProcessError:
+            for task_def in started:
+                try:
+                    self.undeploy(task_def)
+                except subprocess.CalledProcessError:
+                    pass  # best-effort rollback; the original error wins
+            raise
 
     def undeploy(self, task_def: str) -> None:
         name = self.container_name(task_def)
@@ -99,8 +112,17 @@ class DockerTaskDeployer:
                        capture_output=True)
 
     def shutdown(self) -> None:
+        """Undeploy every TaskDef; one failing `docker rm` must not
+        strand the rest, so errors are collected and re-raised after
+        the full pass."""
+        errors: list[Exception] = []
         for task_def in self.executors:
-            self.undeploy(task_def)
+            try:
+                self.undeploy(task_def)
+            except subprocess.CalledProcessError as e:
+                errors.append(e)
+        if errors:
+            raise errors[0]
 
     def __enter__(self) -> "DockerTaskDeployer":
         self.deploy()

@@ -302,6 +302,7 @@ def d_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PR_ITERS = 5
 PR_SCALE = 1_000_000_000_000  # e12 fixed-point
+_PR_PINNED: list = []  # previous invocation's persisted edge/node DFs
 
 
 def _pagerank_oracle() -> str:
@@ -376,6 +377,14 @@ def g_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = raw.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     edges = raw.join(deg, "src").persist()
     nodes = raw.select(F.col("src").alias("node")).distinct().persist()
+    # Same convention as the dup-edge memo above: repeated invocations
+    # (driver gate, sweeps, bench) must not accumulate pinned cache —
+    # evict the PREVIOUS call's edge/node blocks now that this call
+    # has its own.  (The cache earns its keep within one invocation:
+    # the 5-iteration lineage references edges 5× in the final job.)
+    while _PR_PINNED:
+        _PR_PINNED.pop().unpersist()
+    _PR_PINNED.extend([edges, nodes])
     n_nodes = nodes.count()  # driver scalar: one small agg, reused in
     # every iteration's literal (the oracle's scalar subquery)
     base = 15 * (PR_SCALE // n_nodes) // 100

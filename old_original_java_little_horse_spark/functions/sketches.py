@@ -90,19 +90,7 @@ def sk_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     alpha_256 * 256² / Σ 2^(−rho), with the standard small-range
     correction — deliberately not emitted: it is derived float math
     over exactly this table."""
-    ev = load_table(spark, sf_dir, "events")
-    hx = F.md5(F.col("user_id").cast("string"))
-    h = ev.select("event_type", hx.alias("hx")).distinct()
-    tail = F.conv(F.substring("hx", 3, 15), 16, 10).cast("long")
-    return (h.select(
-                "event_type",
-                F.conv(F.substring("hx", 1, 2), 16, 10).cast("long")
-                 .alias("register"),
-                tail.alias("tail"))
-            .groupBy("event_type", "register")
-            .agg(F.max(F.when(F.col("tail") == 0, F.lit(61))
-                       .otherwise(F.lit(61) - F.length(F.expr("bin(tail)"))))
-                 .alias("max_rho")))
+    return hll_register_table(load_table(spark, sf_dir, "events"))
 
 
 # --------------------------------------------------------------------------
@@ -176,6 +164,44 @@ def sk_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 CMS_DEPTH = 4
 CMS_WIDTH = 256  # one md5 byte per row
 
+# The oracle's depth list is DERIVED from CMS_DEPTH so the constant
+# cannot drift between the Spark plans and the SQL text.
+_CMS_DEPTHS_SQL = f"(SELECT unnest({list(range(CMS_DEPTH))}) AS depth) d"
+
+
+def cms_register_table(ev: DataFrame) -> DataFrame:
+    """The CMS register build shared by both CMS queries: replicate
+    ×depth, salt-hash to a bucket, one map-side-combined rollup."""
+    rows = ev.select(F.col("user_id").cast("string").alias("uid")) \
+             .withColumn("depth", F.explode(F.array(
+                 *[F.lit(i) for i in range(CMS_DEPTH)])))
+    bucket = F.conv(
+        F.substring(F.md5(F.concat_ws(":", "uid", "depth")), 1, 2),
+        16, 10).cast("long")
+    return (rows.groupBy("depth", bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("total")))
+
+
+def hll_register_table(ev: DataFrame, distinct: bool = True) -> DataFrame:
+    """The HLL register build shared with the streaming twin
+    (`streaming/queries.py:stream_hll_registers`).  `distinct=False`
+    skips the batch path's distinct-hash pre-step — max() makes it
+    optional, and a streaming plan cannot stack two stateful ops."""
+    hx = F.md5(F.col("user_id").cast("string"))
+    h = ev.select("event_type", hx.alias("hx"))
+    if distinct:
+        h = h.distinct()
+    tail = F.conv(F.substring("hx", 3, 15), 16, 10).cast("long")
+    return (h.select(
+                "event_type",
+                F.conv(F.substring("hx", 1, 2), 16, 10).cast("long")
+                 .alias("register"),
+                tail.alias("tail"))
+            .groupBy("event_type", "register")
+            .agg(F.max(F.when(F.col("tail") == 0, F.lit(61))
+                       .otherwise(F.lit(61) - F.length(F.expr("bin(tail)"))))
+                 .alias("max_rho")))
+
 
 @query(
     "sk_cms_registers",
@@ -185,7 +211,7 @@ SELECT d.depth,
                                 CAST(d.depth AS VARCHAR)), 1, 2)) AS BIGINT)
          AS bucket,
        CAST(COUNT(*) AS BIGINT) AS total
-FROM events, (SELECT unnest([0, 1, 2, 3]) AS depth) d
+FROM events, {_CMS_DEPTHS_SQL}
 GROUP BY 1, 2
 """,
 )
@@ -202,15 +228,7 @@ def sk_cms_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     many trillion events flow through.  That bounded-combine property
     is the entire sketch: a heavy-hitter dashboard at 100 TB ships
     {dw} integers per partition, not a per-user table."""
-    ev = load_table(spark, sf_dir, "events")
-    rows = ev.select(F.col("user_id").cast("string").alias("uid")) \
-             .withColumn("depth", F.explode(F.array(
-                 *[F.lit(i) for i in range(CMS_DEPTH)])))
-    bucket = F.conv(
-        F.substring(F.md5(F.concat_ws(":", "uid", "depth")), 1, 2),
-        16, 10).cast("long")
-    return (rows.groupBy("depth", bucket.alias("bucket"))
-            .agg(F.count(F.lit(1)).alias("total")))
+    return cms_register_table(load_table(spark, sf_dir, "events"))
 
 
 @query(
@@ -222,7 +240,7 @@ WITH reg AS (
                                   CAST(d.depth AS VARCHAR)), 1, 2)) AS BIGINT)
            AS bucket,
          CAST(COUNT(*) AS BIGINT) AS total
-  FROM events, (SELECT unnest([0, 1, 2, 3]) AS depth) d
+  FROM events, {_CMS_DEPTHS_SQL}
   GROUP BY 1, 2
 ), exact AS (
   SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n FROM events
@@ -232,7 +250,7 @@ WITH reg AS (
          CAST(('0x' || substr(md5(CAST(e.user_id AS VARCHAR) || ':' ||
                                   CAST(d.depth AS VARCHAR)), 1, 2)) AS BIGINT)
            AS bucket
-  FROM exact e, (SELECT unnest([0, 1, 2, 3]) AS depth) d
+  FROM exact e, {_CMS_DEPTHS_SQL}
 )
 SELECT p.user_id, p.exact_n,
        MIN(r.total) AS cms_est,
@@ -254,13 +272,7 @@ def sk_cms_point_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe keys come from the application, not a rollup)."""
     ev = load_table(spark, sf_dir, "events")
     depths = F.array(*[F.lit(i) for i in range(CMS_DEPTH)])
-    rows = ev.select(F.col("user_id").cast("string").alias("uid")) \
-             .withColumn("depth", F.explode(depths))
-    bucket = F.conv(
-        F.substring(F.md5(F.concat_ws(":", "uid", "depth")), 1, 2),
-        16, 10).cast("long")
-    reg = (rows.groupBy("depth", bucket.alias("bucket"))
-           .agg(F.count(F.lit(1)).alias("total")))
+    reg = cms_register_table(ev)
     exact = (ev.groupBy("user_id")
              .agg(F.count(F.lit(1)).alias("exact_n"))
              .orderBy(F.col("exact_n").desc(), "user_id").limit(5))

@@ -497,20 +497,14 @@ def stream_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = f"{workdir}/out"
     with scoped_conf(spark,
                      {"spark.sql.shuffle.partitions": str(_STREAM_PARTS)}):
+        from ..functions.sketches import hll_register_table
+
         stream = (spark.readStream.schema(schema)
                   .option("maxFilesPerTrigger", "1").parquet(ev_dir))
-        hx = F.md5(F.col("user_id").cast("string"))
-        tail = F.conv(F.substring("hx", 3, 15), 16, 10).cast("long")
-        agg = (stream.select("event_type", hx.alias("hx"))
-               .select("event_type",
-                       F.conv(F.substring("hx", 1, 2), 16, 10).cast("long")
-                        .alias("register"),
-                       tail.alias("tail"))
-               .groupBy("event_type", "register")
-               .agg(F.max(F.when(F.col("tail") == 0, F.lit(61))
-                          .otherwise(F.lit(61)
-                                     - F.length(F.expr("bin(tail)"))))
-                    .alias("max_rho")))
+        # Shared register build (sketches.py); distinct=False — a
+        # streaming plan cannot stack distinct under the stateful agg,
+        # and max() makes the pre-step optional.
+        agg = hll_register_table(stream, distinct=False)
 
         def sink(batch_df, batch_id):
             batch_df.write.mode("overwrite").parquet(out_dir)

@@ -493,3 +493,22 @@ def test_shared_engine_two_specs(spark):
         srv.stop()
         mgr.stop_all()
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_shared_deploy_many_single_restart(spark):
+    """Boot recovery in shared mode: deploy_many starts ONE query for
+    the whole batch (not N sequential restarts), and direct callers'
+    specs without a metadata id get one defaulted."""
+    workdir = Path(tempfile.mkdtemp(prefix="shared-many-"))
+    mgr = SparkEngineManager(spark, str(workdir), executor=_executor,
+                             trigger_seconds=0.2, shared=True)
+    try:
+        s1, s2 = _greet_spec(), _double_spec()
+        s1.pop("id", None)  # direct caller: no metadata-stamped id
+        handles = mgr.deploy_many([s1, s2])
+        assert len(handles) == 2
+        assert handles[0].query is handles[1].query
+        assert mgr.get("greeter").spec["id"] == "greeter"  # defaulted
+    finally:
+        mgr.stop_all()
+        shutil.rmtree(workdir, ignore_errors=True)
