@@ -375,15 +375,18 @@ def g_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
            .unionByName(
                pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))))
     deg = raw.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    edges = raw.join(deg, "src").persist()
-    nodes = raw.select(F.col("src").alias("node")).distinct().persist()
     # Same convention as the dup-edge memo above: repeated invocations
     # (driver gate, sweeps, bench) must not accumulate pinned cache —
-    # evict the PREVIOUS call's edge/node blocks now that this call
-    # has its own.  (The cache earns its keep within one invocation:
-    # the 5-iteration lineage references edges 5× in the final job.)
+    # evict the PREVIOUS call's edge/node blocks.  Evict BEFORE
+    # persisting the new ones: both calls produce the same analyzed
+    # plan, and CacheManager uncaches by plan equality, so the other
+    # order would silently un-cache this call's registration too.
+    # (The cache earns its keep within one invocation: the
+    # 5-iteration lineage references edges 5× in the final job.)
     while _PR_PINNED:
         _PR_PINNED.pop().unpersist()
+    edges = raw.join(deg, "src").persist()
+    nodes = raw.select(F.col("src").alias("node")).distinct().persist()
     _PR_PINNED.extend([edges, nodes])
     n_nodes = nodes.count()  # driver scalar: one small agg, reused in
     # every iteration's literal (the oracle's scalar subquery)
