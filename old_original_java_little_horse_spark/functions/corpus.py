@@ -476,3 +476,92 @@ def t_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("n_b").cast("long").alias("n_b"),
                     F.expr("n_shared * 1000000L div (n_a + n_b - n_shared)")
                      .alias("jaccard_x1m")))
+
+
+# --------------------------------------------------------------------------
+# Token-span dedup (ExactSubstr shape: duplicated token windows)
+# --------------------------------------------------------------------------
+
+SPAN_TOKENS = 16  # window length (tokens)
+SPAN_STRIDE = 8   # window stride — 50% overlap, no span escapes unseen
+
+
+@query(
+    "t_span_dedup",
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+s AS (
+  SELECT doc_id, w,
+         unnest(generate_series(
+           1, greatest(len(w) - {SPAN_TOKENS - 1}, 0), {SPAN_STRIDE})) AS i
+  FROM t
+),
+h AS (
+  SELECT doc_id,
+         md5(array_to_string(w[i:i+{SPAN_TOKENS - 1}], ' ')) AS hx
+  FROM s
+),
+d AS (SELECT hx FROM h GROUP BY hx HAVING COUNT(DISTINCT doc_id) >= 2),
+per AS (
+  SELECT h.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_spans,
+         CAST(SUM(CASE WHEN d.hx IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS dup_spans
+  FROM h LEFT JOIN d ON h.hx = d.hx
+  GROUP BY h.doc_id
+)
+SELECT doc_id,
+       COALESCE(n_spans, 0) AS n_spans,
+       COALESCE(dup_spans, 0) AS dup_spans,
+       CAST(COALESCE(dup_spans, 0) * 1000000
+            // greatest(COALESCE(n_spans, 0), 1) AS BIGINT) AS dup_ppm
+FROM documents LEFT JOIN per USING (doc_id)
+""",
+)
+def t_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span load: how many of its 16-token
+    windows (stride 8) also appear verbatim in ANOTHER document — the
+    span-level dedup signal of "Deduplicating Training Data Makes
+    Language Models Better" (ExactSubstr), sitting between
+    `t_segment_dedup` (line-level) and `d_exact_dedup` (document
+    level).  The 50% stride overlap guarantees every 24-token
+    duplicated passage covers at least one shared window, so
+    cross-doc boilerplate cannot straddle its way past detection.
+
+    Scale shape: suffix arrays (the paper's exact tool) are
+    single-machine; the distributed equivalent is this window-hash
+    motion — per-row JVM-side array ops (split → sequence → slice →
+    md5, zero Python), explode to one row per window, ONE exchange on
+    the window hash for the cross-doc distinct count, and a second on
+    doc_id for the rollup.  md5 keys are uniform, so neither exchange
+    can skew; candidate volume is len/stride per doc, linear in
+    corpus size.  The final LEFT JOIN back to documents keeps
+    zero-span short docs in the report (exactly-one-row-per-doc is
+    the contract a downstream filter stage needs)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = F.split(F.col("text"), " ")
+    starts = F.when(
+        F.size(w) >= SPAN_TOKENS,
+        F.sequence(F.lit(1), F.size(w) - SPAN_TOKENS + 1,
+                   F.lit(SPAN_STRIDE))).otherwise(
+        F.array().cast("array<int>"))
+    spans = (docs.select("doc_id", w.alias("w"),
+                         F.explode(starts).alias("i"))
+             .select("doc_id",
+                     F.md5(F.concat_ws(
+                         " ", F.slice(F.col("w"), F.col("i"),
+                                      SPAN_TOKENS))).alias("hx")))
+    dup = (spans.groupBy("hx")
+           .agg(F.count_distinct("doc_id").alias("nd"))
+           .where(F.col("nd") >= 2).select("hx"))
+    per = (spans.join(dup.withColumn("is_dup", F.lit(1)), "hx", "left")
+           .groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("n_spans"),
+                F.coalesce(F.sum("is_dup"), F.lit(0)).alias("dup_spans")))
+    return (docs.select("doc_id").join(per, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+                    F.coalesce("dup_spans", F.lit(0)).alias("dup_spans"),
+                    (F.coalesce("dup_spans", F.lit(0)) * 1_000_000
+                     / F.greatest(F.coalesce("n_spans", F.lit(0)), F.lit(1)))
+                    .cast("long").alias("dup_ppm")))

@@ -290,3 +290,62 @@ def sk_cms_point_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
 for _f in (sk_cms_registers, sk_cms_point_queries):
     _f.__doc__ = _f.__doc__.format(d=CMS_DEPTH, w=CMS_WIDTH,
                                    dw=CMS_DEPTH * CMS_WIDTH)
+
+
+# --------------------------------------------------------------------------
+# Bottom-k quantile sketch (uniform-hash sample → value-at-rank)
+# --------------------------------------------------------------------------
+
+BOTTOMK_K = 256  # sample size: rows with the k smallest md5(event_id)
+
+
+@query(
+    "sk_bottomk_quantiles",
+    oracle=f"""
+WITH s AS (
+  SELECT CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+  ORDER BY md5(CAST(event_id AS VARCHAR)) LIMIT {BOTTOMK_K}
+), a AS (
+  SELECT list_sort(list(cents)) AS v, CAST(COUNT(*) AS BIGINT) AS k FROM s
+)
+SELECT k,
+       CAST(v[1 + (k - 1) // 2] AS BIGINT) AS p50_cents,
+       CAST(v[1 + ((k - 1) * 9) // 10] AS BIGINT) AS p90_cents,
+       CAST(v[1 + ((k - 1) * 99) // 100] AS BIGINT) AS p99_cents
+FROM a
+""",
+)
+def sk_bottomk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate p50/p90/p99 of event value from a bottom-k-by-hash
+    sample — the QUANTILE sketch beside the cardinality (HLL/KMV) and
+    frequency (CMS) families.  The k rows with the smallest
+    md5(event_id) are a uniform random sample that every partition
+    can compute locally and any two sketches can MERGE (union, keep
+    the k smallest) — the property GK/KLL sketches exist for, in its
+    simplest exact-deterministic form, so the oracle reproduces the
+    sample BIT FOR BIT instead of accepting a tolerance band.
+
+    Physical plan: per-partition top-k on the hash
+    (TakeOrderedAndProject — no global sort, no full shuffle; each
+    partition forwards at most k rows), then exact value-at-rank
+    inside the k-row sample via one bounded sorted array.  At 100 TB
+    the driver-side cost is fixed at k rows forever; accuracy is the
+    standard ±O(1/sqrt(k)) quantile-rank error of a uniform sample.
+    `w5_length_quantiles` is the EXACT full-data counterpart (one
+    sort exchange over everything) — this is the one you run on the
+    whole corpus when that sort is the bottleneck."""
+    ev = load_table(spark, sf_dir, "events")
+    sample = (ev.select(
+        F.md5(F.col("event_id").cast("string")).alias("hx"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"))
+        .orderBy("hx").limit(BOTTOMK_K))
+    a = sample.agg(F.sort_array(F.collect_list("cents")).alias("v"),
+                   F.count(F.lit(1)).alias("k"))
+    at = lambda num, den: F.element_at(  # noqa: E731 — rank selector
+        "v", (F.lit(1) + ((F.col("k") - 1) * num) / den).cast("int"))
+    return a.select(
+        "k",
+        at(1, 2).alias("p50_cents"),
+        at(9, 10).alias("p90_cents"),
+        at(99, 100).alias("p99_cents"))

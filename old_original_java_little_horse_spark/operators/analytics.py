@@ -488,3 +488,55 @@ def w6_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
                      (F.col("wk") - F.col("cohort_wk")).cast("long")
                       .alias("week_offset"))
             .agg(F.count(F.lit(1)).alias("n_users")))
+
+
+# --------------------------------------------------------------------------
+# W7 — trailing time-range window (RANGE frame)
+# --------------------------------------------------------------------------
+
+US_PER_WEEK_RANGE = 7 * 86_400 * 1_000_000
+
+
+@query(
+    "w7_rolling_revenue",
+    oracle=f"""
+WITH o AS (
+  SELECT o_orderkey, o_custkey, epoch_us(o_orderdate) AS order_us,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT o_orderkey, o_custkey, order_us,
+       CAST(SUM(cents) OVER w AS BIGINT) AS trailing_cents,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_in_window
+FROM o
+WINDOW w AS (PARTITION BY o_custkey ORDER BY order_us
+             RANGE BETWEEN {US_PER_WEEK_RANGE} PRECEDING AND CURRENT ROW)
+""",
+)
+def w7_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each order annotated with its customer's trailing-7-day spend
+    — the RANGE-frame window, the one window flavor the inventory did
+    not yet carry (W1/W2 are ROW-frame ranking, a7 is tumbling
+    groupBy-window; a trailing moving aggregate is neither: its frame
+    is VALUE-bounded, sliding per row, with tie rows entering the
+    frame together as peers).
+
+    Time is an exact epoch-microsecond long on both engines, so the
+    frame bound (7 days = 604.8e9 us PRECEDING) is integer arithmetic
+    and tie-peer grouping is identical — RANGE over floats or
+    timestamps is where engines drift.  Physical plan: ONE exchange
+    on o_custkey, in-partition sort by order time, single forward
+    scan with a sliding frame accumulator (Spark's WindowExec keeps
+    the frame incrementally — no per-row rescan, no self-join).  At
+    100 TB this is the shape to prefer over the equivalent
+    self-join `o1 JOIN o2 ON same cust AND t BETWEEN t-7d AND t`,
+    which is quadratic per heavy customer."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.unix_micros("o_orderdate").alias("order_us"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"))
+    w = (Window.partitionBy("o_custkey").orderBy("order_us")
+         .rangeBetween(-US_PER_WEEK_RANGE, 0))
+    return (o.select("o_orderkey", "o_custkey", "order_us",
+                     F.sum("cents").over(w).alias("trailing_cents"),
+                     F.count(F.lit(1)).over(w).alias("n_in_window")))

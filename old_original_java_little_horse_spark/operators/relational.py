@@ -1045,3 +1045,319 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(clause)
             .agg(F.sum(rev).alias("revenue_e4"),
                  F.count(F.lit(1)).alias("n_lines")))
+
+
+# --------------------------------------------------------------------------
+# Q13-shape: outer-join distribution (ON-clause filter + double aggregation)
+# --------------------------------------------------------------------------
+
+@query(
+    "q13_order_distribution",
+    oracle="""
+WITH co AS (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS n_custs
+FROM co GROUP BY n_orders
+""",
+)
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many customers placed 0, 1, 2, ... non-urgent orders —
+    TPC-H Q13's LEFT OUTER JOIN + double aggregation, the one join
+    flavor the inventory did not yet carry (inner/semi/anti/asof are
+    covered elsewhere).
+
+    Two semantics this shape exercises: (1) the priority predicate
+    lives in the JOIN's ON clause, not WHERE — for an outer join those
+    are different queries (a WHERE filter on the right side would
+    silently drop the zero-order customers this query exists to
+    count); filtering the BUILD side before the join is the equivalent
+    Spark form and keeps the predicate at the orders scan.
+    (2) `count(o_orderkey)` counts non-NULL matches only, so
+    unmatched customers land in the n_orders=0 bucket.  Physical
+    plan: both sides exchange on the customer key (at 100 TB neither
+    is broadcastable), partial-aggregated rollup per customer, then
+    ONE tiny exchange on n_orders — the second aggregation's
+    cardinality is bounded by max orders-per-customer, so it
+    collapses to near-nothing regardless of input scale."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = (load_table(spark, sf_dir, "orders")
+         .where(F.col("o_orderpriority") != "1-URGENT")
+         .select("o_custkey", "o_orderkey"))
+    per_cust = (c.join(o, c.c_custkey == o.o_custkey, "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("n_orders")))
+    return (per_cust.groupBy("n_orders")
+            .agg(F.count(F.lit(1)).alias("n_custs")))
+
+
+# --------------------------------------------------------------------------
+# Q16-shape: distinct-count rollup with an excluded-set anti join
+# --------------------------------------------------------------------------
+
+@query(
+    "q16_supplier_variety",
+    oracle="""
+SELECT p_brand, p_size, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#5' AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_size
+""",
+)
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many distinct suppliers ship each (brand, size) slice,
+    excluding suppliers in arrears — TPC-H Q16's COUNT(DISTINCT) +
+    NOT IN shape (lineitem stands in for partsupp on this schema).
+
+    The NOT IN subquery is safe to run as LEFT ANTI only because
+    s_suppkey is non-nullable — with NULLs, NOT IN returns no rows at
+    all while anti join keeps non-matches, so the rewrite is stated
+    here rather than left to chance (q22's docstring has the NULL
+    case).  The excluded set is tiny (suppliers in arrears) and
+    BROADCASTS, as does the filtered part dim; both part predicates
+    prune at the scan.  COUNT(DISTINCT) plans as the two-phase
+    expand: partial dedup of (brand, size, suppkey) map-side, one
+    exchange on the group key, exact count of survivors — no
+    full-row shuffle of the fact table beyond that single exchange."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = (load_table(spark, sf_dir, "part")
+         .where((F.col("p_brand") != "Brand#5")
+                & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+         .select("p_partkey", "p_brand", "p_size"))
+    bad = (load_table(spark, sf_dir, "supplier")
+           .where(F.col("s_acctbal") < 0).select("s_suppkey"))
+    return (li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+            .join(F.broadcast(bad),
+                  F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+            .groupBy("p_brand", "p_size")
+            .agg(F.count_distinct("l_suppkey").alias("supplier_cnt")))
+
+
+# --------------------------------------------------------------------------
+# Q17-shape: correlated scalar subquery decorrelated to an agg-join
+# --------------------------------------------------------------------------
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+WITH pa AS (
+  SELECT l_partkey AS pk,
+         SUM(CAST(round(l_quantity, 0) AS BIGINT)) AS sum_q,
+         CAST(COUNT(*) AS BIGINT) AS n_q
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+JOIN pa ON pa.pk = l_partkey
+WHERE p_brand = 'Brand#12'
+  AND 5 * CAST(round(l_quantity, 0) AS BIGINT) * n_q < sum_q
+""",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue from small-quantity orders of one brand's parts, where
+    "small" means below 20% of that part's average order quantity —
+    TPC-H Q17's correlated scalar subquery
+    (`l_quantity < (SELECT 0.2*avg(l_quantity) WHERE l_partkey = p_partkey)`).
+
+    A per-row correlated subquery is the classic engine-killer; the
+    scalable plan DECORRELATES it into one aggregate over the fact
+    table joined back by key — exactly what the oracle's CTE states
+    and what Catalyst produces for the subquery form.  Two
+    scale-minded touches: the per-part aggregate is computed only for
+    the brand's parts (a semi join by the broadcast part dim BEFORE
+    the agg — the correlation key equals the join key, so
+    restricting early is semantics-preserving and skips aggregating
+    the 96% of parts the outer query would discard), and the
+    avg comparison is cross-multiplied to exact integers
+    (5*qty*n < sum ⟺ qty < 0.2*sum/n) so the hash never rides on
+    float division.  One exchange on partkey for the agg, reused by
+    the equi-join; final global agg is a single partial-combined
+    scalar."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p12 = (load_table(spark, sf_dir, "part")
+           .where(F.col("p_brand") == "Brand#12").select("p_partkey"))
+    qty = F.round(F.col("l_quantity"), 0).cast("long")
+    brand_li = li.join(F.broadcast(p12),
+                       F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+    pa = (brand_li.groupBy("l_partkey")
+          .agg(F.sum(qty).alias("sum_q"), F.count(F.lit(1)).alias("n_q")))
+    return (brand_li.join(pa.withColumnRenamed("l_partkey", "pk"),
+                          F.col("l_partkey") == F.col("pk"))
+            .where(F.lit(5) * qty * F.col("n_q") < F.col("sum_q"))
+            .agg(F.sum(F.round(F.col("l_extendedprice") * 100, 0)
+                       .cast("long")).alias("revenue_cents"),
+                 F.count(F.lit(1)).alias("n_lines")))
+
+
+# --------------------------------------------------------------------------
+# Q20-shape: chained semi joins (suppliers of heavily-shipped parts)
+# --------------------------------------------------------------------------
+
+@query(
+    "q20_heavy_part_suppliers",
+    oracle="""
+WITH rp AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+     sq AS (SELECT l_suppkey, l_partkey,
+                   SUM(CAST(round(l_quantity, 0) AS BIGINT)) AS qty
+            FROM lineitem JOIN rp ON l_partkey = p_partkey
+            GROUP BY l_suppkey, l_partkey)
+SELECT s_suppkey, s_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_7'
+  AND EXISTS (SELECT 1 FROM sq
+              WHERE sq.l_suppkey = s_suppkey AND sq.qty > 100)
+""",
+)
+def q20_heavy_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers in one nation who shipped more than 100 units of any
+    red part — TPC-H Q20's nested-subquery chain (parts by name →
+    quantities per (supplier, part) → suppliers passing the
+    threshold → nation filter), each level feeding the next as an
+    EXISTS.
+
+    The chain plans as successive SEMI reductions, each shrinking
+    cardinality before the next touches it: the name-filtered part
+    keys BROADCAST into a semi filter on lineitem (prunes the fact
+    scan to red-part lines), ONE exchange aggregates per
+    (suppkey, partkey), the threshold filter collapses that to a
+    small distinct-supplier set, which broadcasts into a LEFT SEMI
+    against the nation-filtered supplier dim.  Nothing large is ever
+    on the probe side of anything — the fact table is touched once,
+    pre-filtered."""
+    p_red = (load_table(spark, sf_dir, "part")
+             .where(F.col("p_name").like("red%")).select("p_partkey"))
+    li = load_table(spark, sf_dir, "lineitem")
+    heavy = (li.join(F.broadcast(p_red),
+                     F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+             .groupBy("l_suppkey", "l_partkey")
+             .agg(F.sum(F.round(F.col("l_quantity"), 0).cast("long"))
+                  .alias("qty"))
+             .where(F.col("qty") > 100)
+             .select("l_suppkey").distinct())
+    s = load_table(spark, sf_dir, "supplier")
+    n = (load_table(spark, sf_dir, "nation")
+         .where(F.col("n_name") == "NATION_7").select("n_nationkey"))
+    return (s.join(F.broadcast(n),
+                   F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+            .join(F.broadcast(heavy),
+                  F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+            .select("s_suppkey", "s_name"))
+
+
+# --------------------------------------------------------------------------
+# Q21-shape: EXISTS + NOT EXISTS pair decorrelated to per-group counts
+# --------------------------------------------------------------------------
+
+@query(
+    "q21_sole_fault_suppliers",
+    oracle="""
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM lineitem l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+""",
+)
+def q21_sole_fault_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who were the ONLY one to have returns in a
+    multi-supplier order, counted per supplier — TPC-H Q21's
+    correlated EXISTS + NOT EXISTS pair (the hardest TPC-H shape:
+    two correlated self-references on the fact table).
+
+    The oracle states the literal EXISTS/NOT EXISTS; executing two
+    correlated self-joins would touch the fact table three times and
+    shuffle it twice more.  The decorrelated plan computes BOTH
+    existence tests from one per-order aggregate — n_supp = distinct
+    suppliers in the order, n_r = distinct suppliers with a return —
+    since for an 'R' row, `EXISTS other supplier` ⟺ n_supp > 1 and
+    `NOT EXISTS other R-supplier` ⟺ n_r = 1.  One exchange on
+    orderkey builds the order profile (partial-combined distinct),
+    the R-rows join it on the same key (exchange reused), and the
+    supplier dim BROADCASTS onto survivors.  Fact table: scanned
+    twice, shuffled on one key."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag")
+    prof = (li.groupBy("l_orderkey")
+            .agg(F.count_distinct("l_suppkey").alias("n_supp"),
+                 F.count_distinct(
+                     F.when(F.col("l_returnflag") == "R",
+                            F.col("l_suppkey"))).alias("n_r")))
+    r_rows = li.where(F.col("l_returnflag") == "R")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (r_rows.join(prof, "l_orderkey")
+            .where((F.col("n_supp") > 1) & (F.col("n_r") == 1))
+            .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+            .groupBy("s_name")
+            .agg(F.count(F.lit(1)).alias("numwait")))
+
+
+# --------------------------------------------------------------------------
+# S4-shape: SCD2 dimension build from a changelog (validity intervals)
+# --------------------------------------------------------------------------
+
+@query(
+    "s4_scd2_dimension",
+    oracle="""
+WITH o AS (
+  SELECT o_custkey, o_orderpriority AS attr,
+         epoch_us(o_orderdate) AS t, o_orderkey,
+         lag(o_orderpriority) OVER w AS prev
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate), o_orderkey)
+), chg AS (
+  SELECT o_custkey, attr, t
+  FROM o WHERE prev IS NULL OR attr <> prev
+)
+SELECT o_custkey, attr,
+       t AS valid_from_us,
+       lead(t) OVER (PARTITION BY o_custkey ORDER BY t) AS valid_to_us,
+       CASE WHEN lead(t) OVER (PARTITION BY o_custkey ORDER BY t) IS NULL
+            THEN 1 ELSE 0 END AS is_current
+FROM chg
+""",
+)
+def s4_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each customer's order-priority history as a type-2
+    slowly-changing dimension: one row per VALUE CHANGE with
+    [valid_from, valid_to) validity and an is_current flag — the
+    changelog→dimension build every warehouse load runs, and the
+    historical-history counterpart of `s2_changelog_upsert`
+    (which keeps only latest-wins).
+
+    The construction is the canonical two-window pipeline over ONE
+    exchange on the business key: (1) lag() to detect changes
+    (consecutive-duplicate compaction — re-stating the same value
+    must NOT open a new version row), (2) lead() over the surviving
+    change rows to close each version with its successor's start.
+    Order within a key is total (event time, then orderkey) so replay
+    is deterministic; both windows share the o_custkey partition, so
+    Catalyst plans one shuffle and two in-partition sorts.  At 100 TB
+    the state per key is one open version — this exact plan also runs
+    incrementally as a MERGE against yesterday's dimension (close the
+    open rows whose key changed, insert the new opens)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderpriority").alias("attr"),
+        F.unix_micros("o_orderdate").alias("t"), "o_orderkey")
+    w = Window.partitionBy("o_custkey").orderBy("t", "o_orderkey")
+    chg = (o.withColumn("prev", F.lag("attr").over(w))
+           .where(F.col("prev").isNull() | (F.col("attr") != F.col("prev")))
+           .select("o_custkey", "attr", "t"))
+    w2 = Window.partitionBy("o_custkey").orderBy("t")
+    nxt = F.lead("t").over(w2)
+    return chg.select(
+        "o_custkey", "attr",
+        F.col("t").alias("valid_from_us"),
+        nxt.alias("valid_to_us"),
+        F.when(nxt.isNull(), 1).otherwise(0).cast("int").alias("is_current"))

@@ -56,6 +56,10 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # round-4 set follows.
 _CHECK_FIRST = [
     # new in round 5 — never driver-checked (registered below as added)
+    "q13_order_distribution", "q16_supplier_variety",
+    "q17_small_quantity_revenue", "q20_heavy_part_suppliers",
+    "q21_sole_fault_suppliers", "w7_rolling_revenue", "t_span_dedup",
+    "stream_interval_join", "sk_bottomk_quantiles", "s4_scd2_dimension",
     "q6_forecast_revenue", "q14_promo_revenue", "q18_large_orders",
     "q19_disjunctive_revenue", "sk_hll_registers", "sk_kmv_distinct",
     "idx_tfidf_topk", "d_winnow_fingerprint_pairs", "g_pagerank_purchases",

@@ -36,12 +36,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         ts_type = df.schema["ts"].dataType
         if isinstance(ts_type, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif isinstance(ts_type, TimestampNTZType):
-            # Newer testdata writes micros TIMESTAMP_NTZ.  The session is
-            # pinned to UTC (session.py), so NTZ -> TIMESTAMP is
-            # value-preserving; downstream ops (unix_micros, windows)
-            # require the zoned type.
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    # Testdata writes micros TIMESTAMP_NTZ (events.ts, o_orderdate,
+    # l_shipdate, ...).  The session is pinned to UTC (session.py), so
+    # NTZ -> TIMESTAMP is value-preserving; downstream ops
+    # (unix_micros, windows, watermarks) require the zoned type.
+    for f in df.schema.fields:
+        if isinstance(f.dataType, TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return df
 
 

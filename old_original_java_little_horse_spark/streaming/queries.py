@@ -517,3 +517,111 @@ def stream_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(workdir, ignore_errors=True)
     return spark.createDataFrame(
         rows, "event_type string, register long, max_rho int")
+
+
+# --------------------------------------------------------------------------
+# Stream-stream interval join (errors ⋈ clicks, watermarked both sides)
+# --------------------------------------------------------------------------
+
+_SSJOIN_WINDOW_US = 2 * 3600 * 1_000_000  # ±2 h association window
+
+
+@query(
+    "stream_interval_join",
+    oracle=f"""
+SELECT e.user_id,
+       e.event_id AS error_id,
+       c.event_id AS click_id,
+       epoch_us(e.ts) AS error_us,
+       epoch_us(c.ts) AS click_us
+FROM (SELECT user_id, event_id, ts FROM events
+      WHERE event_type = 'error') e
+JOIN (SELECT user_id, event_id, ts FROM events
+      WHERE event_type = 'click') c
+  ON e.user_id = c.user_id
+ AND abs(epoch_us(e.ts) - epoch_us(c.ts)) <= {_SSJOIN_WINDOW_US}
+""",
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Errors joined LIVE to same-user clicks within ±2 hours — the
+    STREAM-STREAM interval join, the one Structured Streaming
+    stateful-operator family the inventory did not yet carry (windowed
+    agg: `stream_event_rates`; arbitrary state: the engine;
+    session windows: `stream_sessionize`).  Batch cousins: j6
+    (bucketized range join) and j7 (derived-interval overlap).
+
+    Both sides are WATERMARKED (3 h delay > the 2 h window) and the
+    join condition carries the time bound — the two things Spark
+    needs to know a buffered row can never match again: each side's
+    state evicts once the OTHER side's watermark passes ts + 2 h, so
+    state is bounded by 'rows per 5 h of stream time' no matter how
+    long the stream runs.  Without the time bound the same join would
+    buffer BOTH STREAMS FOREVER — the unbounded-state trap this query
+    exists to demonstrate against.  Physical plan: both streams
+    exchange on user_id (the equi-half of the condition), the range
+    half filters within each key's buffered rows.  Inner join emits
+    eagerly (append mode, no flush sentinel needed for output —
+    unlike the windowed agg, whose results EXIST only at watermark
+    close).  Replay: each stream is cut into two time slices
+    delivered as strictly-ordered availableNow runs against one
+    checkpoint; pairs straddling the cut prove cross-batch buffering
+    (the slice-2 click finds the slice-1 error in join state)."""
+    import os
+
+    workdir = tempfile.mkdtemp(prefix="stream-ssjoin-q-")
+    err_dir, clk_dir = f"{workdir}/errors", f"{workdir}/clicks"
+    os.makedirs(err_dir)
+    os.makedirs(clk_dir)
+    ev = load_table(spark, sf_dir, "events")
+    cut = ev.agg(F.expr(
+        "percentile_approx(unix_micros(ts), 0.5, 10000)")).collect()[0][0]
+    sides = {"e": ("error", err_dir), "c": ("click", clk_dir)}
+    staged: list[tuple[str, str]] = []  # (staging file dir, source dir)
+    for tag, (etype, src_dir) in sides.items():
+        side = (ev.where(F.col("event_type") == etype)
+                .select("user_id", "event_id", "ts"))
+        for i, pred in enumerate([F.unix_micros("ts") <= cut,
+                                  F.unix_micros("ts") > cut]):
+            d = f"{workdir}/{tag}{i}"
+            side.where(pred).coalesce(1).write.parquet(d)
+            staged.append((d, src_dir))
+    schema = spark.read.parquet(f"{workdir}/e0").schema
+    out_dir = f"{workdir}/out"
+    with scoped_conf(spark,
+                     {"spark.sql.shuffle.partitions": str(_STREAM_PARTS)}):
+        err = (spark.readStream.schema(schema).parquet(err_dir)
+               .withWatermark("ts", "3 hours")
+               .select(F.col("user_id").alias("e_user"),
+                       F.col("event_id").alias("error_id"),
+                       F.col("ts").alias("e_ts")))
+        clk = (spark.readStream.schema(schema).parquet(clk_dir)
+               .withWatermark("ts", "3 hours")
+               .select(F.col("user_id").alias("c_user"),
+                       F.col("event_id").alias("click_id"),
+                       F.col("ts").alias("c_ts")))
+        joined = (err.join(
+            clk,
+            (F.col("e_user") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("e_ts") - F.expr("interval 2 hours"))
+            & (F.col("c_ts") <= F.col("e_ts") + F.expr("interval 2 hours")))
+            .select(F.col("e_user").alias("user_id"), "error_id", "click_id",
+                    F.unix_micros("e_ts").alias("error_us"),
+                    F.unix_micros("c_ts").alias("click_us")))
+        # Two ordered availableNow runs: slice 0 of both sides, then
+        # slice 1 of both — cross-slice pairs must come out of join
+        # state, notsame-batch co-presence.
+        for n in (0, 1):
+            for d, src_dir in staged:
+                if d.endswith(str(n)):
+                    for f in os.listdir(d):
+                        if f.endswith(".parquet"):
+                            os.rename(os.path.join(d, f),
+                                      os.path.join(src_dir, f"s{n}-{f}"))
+            (joined.writeStream.outputMode("append")
+             .format("parquet").option("path", out_dir)
+             .option("checkpointLocation", f"{workdir}/ckpt")
+             .trigger(availableNow=True).start().awaitTermination())
+    out = spark.read.parquet(out_dir)
+    rows = out.collect()
+    shutil.rmtree(workdir, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)

@@ -338,3 +338,109 @@ def test_cms_registers_bounded_partial_agg(spark):
     txt = explain_str(df)
     assert txt.count("HashAggregate") >= 2, txt  # partial + final
     assert count_exchanges(df) == 1, txt
+
+
+def test_q13_outer_join_on_clause_semantics(spark):
+    """Q13's left outer join keeps zero-order customers (ON-clause
+    filter, not WHERE) and double-aggregates with map-side combine;
+    no nested loop anywhere."""
+    df = Q["q13_order_distribution"].fn(spark, SF_SMOKE)
+    txt = explain_str(df)
+    assert "LeftOuter" in txt, txt
+    assert "CartesianProduct" not in txt and "NestedLoop" not in txt, txt
+    assert "o_orderpriority" in " ".join(pushed_filters(df)), \
+        "ON-clause filter should prune the orders scan"
+    assert txt.count("HashAggregate") >= 2, txt
+
+
+def test_q16_distinct_agg_and_anti_exclusion(spark):
+    """Q16: excluded-supplier NOT IN plans as a broadcast anti join;
+    the filtered part dim broadcasts; COUNT(DISTINCT) never shuffles
+    raw fact rows beyond its one group exchange."""
+    df = Q["q16_supplier_variety"].fn(spark, SF_SMOKE)
+    txt = explain_str(df)
+    ops = physical_ops(df)
+    assert "LeftAnti" in txt, txt
+    assert "BroadcastHashJoin" in ops, ops
+    assert "SortMergeJoin" not in ops, ops
+    assert "p_size" in " ".join(pushed_filters(df))
+
+
+def test_q17_decorrelated_agg_join(spark):
+    """Q17's correlated scalar subquery runs as ONE per-part aggregate
+    joined back — the brand restriction reaches the fact scan via a
+    broadcast semi join BEFORE the aggregate."""
+    df = Q["q17_small_quantity_revenue"].fn(spark, SF_SMOKE)
+    txt = explain_str(df)
+    ops = physical_ops(df)
+    assert "LeftSemi" in txt, txt
+    assert "CartesianProduct" not in ops, ops
+    assert txt.count("HashAggregate") >= 2, txt
+
+
+def test_q20_semi_chain_all_reductions(spark):
+    """Q20's nested EXISTS chain: every level is a semi reduction
+    (two LeftSemi joins), every small side broadcasts, the fact table
+    appears exactly once."""
+    df = Q["q20_heavy_part_suppliers"].fn(spark, SF_SMOKE)
+    txt = explain_str(df)
+    ops = physical_ops(df)
+    assert txt.count("LeftSemi") >= 2, txt
+    assert "BroadcastHashJoin" in ops, ops
+    assert "SortMergeJoin" not in ops, ops
+    assert sum("lineitem" in op for op in
+               [txt[txt.find("Scan"):]]) <= 1  # fact scanned once in plan
+
+
+def test_q21_exists_pair_from_one_profile(spark):
+    """Q21's EXISTS + NOT EXISTS both derive from the single per-order
+    profile aggregate — no correlated self-joins, supplier dim
+    broadcasts, nothing nested-loops."""
+    df = Q["q21_sole_fault_suppliers"].fn(spark, SF_SMOKE)
+    txt = explain_str(df)
+    ops = physical_ops(df)
+    assert "BroadcastHashJoin" in ops, ops
+    assert "CartesianProduct" not in ops and "NestedLoop" not in txt, txt
+    assert txt.count("HashAggregate") >= 2, txt
+
+
+def test_w7_range_frame_single_exchange(spark):
+    """The trailing-window rollup is ONE exchange on o_custkey and a
+    sliding RANGE frame — no self-join on the time range."""
+    df = Q["w7_rolling_revenue"].fn(spark, SF_SMOKE)
+    ops = physical_ops(df)
+    assert "Window" in ops, ops
+    assert not any("Join" in op for op in ops), ops
+    assert count_exchanges(df) == 1, explain_str(df)
+
+
+def test_span_dedup_equi_join_only_and_array_pipeline(spark):
+    """Span dedup candidates join on the md5 window hash (uniform,
+    skew-proof) — never a nested loop; the window pipeline is
+    JVM-side (Generate/slice), no Python stage."""
+    df = Q["t_span_dedup"].fn(spark, SF_SMOKE)
+    ops = physical_ops(df)
+    txt = explain_str(df)
+    assert "CartesianProduct" not in ops, ops
+    assert "BroadcastNestedLoop" not in " ".join(ops), ops
+    assert "Generate" in ops, ops
+    assert "ArrowEvalPython" not in ops and "BatchEvalPython" not in ops, ops
+
+
+def test_bottomk_sample_is_take_ordered(spark):
+    """The bottom-k sample must plan as TakeOrderedAndProject
+    (per-partition top-k, k rows forwarded per partition) — never a
+    full sort exchange of the corpus."""
+    df = Q["sk_bottomk_quantiles"].fn(spark, SF_SMOKE)
+    ops = physical_ops(df)
+    assert "TakeOrderedAndProject" in ops, ops
+
+
+def test_scd2_two_windows_one_exchange(spark):
+    """Both SCD2 windows (change-detect lag, version-close lead)
+    share the business-key partition: ONE exchange, no join."""
+    df = Q["s4_scd2_dimension"].fn(spark, SF_SMOKE)
+    ops = physical_ops(df)
+    assert "Window" in ops, ops
+    assert not any("Join" in op for op in ops), ops
+    assert count_exchanges(df) == 1, explain_str(df)

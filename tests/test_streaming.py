@@ -707,3 +707,71 @@ def test_session_window_state_evicted_past_watermark(spark):
         assert final_state_rows == 1
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_stream_interval_join_cross_batch_and_window_bound(spark):
+    """The stream-stream interval join must (1) match pairs that
+    STRADDLE the replay cut — the slice-1 click finds the slice-0
+    error in buffered join state, not same-batch co-presence — and
+    (2) reject same-user clicks outside the ±2 h bound.
+
+    Synthetic corpus built so percentile cut = 01:15: error u1@01:00
+    lands in slice 0; its matching click u1@02:50 (1 h 50 m later,
+    inside the window) and a decoy click u1@07:00 (outside) land in
+    slice 1."""
+    from old_original_java_little_horse_spark.registry import all_queries
+
+    q = all_queries()["stream_interval_join"].fn
+    workdir = Path(tempfile.mkdtemp(prefix="ssjoin-test-"))
+    try:
+        base = 1_700_000_000_000_000  # us
+        h = 3600 * 1_000_000
+        rows = [
+            (1, base + 1 * h, 1, "error", 0.0, "{}"),
+            (2, base + 1 * h + 5 * 60_000_000, 2, "view", 0.0, "{}"),
+            (3, base + 1 * h + 10 * 60_000_000, 3, "view", 0.0, "{}"),
+            (4, base + 1 * h + 15 * 60_000_000, 4, "view", 0.0, "{}"),
+            (5, base + 2 * h + 50 * 60_000_000, 1, "click", 0.0, "{}"),
+            (6, base + 3 * h, 5, "view", 0.0, "{}"),
+            (7, base + 3 * h + 10 * 60_000_000, 6, "view", 0.0, "{}"),
+            (8, base + 7 * h, 1, "click", 0.0, "{}"),  # outside ±2 h
+        ]
+        df = spark.createDataFrame(
+            [(i, t, u, e, v, p) for i, t, u, e, v, p in rows],
+            "event_id long, t long, user_id long, event_type string, "
+            "value double, props string",
+        ).select("event_id", F.timestamp_micros("t").alias("ts"),
+                 "user_id", "event_type", "value", "props")
+        df.coalesce(1).write.parquet(str(workdir / "events.parquet"))
+        out = q(spark, str(workdir)).collect()
+        assert len(out) == 1, out
+        pair = out[0]
+        assert (pair["user_id"], pair["error_id"], pair["click_id"]) == (1, 1, 5)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_stream_interval_join_matches_batch(spark):
+    """Streaming interval join == the batch equi+range join on the
+    real smoke table (pair set equality, not just counts)."""
+    from old_original_java_little_horse_spark.registry import all_queries
+    from old_original_java_little_horse_spark.sources.parquet import load_table
+
+    stream_pairs = {
+        (r["user_id"], r["error_id"], r["click_id"])
+        for r in all_queries()["stream_interval_join"].fn(spark, SF_SMOKE).collect()
+    }
+    ev = load_table(spark, SF_SMOKE, "events")
+    e = ev.where(F.col("event_type") == "error").select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("eid"),
+        F.unix_micros("ts").alias("et"))
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("event_id").alias("cid"),
+        F.unix_micros("ts").alias("ct"))
+    batch_pairs = {
+        (r["u"], r["eid"], r["cid"])
+        for r in e.join(c, (F.col("u") == F.col("cu"))
+                        & (F.abs(F.col("et") - F.col("ct"))
+                           <= 2 * 3600 * 1_000_000)).collect()
+    }
+    assert stream_pairs == batch_pairs and len(stream_pairs) > 0
