@@ -27,7 +27,14 @@ HEADLINE = [
     "q4_priority_semi",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_shipping_delay",
     "q14_promo_revenue",
+    "q15_top_supplier",
     "q18_large_orders",
     "q19_disjunctive_revenue",
     "sk_hll_registers",

@@ -1021,20 +1021,38 @@ def update_thread_status(state: dict, thread: dict) -> None:
             thread["status"] = HALTED
 
 
-def update_statuses(state: dict, event: dict) -> None:
-    for t in state["thread_runs"]:
+def update_statuses(state: dict, event: dict) -> bool:
+    """Returns True iff any run/thread status changed — the fixpoint
+    loop's convergence signal (replaces a before/after snapshot diff;
+    same observable condition, no tuple allocation per iteration)."""
+    changed = False
+    threads = state["thread_runs"]
+    for t in threads:
+        before = t["status"]
         update_thread_status(state, t)
+        if t["status"] != before:
+            changed = True
 
-    if state["status"] == HALTING:
-        if all(t["status"] != HALTING for t in state["thread_runs"]):
+    run_before = state["status"]
+    if run_before == HALTING:
+        if all(t["status"] != HALTING for t in threads):
             state["status"] = HALTED
-    elif state["status"] == RUNNING:
-        threads = state["thread_runs"]
-        if all(thread_completed(t) for t in threads):
+    elif run_before == RUNNING:
+        # One pass, early exit: completed ⊂ terminated, so a
+        # non-terminated thread settles both answers at once.
+        all_completed = all_terminated = True
+        for t in threads:
+            if not thread_completed(t):
+                all_completed = False
+                if not thread_terminated(t):
+                    all_terminated = False
+                    break
+        if all_completed:
             state["status"] = COMPLETED
             state["end_time"] = event["timestamp"]
-        elif all(thread_terminated(t) for t in threads):
+        elif all_terminated:
             state["status"] = HALTED
+    return changed or state["status"] != run_before
 
 
 # ---------------------------------------------------------------------------
@@ -1258,10 +1276,6 @@ def process_event(spec: dict, state: dict | None, event: dict,
     return state, ctx
 
 
-def _status_snapshot(state: dict) -> tuple:
-    return (state["status"], tuple(t["status"] for t in state["thread_runs"]))
-
-
 def _advance_to_fixpoint(spec: dict, state: dict, event: dict, ctx: Ctx) -> None:
     """The fixpoint loop (SchedulerProcessor.java:170-187).
 
@@ -1284,12 +1298,12 @@ def _advance_to_fixpoint(spec: dict, state: dict, event: dict, ctx: Ctx) -> None
         guard += 1
         if guard > 100000:
             raise RuntimeError("fixpoint did not converge")
-        before = _status_snapshot(state)
         did = False
         for i in range(len(state["thread_runs"])):  # list may grow
             did = advance_thread(state, spec, state["thread_runs"][i], event, ctx) or did
-        update_statuses(state, event)
-        should = did or _status_snapshot(state) != before
+        # advance_thread returns False only on no-mutation paths, so
+        # `did or statuses-changed` is exactly the old snapshot diff.
+        should = update_statuses(state, event) or did
 
 
 def _drain_inline(spec: dict, state: dict, event: dict, ctx: Ctx,

@@ -56,6 +56,9 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # round-4 set follows.
 _CHECK_FIRST = [
     # new in round 5 — never driver-checked (registered below as added)
+    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+    "q10_returned_items", "q11_important_parts", "q12_shipping_delay",
+    "q15_top_supplier",
     "q13_order_distribution", "q16_supplier_variety",
     "q17_small_quantity_revenue", "q20_heavy_part_suppliers",
     "q21_sole_fault_suppliers", "w7_rolling_revenue", "t_span_dedup",
@@ -87,7 +90,7 @@ def all_queries() -> dict[str, QuerySpec]:
     """Import every module that registers queries, then return them
     with the least-driver-proven queries first (`_CHECK_FIRST`)."""
     # Imports are deferred so `import registry` stays cheap.
-    from .operators import analytics, indexing, relational, run_index  # noqa: F401
+    from .operators import analytics, indexing, relational, run_index, tpch  # noqa: F401
     from .functions import clustering, corpus, curation, dedup, expressions, multimodal, retrieval, similarity, sketches, text  # noqa: F401
     from .engine import queries as engine_queries  # noqa: F401
     from .streaming import queries as streaming_queries  # noqa: F401

@@ -444,3 +444,56 @@ def test_scd2_two_windows_one_exchange(spark):
     assert "Window" in ops, ops
     assert not any("Join" in op for op in ops), ops
     assert count_exchanges(df) == 1, explain_str(df)
+
+
+def test_q10_ordered_topn_is_take_ordered(spark):
+    """Q10's top-20 must plan as TakeOrderedAndProject (per-partition
+    heaps, driver merges 20 x partitions rows) — never a global sort
+    exchange of the grouped rollup."""
+    df = Q["q10_returned_items"].fn(spark, SF_SMOKE)
+    ops = physical_ops(df)
+    assert "TakeOrderedAndProject" in ops, ops
+    assert "Sort" not in ops, ops
+
+
+def _final_plan_after(df):
+    df.collect()  # AQE: reuse decisions only appear in the final plan
+    txt = explain_str(df)
+    return txt.split("== Initial Plan ==")[0]
+
+
+def test_q15_exchange_reused_single_fact_scan(spark):
+    """Q15's MAX branch must REUSE the per-supplier rollup exchange
+    (the explicit isnotnull filter exists exactly so both subtrees
+    are byte-identical) — without it Spark scans the fact twice."""
+    final = _final_plan_after(
+        Q["q15_top_supplier"].fn(spark, SF_SMOKE))
+    assert "ReusedExchange" in final, final
+
+
+def test_q11_exchange_reused_for_scalar_total(spark):
+    """Q11's scalar-total branch reuses the per-part rollup exchange;
+    the 'subquery' costs one reduce, not a second fact scan."""
+    final = _final_plan_after(
+        Q["q11_important_parts"].fn(spark, SF_SMOKE))
+    assert "ReusedExchange" in final, final
+
+
+def test_q7_q8_q9_dims_broadcast(spark):
+    """The completed TPC-H star joins must broadcast their filtered
+    dim branches — a SortMergeJoin against nation/supplier/part means
+    a pushdown or size estimate regressed."""
+    for name in ("q7_volume_shipping", "q8_market_share",
+                 "q9_product_profit"):
+        ops = physical_ops(Q[name].fn(spark, SF_SMOKE))
+        assert "BroadcastHashJoin" in ops, (name, ops)
+        assert "CartesianProduct" not in ops, (name, ops)
+
+
+def test_q12_filter_pushed_and_single_rollup(spark):
+    """Q12's ship-year filter must reach the fact scan; the two CASE
+    counts fold into ONE aggregate pass (no union of two branches)."""
+    df = Q["q12_shipping_delay"].fn(spark, SF_SMOKE)
+    assert "l_shipdate" in " ".join(pushed_filters(df))
+    ops = physical_ops(df)
+    assert "Union" not in ops, ops
