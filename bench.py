@@ -63,6 +63,8 @@ HEADLINE = [
     "sim_topk_bruteforce",
     "sim_label_blocked_neardup",
     "sim_ivf_ann",
+    "sim_pq_adc_topk",
+    "sim_semantic_decontaminate",
     "t_quality_score",
     "t_token_count",
     "t_segment_dedup",

@@ -497,3 +497,24 @@ def test_q12_filter_pushed_and_single_rollup(spark):
     assert "l_shipdate" in " ".join(pushed_filters(df))
     ops = physical_ops(df)
     assert "Union" not in ops, ops
+
+
+def test_pq_adc_is_arrow_scan_no_join(spark):
+    """PQ's ADC pass must be a single Arrow-batched map over the code
+    stream — no join of any kind and no cartesian pair space (the
+    query LUTs are a closure-captured driver artifact)."""
+    df = Q["sim_pq_adc_topk"].fn(spark, SF_SMOKE)
+    ops = physical_ops(df)
+    assert "ArrowEvalPython" in ops, ops
+    assert not any("Join" in op for op in ops), ops
+
+
+def test_semantic_decontaminate_broadcast_and_jvm_dot(spark):
+    """The eval side must broadcast (never shuffle the training
+    corpus against it) and the dot product must stay JVM-side —
+    no Python stage in the pair loop."""
+    df = Q["sim_semantic_decontaminate"].fn(spark, SF_SMOKE)
+    ops = physical_ops(df)
+    assert "BroadcastNestedLoopJoin" in ops, ops
+    assert "SortMergeJoin" not in ops, ops
+    assert "ArrowEvalPython" not in ops and "BatchEvalPython" not in ops, ops
