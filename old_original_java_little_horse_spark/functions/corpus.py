@@ -401,6 +401,220 @@ def t_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# DSIR-shape importance weights (target-vs-background n-gram models)
+# --------------------------------------------------------------------------
+
+@query(
+    "t_dsir_weights",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+), bg AS (
+  SELECT doc_id, lang, unnest(CASE WHEN len(w) >= 2
+           THEN list_transform(generate_series(1, len(w) - 1),
+                               i -> array_to_string(w[i:i+1], ' '))
+           ELSE [] END) AS bigram
+  FROM t
+), mb AS (  -- background model: whole corpus
+  SELECT bigram, COUNT(*) * 1000000 //
+         SUM(COUNT(*)) OVER (PARTITION BY string_split(bigram, ' ')[1])
+           AS pb_x1m
+  FROM bg GROUP BY bigram
+), mt AS (  -- target model: English documents only
+  SELECT bigram, COUNT(*) * 1000000 //
+         SUM(COUNT(*)) OVER (PARTITION BY string_split(bigram, ' ')[1])
+           AS pt_x1m
+  FROM bg WHERE lang = 'en' GROUP BY bigram
+), model AS (
+  SELECT mb.bigram, COALESCE(mt.pt_x1m, 0) - mb.pb_x1m AS diff_x1m
+  FROM mb LEFT JOIN mt ON mb.bigram = mt.bigram
+), sc AS (
+  SELECT g.doc_id, COUNT(*) AS nb, SUM(m.diff_x1m) AS total
+  FROM bg g JOIN model m ON g.bigram = m.bigram
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(sc.nb, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(CASE WHEN sc.total >= 0 THEN sc.total // sc.nb
+                          ELSE -((-sc.total) // sc.nb) END, 0) AS BIGINT)
+         AS dsir_x1m,
+       CAST(CASE WHEN COALESCE(sc.total, 0) > 0 THEN 1 ELSE 0 END
+            AS INTEGER) AS selected
+FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+""",
+)
+def t_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-shape data selection (Xie et al., "Data Selection for
+    Language Models via Importance Resampling"): weight every document
+    by how much more likely its bigrams are under a TARGET-domain
+    model (here: the English subset) than under the BACKGROUND model
+    (the whole corpus), and flag the target-like documents for
+    selection.  The exact-integer surrogate sums per-bigram
+    probability differences (×1e6, integral division, truncate-toward-
+    zero for the per-doc mean) instead of log-ratios — float logs
+    would drift across libm implementations and break the hash gate;
+    the ranking behavior (target-like up, background-typical down) is
+    the same.
+
+    Scale shape — identical to `t_lm_score`'s trainer, run twice and
+    diffed MODEL-SIDE: both models are vocabulary-sized aggregations
+    (map-side combined; the conditional-probability denominator is a
+    prefix-partition window over the grouped bigram table, NOT a
+    second corpus pass), their LEFT-JOIN diff is Zipf-bounded and
+    tiny next to the corpus, so the exploded corpus bigrams shuffle
+    exactly ONCE, on the bigram key.  Nothing is collected; the
+    target set rides the same scan behind a filter (in production the
+    target is a separate small table — same plan, broadcast model)."""
+    d = load_table(spark, sf_dir, "documents")
+    from .text import shingles_col, words_col
+
+    bg = d.select(
+        "doc_id", "lang",
+        F.explode(shingles_col(words_col(F.col("text")), 2)).alias("bigram"))
+
+    def model_of(src: DataFrame, p_name: str) -> DataFrame:
+        # P(w2|w1) ×1e6 with exact integer division (`div` == the
+        # oracle's `//` on positives); the denominator is a prefix-
+        # partition window over the GROUPED bigram table — vocabulary-
+        # sized, never a second corpus pass.
+        cnt = src.groupBy("bigram").agg(F.count(F.lit(1)).alias("c"))
+        wp = Window.partitionBy(F.substring_index("bigram", " ", 1))
+        return (cnt.withColumn("den", F.sum("c").over(wp))
+                .withColumn("num", (F.col("c") * F.lit(1000000))
+                            .cast("long"))
+                .select("bigram",
+                        F.expr("num div den").cast("long").alias(p_name)))
+
+    mb = model_of(bg, "pb_x1m")
+    mt = model_of(bg.where(F.col("lang") == "en"), "pt_x1m")
+    model = (mb.join(mt, "bigram", "left")
+             .select("bigram",
+                     (F.coalesce("pt_x1m", F.lit(0)) - F.col("pb_x1m"))
+                     .alias("diff_x1m")))
+    sc = (bg.join(model, "bigram")
+          .groupBy("doc_id")
+          .agg(F.count(F.lit(1)).alias("nb"),
+               F.sum("diff_x1m").alias("total")))
+    return (d.select("doc_id").join(sc, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("nb", F.lit(0)).cast("long").alias("n_bigrams"),
+                F.coalesce(F.expr("total div nb"), F.lit(0))
+                 .cast("long").alias("dsir_x1m"),
+                F.when(F.coalesce("total", F.lit(0)) > 0, 1).otherwise(0)
+                 .cast("int").alias("selected")))
+
+
+# --------------------------------------------------------------------------
+# BPE merge training (the tokenizer-trainer inner loop)
+# --------------------------------------------------------------------------
+
+BPE_ROUNDS = 3
+
+_BPE_PAIRS_SQL = """
+  SELECT pair, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+    SELECT n, unnest(CASE WHEN len(t) >= 2
+             THEN list_transform(generate_series(1, len(t) - 1),
+                                 i -> array_to_string(t[i:i+1], ' '))
+             ELSE [] END) AS pair
+    FROM (SELECT string_split(seq, ' ') AS t, n FROM {src})
+  ) GROUP BY pair
+"""
+
+_BPE_MERGE_SQL = """
+  SELECT trim(replace(' ' || seq || ' ',
+                      ' ' || (SELECT pair FROM {m}) || ' ',
+                      ' ' || (SELECT replace(pair, ' ', '') FROM {m}) || ' '))
+           AS seq, n
+  FROM {src}
+"""
+
+_BPE_ORACLE = (
+    """
+WITH w0 AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+    SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents
+  ) WHERE regexp_matches(word, '^[a-z]+$')
+  GROUP BY word
+), s0 AS (
+  SELECT array_to_string(string_split(word, ''), ' ') AS seq, n FROM w0
+)"""
+    + f""", p1 AS ({_BPE_PAIRS_SQL.format(src='s0')})
+, m1 AS (SELECT pair, cnt FROM p1 ORDER BY cnt DESC, pair LIMIT 1)
+, s1 AS ({_BPE_MERGE_SQL.format(src='s0', m='m1')})
+, p2 AS ({_BPE_PAIRS_SQL.format(src='s1')})
+, m2 AS (SELECT pair, cnt FROM p2 ORDER BY cnt DESC, pair LIMIT 1)
+, s2 AS ({_BPE_MERGE_SQL.format(src='s1', m='m2')})
+, p3 AS ({_BPE_PAIRS_SQL.format(src='s2')})
+, m3 AS (SELECT pair, cnt FROM p3 ORDER BY cnt DESC, pair LIMIT 1)
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS round, pair, cnt FROM m1
+  UNION ALL SELECT 2, pair, cnt FROM m2
+  UNION ALL SELECT 3, pair, cnt FROM m3
+)
+""")
+
+
+@query("t_bpe_merges", oracle=_BPE_ORACLE)
+def t_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first {BPE_ROUNDS} byte-pair-encoding merges learned from
+    the corpus — the tokenizer-trainer inner loop (Sennrich et al.,
+    "Neural Machine Translation of Rare Words with Subword Units"):
+    represent each distinct word as a space-separated symbol sequence,
+    repeatedly count adjacent symbol pairs weighted by word frequency,
+    merge the most frequent pair corpus-wide, repeat.  Ties break
+    lexicographically so training is a pure function of the corpus.
+
+    Scale shape — the reason real BPE trainers scale at all is that
+    they run on the WORD-FREQUENCY table, not the corpus, and this
+    plan does exactly that: one corpus pass builds the Zipf-bounded
+    (word, count) rollup (map-side combined), then every round is
+    vocabulary-sized — pair explode → one partial-agg exchange on the
+    pair key → a driver fetch of ONE row (the winning merge, the
+    trainer artifact) → a map-only `replace` rewriting the symbol
+    sequences.  The space-padded replace (' l l ' in ' '||seq||' ')
+    is boundary-safe and both engines scan left-to-right
+    non-overlapping, so merge application is deterministic and the
+    DuckDB oracle replays all rounds bit-for-bit.  Words are
+    restricted to ^[a-z]+$ on both sides: Spark splits strings into
+    UTF-16 code units while DuckDB splits into codepoints, so CJK
+    text would desync the symbol alphabet (a real implementation
+    operates on bytes, as GPT-2's does)."""
+    from .text import shingles_col
+
+    d = load_table(spark, sf_dir, "documents")
+    wf = (d.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+          .where(F.col("word").rlike("^[a-z]+$"))
+          .groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+          .select(F.concat_ws(" ", F.split("word", "")).alias("seq"), "n"))
+
+    merges = []
+    for rnd in range(1, BPE_ROUNDS + 1):
+        top = (wf.select("n", F.explode(
+                    shingles_col(F.split("seq", " "), 2)).alias("pair"))
+               .groupBy("pair").agg(F.sum("n").alias("cnt"))
+               .orderBy(F.col("cnt").desc(), "pair")
+               .limit(1).collect()[0])                # ONE row: the merge
+        merges.append((rnd, top.pair, int(top.cnt)))
+        merged_tok = top.pair.replace(" ", "")
+        wf = wf.select(
+            F.trim(F.replace(
+                F.concat(F.lit(" "), F.col("seq"), F.lit(" ")),
+                F.lit(f" {top.pair} "), F.lit(f" {merged_tok} ")))
+            .alias("seq"), "n")
+
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+    schema = StructType([
+        StructField("round", LongType()),
+        StructField("pair", StringType()),
+        StructField("cnt", LongType()),
+    ])
+    return spark.createDataFrame(
+        [(r, p, c) for r, p, c in merges], schema)
+
+
+# --------------------------------------------------------------------------
 # Cross-source overlap matrix (between-snapshot duplication measurement)
 # --------------------------------------------------------------------------
 
