@@ -540,3 +540,76 @@ def w7_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (o.select("o_orderkey", "o_custkey", "order_us",
                      F.sum("cents").over(w).alias("trailing_cents"),
                      F.count(F.lit(1)).over(w).alias("n_in_window")))
+
+
+# --------------------------------------------------------------------------
+# A8 — rolling z-score anomaly detection (exact-integer variance test)
+# --------------------------------------------------------------------------
+
+ZSCORE_W = 24   # trailing window: 24 one-hour buckets, current excluded
+ZSCORE_K = 3    # flag when |n - mean| > K sigma
+
+
+@query(
+    "a8_anomaly_hours",
+    oracle=f"""
+WITH hourly AS (
+  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hour_us,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+), win AS (
+  SELECT event_type, hour_us, n_events,
+         COUNT(*)        OVER w AS w_n,
+         SUM(n_events)   OVER w AS s,
+         SUM(n_events * n_events) OVER w AS ss
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour_us
+               ROWS BETWEEN {ZSCORE_W} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, hour_us, n_events,
+       CAST(CASE WHEN w_n = {ZSCORE_W}
+                  AND (n_events * {ZSCORE_W} - s)
+                      * (n_events * {ZSCORE_W} - s)
+                      > {ZSCORE_K * ZSCORE_K} * ({ZSCORE_W} * ss - s * s)
+                 THEN 1 ELSE 0 END AS INTEGER) AS is_anomaly
+FROM win
+""",
+)
+def a8_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection over the hourly event-rate
+    series: an hour is anomalous when its count deviates from the
+    trailing 24-hour mean by more than {ZSCORE_K} standard deviations
+    — the alerting rule behind every rate monitor, with the variance
+    test kept in EXACT integers: z² > K² rewritten as
+    (n·W − S)² > K²·(W·SS − S²) over the window's count/sum/
+    sum-of-squares, so no float sqrt or division can flip a boundary
+    hour between engines.  Hours whose trailing window is not yet
+    full never flag (w_n = W guard) — deterministic cold-start.
+
+    Scale shape: the hourly rollup is one map-side-combined exchange
+    (`a7_event_rate_windows`'s plan); the three rolling aggregates
+    share ONE window frame over the per-type hour series, so
+    Catalyst plans one exchange on event_type + one in-partition
+    sort — the series length is hours-per-type, bounded by wall
+    time, not event volume.  At 100 TB the same two-stage shape
+    holds: the raw stream never reaches the window, only the
+    hourly rollup does."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (e.groupBy("event_type",
+                        F.unix_micros(F.date_trunc("hour", "ts"))
+                        .alias("hour_us"))
+              .agg(F.count(F.lit(1)).alias("n_events")))
+    w = (Window.partitionBy("event_type").orderBy("hour_us")
+         .rowsBetween(-ZSCORE_W, -1))
+    dev = F.col("n_events") * ZSCORE_W - F.col("s")
+    thresh = (ZSCORE_K * ZSCORE_K) * (ZSCORE_W * F.col("ss")
+                                      - F.col("s") * F.col("s"))
+    return (hourly
+            .withColumn("w_n", F.count(F.lit(1)).over(w))
+            .withColumn("s", F.sum("n_events").over(w))
+            .withColumn("ss", F.sum(F.col("n_events") * F.col("n_events"))
+                        .over(w))
+            .select("event_type", "hour_us", "n_events",
+                    F.when((F.col("w_n") == ZSCORE_W)
+                           & (dev * dev > thresh), 1)
+                    .otherwise(0).cast("int").alias("is_anomaly")))

@@ -1317,15 +1317,16 @@ WITH o AS (
   FROM orders
   WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate), o_orderkey)
 ), chg AS (
-  SELECT o_custkey, attr, t
+  SELECT o_custkey, attr, t, o_orderkey
   FROM o WHERE prev IS NULL OR attr <> prev
 )
 SELECT o_custkey, attr,
        t AS valid_from_us,
-       lead(t) OVER (PARTITION BY o_custkey ORDER BY t) AS valid_to_us,
-       CASE WHEN lead(t) OVER (PARTITION BY o_custkey ORDER BY t) IS NULL
+       lead(t) OVER w2 AS valid_to_us,
+       CASE WHEN lead(t) OVER w2 IS NULL
             THEN 1 ELSE 0 END AS is_current
 FROM chg
+WINDOW w2 AS (PARTITION BY o_custkey ORDER BY t, o_orderkey)
 """,
 )
 def s4_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1353,8 +1354,13 @@ def s4_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("o_custkey").orderBy("t", "o_orderkey")
     chg = (o.withColumn("prev", F.lag("attr").over(w))
            .where(F.col("prev").isNull() | (F.col("attr") != F.col("prev")))
-           .select("o_custkey", "attr", "t"))
-    w2 = Window.partitionBy("o_custkey").orderBy("t")
+           .select("o_custkey", "attr", "t", "o_orderkey"))
+    # Tie-break the version-close window on o_orderkey too: two orders
+    # at the same event time with different values otherwise make
+    # lead() engine-dependent (seen at sf0.1, customer with two
+    # same-timestamp orders — a zero-length version is emitted, in
+    # change-detection order).
+    w2 = Window.partitionBy("o_custkey").orderBy("t", "o_orderkey")
     nxt = F.lead("t").over(w2)
     return chg.select(
         "o_custkey", "attr",
