@@ -60,6 +60,7 @@ _CHECK_FIRST = [
     "q10_returned_items", "q11_important_parts", "q12_shipping_delay",
     "q15_top_supplier", "sim_pq_adc_topk", "sim_semantic_decontaminate",
     "t_dsir_weights", "t_bpe_merges", "a8_anomaly_hours",
+    "stream_dedup_watermark",
     "q13_order_distribution", "q16_supplier_variety",
     "q17_small_quantity_revenue", "q20_heavy_part_suppliers",
     "q21_sole_fault_suppliers", "w7_rolling_revenue", "t_span_dedup",

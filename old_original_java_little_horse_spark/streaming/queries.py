@@ -625,3 +625,79 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = out.collect()
     shutil.rmtree(workdir, ignore_errors=True)
     return spark.createDataFrame(rows, out.schema)
+
+
+# --------------------------------------------------------------------------
+# Native exactly-once dedup: dropDuplicatesWithinWatermark
+# --------------------------------------------------------------------------
+
+@query(
+    "stream_dedup_watermark",
+    oracle="""
+SELECT event_id,
+       CAST(round(value * 100, 0) AS BIGINT) AS value_cents
+FROM events
+""",
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once delivery collapsed to exactly-once with Spark's
+    NATIVE `dropDuplicatesWithinWatermark` — the state-store-backed
+    message-id dedup every ingest pipeline fronts its sinks with
+    (`stream_doc_dedup` is the custom applyInPandasWithState
+    counterpart keyed on content; this one is the built-in, keyed on
+    the message id, with watermark-bounded state).
+
+    The replay stages a REAL redelivery: the stream is cut at day 15;
+    the second run re-delivers every first-half event from the 24 h
+    before the cut alongside the second half.  Those duplicates cross
+    a micro-batch (and checkpoint) boundary, so surviving them proves
+    the dedup state lives in the state store, not the batch; the 48 h
+    delay keeps the redelivered ids above the watermark, which is
+    exactly the operator's contract — state older than the watermark
+    is evicted, so redelivery beyond the delay would duplicate (and
+    unbounded state would never evict; the delay is the knob).  Every
+    event id must come out exactly once, so the oracle is simply the
+    events table.  No aggregation: rows flow straight to the append
+    sink through ONE stateful exchange on the dedup key."""
+    import os
+
+    workdir = tempfile.mkdtemp(prefix="stream-dedup-wm-q-")
+    src_dir = f"{workdir}/events"
+    os.makedirs(src_dir)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts",
+        F.round(F.col("value") * 100, 0).cast("long").alias("value_cents"))
+    cut = ev.agg(F.timestamp_micros(
+        (F.min(F.unix_micros("ts"))
+         + (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts")))
+         / 2).cast("long")).alias("c")).collect()[0]["c"]
+    first = ev.where(F.col("ts") < cut)
+    second = ev.where(F.col("ts") >= cut)
+    redelivered = first.where(
+        F.col("ts") >= F.timestamp_micros(
+            F.lit(int(cut.timestamp() * 1_000_000) - 24 * 3600 * 1_000_000)))
+    slice_dirs = [f"{workdir}/slice1", f"{workdir}/slice2"]
+    first.coalesce(1).write.parquet(slice_dirs[0])
+    second.unionByName(redelivered).coalesce(1).write.parquet(slice_dirs[1])
+
+    schema = spark.read.parquet(slice_dirs[0]).schema
+    out_dir = f"{workdir}/out"
+    with scoped_conf(spark,
+                     {"spark.sql.shuffle.partitions": str(_STREAM_PARTS)}):
+        stream = spark.readStream.schema(schema).parquet(src_dir)
+        deduped = (stream.withWatermark("ts", "48 hours")
+                   .dropDuplicatesWithinWatermark(["event_id"])
+                   .select("event_id", "value_cents"))
+        for n, d in enumerate(slice_dirs):
+            for f in os.listdir(d):
+                if f.endswith(".parquet"):
+                    os.rename(os.path.join(d, f),
+                              os.path.join(src_dir, f"s{n}-{f}"))
+            (deduped.writeStream.outputMode("append")
+             .format("parquet").option("path", out_dir)
+             .option("checkpointLocation", f"{workdir}/ckpt")
+             .trigger(availableNow=True).start().awaitTermination())
+    out = spark.read.parquet(out_dir)
+    rows = out.collect()
+    shutil.rmtree(workdir, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
