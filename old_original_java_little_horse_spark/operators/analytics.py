@@ -613,3 +613,174 @@ def a8_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.when((F.col("w_n") == ZSCORE_W)
                            & (dev * dev > thresh), 1)
                     .otherwise(0).cast("int").alias("is_anomaly")))
+
+
+# --------------------------------------------------------------------------
+# W8-shape: time-series gap fill (regularize + LOCF) — the resample
+# step before any forecasting/feature pipeline
+# --------------------------------------------------------------------------
+
+@query(
+    "w8_gap_fill",
+    oracle="""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(value AS DECIMAL(18,6))) AS sv
+  FROM events GROUP BY 1, 2
+), span AS (
+  SELECT user_id, MIN(day) AS mn, MAX(day) AS mx FROM daily GROUP BY 1
+), grid AS (
+  -- generate_series as a list function (the table-function form does
+  -- not accept correlated arguments in DuckDB)
+  SELECT user_id,
+         CAST(unnest(generate_series(CAST(mn AS TIMESTAMP),
+                                     CAST(mx AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM span
+)
+SELECT g.user_id,
+       strftime(g.day, '%Y-%m-%d') AS day_s,
+       COALESCE(d.n, 0) AS n_events,
+       last_value(d.sv IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.day
+         ROWS UNBOUNDED PRECEDING) AS filled_sum_value,
+       CAST(CASE WHEN d.n IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_gap
+FROM grid g LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day
+""",
+)
+def w8_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regularize each user's daily event series onto a dense calendar
+    grid over [first_day, last_day], filling gaps with count 0 and
+    carrying the last observed daily value-sum forward (LOCF) — the
+    resample-and-fill step that precedes every forecasting or
+    session-feature pipeline (time-series models need equally spaced
+    observations; raw event logs never are).
+
+    Spark-first shape: per-user span is one map-side-combined agg;
+    the dense grid is `explode(sequence(min_day, max_day))` — grid
+    generation is JVM-side and parallel, never a driver loop; the
+    LOCF is one `last(ignorenulls)` running window per user.  The
+    grid left-joins the daily rollup on (user_id, day): both sides
+    are already partitioned by user_id, and the window reuses that
+    same exchange.  Row count is Σ span-days per user — bounded by
+    users × calendar days, independent of raw event volume, so the
+    operator's output is SMALLER than its input at real scale.
+
+    Determinism: the value channel is an exact DECIMAL(18,6) sum
+    (float summation order cannot drift the hash), and the first
+    grid day per user is by construction observed, so LOCF never
+    emits NULL.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = (e.select("user_id", F.to_date("ts").alias("day"),
+                      F.col("value").cast("decimal(18,6)").alias("v"))
+             .groupBy("user_id", "day")
+             .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")))
+    span = daily.groupBy("user_id").agg(F.min("day").alias("mn"),
+                                        F.max("day").alias("mx"))
+    grid = span.select(
+        "user_id",
+        F.explode(F.expr("sequence(mn, mx, interval 1 day)")).alias("day"))
+    w = (Window.partitionBy("user_id").orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (grid.join(daily, ["user_id", "day"], "left")
+            .select("user_id",
+                    F.date_format("day", "yyyy-MM-dd").alias("day_s"),
+                    F.coalesce("n", F.lit(0)).alias("n_events"),
+                    F.last("sv", ignorenulls=True).over(w)
+                    .alias("filled_sum_value"),
+                    F.when(F.col("n").isNull(), 1).otherwise(0)
+                    .cast("int").alias("is_gap")))
+
+
+# --------------------------------------------------------------------------
+# J8-shape: point-in-time (temporal) join — facts against an SCD2
+# dimension, resolved with a union-window instead of an interval join
+# --------------------------------------------------------------------------
+
+@query(
+    "j8_temporal_join",
+    oracle="""
+WITH o AS (
+  SELECT o_custkey, o_orderpriority AS attr,
+         epoch_us(o_orderdate) AS t, o_orderkey,
+         lag(o_orderpriority) OVER w AS prev
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate), o_orderkey)
+), chg AS (
+  -- SCD2 version-open events (same dimension build as s4)
+  SELECT o_custkey, attr, t, o_orderkey
+  FROM o WHERE prev IS NULL OR attr <> prev
+), facts AS (
+  SELECT o2.o_custkey, epoch_us(l.l_shipdate) AS t,
+         CAST(l.l_quantity AS DECIMAL(18,2)) AS qty
+  FROM lineitem l JOIN orders o2 ON l.l_orderkey = o2.o_orderkey
+), tagged AS (
+  SELECT o_custkey, t, o_orderkey AS seq, attr,
+         NULL::DECIMAL(18,2) AS qty, 0 AS is_fact
+  FROM chg
+  UNION ALL
+  SELECT o_custkey, t, NULL, NULL, qty, 1 FROM facts
+), resolved AS (
+  SELECT is_fact, qty,
+         last_value(attr IGNORE NULLS) OVER (
+           PARTITION BY o_custkey ORDER BY t, is_fact, seq
+           ROWS UNBOUNDED PRECEDING) AS attr_at_ship
+  FROM tagged
+)
+SELECT attr_at_ship,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       SUM(qty) AS sum_qty
+FROM resolved WHERE is_fact = 1 GROUP BY attr_at_ship
+""",
+)
+def j8_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: every shipped lineitem is attributed to the
+    customer's order-priority version VALID AT ITS SHIP DATE (the SCD2
+    dimension `s4_scd2_dimension` builds), then rolled up per
+    attributed priority — the canonical "fact ⋈ dimension AS OF fact
+    time" every warehouse needs for non-leaking feature joins (using
+    today's dimension row for last year's fact is label leakage).
+
+    Spark-first: NO interval join.  Dimension change events and facts
+    are unioned into one stream per customer, sorted by (t, is_fact,
+    seq) — a version opening at t applies to facts at t, dims sort
+    first, and same-instant dim changes resolve to the max orderkey,
+    the same tie rule as the s4 build — and ONE running
+    `last(attr, ignorenulls)` window resolves every fact.  That is a
+    single shuffle on the business key and a linear scan per key; an
+    interval join would enumerate (fact × candidate-version) pairs and
+    re-filter, strictly worse at 100 TB.  Ship dates trail order dates
+    by months, so versions genuinely interleave with facts.
+
+    The quantity channel is exact DECIMAL(18,2); output cardinality is
+    the number of distinct priority values.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ow = Window.partitionBy("o_custkey").orderBy("t", "o_orderkey")
+    chg = (o.select("o_custkey", F.col("o_orderpriority").alias("attr"),
+                    F.unix_micros("o_orderdate").alias("t"), "o_orderkey")
+           .withColumn("prev", F.lag("attr").over(ow))
+           .where(F.col("prev").isNull() | (F.col("attr") != F.col("prev")))
+           .select("o_custkey", "t", F.col("o_orderkey").alias("seq"),
+                   "attr",
+                   F.lit(None).cast("decimal(18,2)").alias("qty"),
+                   F.lit(0).alias("is_fact")))
+    facts = (li.join(o.select("o_orderkey", "o_custkey"),
+                     li.l_orderkey == F.col("o_orderkey"))
+             .select("o_custkey", F.unix_micros("l_shipdate").alias("t"),
+                     F.lit(None).cast("long").alias("seq"),
+                     F.lit(None).cast("string").alias("attr"),
+                     F.col("l_quantity").cast("decimal(18,2)").alias("qty"),
+                     F.lit(1).alias("is_fact")))
+    w = (Window.partitionBy("o_custkey").orderBy("t", "is_fact", "seq")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (chg.unionByName(facts)
+            .withColumn("attr_at_ship",
+                        F.last("attr", ignorenulls=True).over(w))
+            .where(F.col("is_fact") == 1)
+            .groupBy("attr_at_ship")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.sum("qty").alias("sum_qty")))
