@@ -57,6 +57,7 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 _CHECK_FIRST = [
     # new in round 5 — never driver-checked (registered below as added)
     "g_cc_star_clusters", "w8_gap_fill", "j8_temporal_join",
+    "d_edit_distance_pairs", "t_zorder_layout",
     "q7_volume_shipping", "q8_market_share", "q9_product_profit",
     "q10_returned_items", "q11_important_parts", "q12_shipping_delay",
     "q15_top_supplier", "sim_pq_adc_topk", "sim_semantic_decontaminate",
@@ -93,7 +94,7 @@ def all_queries() -> dict[str, QuerySpec]:
     """Import every module that registers queries, then return them
     with the least-driver-proven queries first (`_CHECK_FIRST`)."""
     # Imports are deferred so `import registry` stays cheap.
-    from .operators import analytics, indexing, relational, run_index, tpch  # noqa: F401
+    from .operators import analytics, indexing, layout, relational, run_index, tpch  # noqa: F401
     from .functions import clustering, corpus, curation, dedup, expressions, multimodal, retrieval, similarity, sketches, text  # noqa: F401
     from .engine import queries as engine_queries  # noqa: F401
     from .streaming import queries as streaming_queries  # noqa: F401
