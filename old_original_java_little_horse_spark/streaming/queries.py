@@ -701,3 +701,118 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = out.collect()
     shutil.rmtree(workdir, ignore_errors=True)
     return spark.createDataFrame(rows, out.schema)
+
+
+# --------------------------------------------------------------------------
+# Stream-static dimension enrichment: facts point-in-time joined to the
+# batch-built SCD2 dimension while in flight
+# --------------------------------------------------------------------------
+
+@query("stream_scd2_enrich", oracle=None, doc="")
+def stream_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact stream enriched against a STATIC SCD2 dimension at ship
+    time — the STREAM-STATIC join, the stateless member of the
+    streaming-join family (`stream_interval_join` is the stateful
+    stream-stream one): every micro-batch joins its fact rows to the
+    dimension snapshot, no state store, no watermark, because the
+    static side never needs buffering.  This is the canonical "enrich
+    events with a dimension while in flight" deployment shape —
+    at scale the dimension is broadcast once per micro-batch and the
+    join is map-side, so the stream never shuffles.
+
+    The dimension is `s4_scd2_dimension`'s validity-interval build
+    (customer priority versions with [valid_from, valid_to)); the
+    temporal predicate rides the broadcast join as a residual
+    condition.  The final rollup (after the sink) reproduces
+    `j8_temporal_join`'s output shape, and the oracle IS j8's SQL —
+    so one oracle is answered by two different formulations on two
+    different execution paths: batch union-window vs streaming
+    broadcast interval join.  Replay: facts are cut into two
+    availableNow slices by ship date; both halves must resolve
+    against the same static dimension."""
+    import os
+
+    from ..operators.analytics import j8_temporal_join
+    from pyspark.sql import Window
+
+    workdir = tempfile.mkdtemp(prefix="stream-scd2-q-")
+    src_dir = f"{workdir}/facts"
+    os.makedirs(src_dir)
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ow = Window.partitionBy("o_custkey").orderBy("t", "o_orderkey")
+    w2 = Window.partitionBy("o_custkey").orderBy("t", "o_orderkey")
+    chg = (o.select("o_custkey", F.col("o_orderpriority").alias("attr"),
+                    F.unix_micros("o_orderdate").alias("t"), "o_orderkey")
+           .withColumn("prev", F.lag("attr").over(ow))
+           .where(F.col("prev").isNull() | (F.col("attr") != F.col("prev"))))
+    dim = (chg.select("o_custkey", "attr",
+                      F.col("t").alias("valid_from"),
+                      F.lead("t").over(w2).alias("valid_to"))
+           .persist())
+    dim.count()  # materialize once; micro-batches reuse the cached blocks
+
+    facts = (li.join(o.select("o_orderkey", "o_custkey"),
+                     li.l_orderkey == F.col("o_orderkey"))
+             .select("o_custkey", F.unix_micros("l_shipdate").alias("t"),
+                     F.col("l_quantity").cast("decimal(18,2)").alias("qty")))
+    cut = facts.agg(F.expr(
+        "percentile_approx(t, 0.5, 10000)")).collect()[0][0]
+    slice_dirs = [f"{workdir}/slice1", f"{workdir}/slice2"]
+    facts.where(F.col("t") <= cut).coalesce(1).write.parquet(slice_dirs[0])
+    facts.where(F.col("t") > cut).coalesce(1).write.parquet(slice_dirs[1])
+
+    schema = spark.read.parquet(slice_dirs[0]).schema
+    out_dir = f"{workdir}/out"
+    try:
+        with scoped_conf(spark, {
+                "spark.sql.shuffle.partitions": str(_STREAM_PARTS)}):
+            stream = spark.readStream.schema(schema).parquet(src_dir)
+            # LEFT OUTER: this synthetic corpus ships some lineitems
+            # BEFORE the customer's first order date, so a fact can
+            # precede every dimension version — those must surface as
+            # attr NULL (j8's window formulation agrees), not drop.
+            enriched = (stream.join(
+                F.broadcast(dim),
+                (stream.o_custkey == dim.o_custkey)
+                & (stream.t >= dim.valid_from)
+                & (dim.valid_to.isNull() | (stream.t < dim.valid_to)),
+                "left")
+                .select(F.col("attr").alias("attr_at_ship"), "qty"))
+            for n, d in enumerate(slice_dirs):
+                for f in os.listdir(d):
+                    if f.endswith(".parquet"):
+                        os.rename(os.path.join(d, f),
+                                  os.path.join(src_dir, f"s{n}-{f}"))
+                (enriched.writeStream.outputMode("append")
+                 .format("parquet").option("path", out_dir)
+                 .option("checkpointLocation", f"{workdir}/ckpt")
+                 .trigger(availableNow=True).start().awaitTermination())
+        out = (spark.read.parquet(out_dir)
+               .groupBy("attr_at_ship")
+               .agg(F.count(F.lit(1)).alias("n_items"),
+                    F.sum("qty").alias("sum_qty")))
+        rows = out.collect()
+        schema_out = out.schema
+    finally:
+        dim.unpersist()
+        shutil.rmtree(workdir, ignore_errors=True)
+    return spark.createDataFrame(rows, schema_out)
+
+
+# Reuse j8's oracle verbatim: two formulations (batch union-window vs
+# streaming broadcast interval join), one truth.
+def _attach_j8_oracle() -> None:
+    from ..operators import analytics  # noqa: F401 — registers j8
+    from ..registry import _REGISTRY
+
+    j8 = _REGISTRY.get("j8_temporal_join")
+    me = _REGISTRY.get("stream_scd2_enrich")
+    if j8 is not None and me is not None and me.oracle is None:
+        from dataclasses import replace
+
+        _REGISTRY["stream_scd2_enrich"] = replace(me, oracle=j8.oracle)
+
+
+_attach_j8_oracle()
