@@ -539,14 +539,14 @@ WITH w0 AS (
 ), s0 AS (
   SELECT array_to_string(string_split(word, ''), ' ') AS seq, n FROM w0
 )"""
-    + f""", p1 AS ({_BPE_PAIRS_SQL.format(src='s0')})
-, m1 AS (SELECT pair, cnt FROM p1 ORDER BY cnt DESC, pair LIMIT 1)
-, s1 AS ({_BPE_MERGE_SQL.format(src='s0', m='m1')})
-, p2 AS ({_BPE_PAIRS_SQL.format(src='s1')})
-, m2 AS (SELECT pair, cnt FROM p2 ORDER BY cnt DESC, pair LIMIT 1)
-, s2 AS ({_BPE_MERGE_SQL.format(src='s1', m='m2')})
-, p3 AS ({_BPE_PAIRS_SQL.format(src='s2')})
-, m3 AS (SELECT pair, cnt FROM p3 ORDER BY cnt DESC, pair LIMIT 1)
+    + f""", p1 AS MATERIALIZED ({_BPE_PAIRS_SQL.format(src='s0')})
+, m1 AS MATERIALIZED (SELECT pair, cnt FROM p1 ORDER BY cnt DESC, pair LIMIT 1)
+, s1 AS MATERIALIZED ({_BPE_MERGE_SQL.format(src='s0', m='m1')})
+, p2 AS MATERIALIZED ({_BPE_PAIRS_SQL.format(src='s1')})
+, m2 AS MATERIALIZED (SELECT pair, cnt FROM p2 ORDER BY cnt DESC, pair LIMIT 1)
+, s2 AS MATERIALIZED ({_BPE_MERGE_SQL.format(src='s1', m='m2')})
+, p3 AS MATERIALIZED ({_BPE_PAIRS_SQL.format(src='s2')})
+, m3 AS MATERIALIZED (SELECT pair, cnt FROM p3 ORDER BY cnt DESC, pair LIMIT 1)
 SELECT * FROM (
   SELECT CAST(1 AS BIGINT) AS round, pair, cnt FROM m1
   UNION ALL SELECT 2, pair, cnt FROM m2
@@ -612,6 +612,126 @@ def t_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
     return spark.createDataFrame(
         [(r, p, c) for r, p, c in merges], schema)
+
+
+# --------------------------------------------------------------------------
+# BPE encoding (applying the trained merges — the tokenizer hot path)
+# --------------------------------------------------------------------------
+
+BPE_ENC_ROUNDS = 6
+
+
+def _bpe_encode_oracle() -> str:
+    """Trainer chain extended to {BPE_ENC_ROUNDS} rounds WITH the word
+    key carried through, then the vocabulary encoding joined back to
+    the corpus — generated from the same loop count as the Spark
+    side."""
+    parts = ["""
+WITH w0 AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+    SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents
+  ) WHERE regexp_matches(word, '^[a-z]+$')
+  GROUP BY word
+), v0 AS (
+  SELECT word, array_to_string(string_split(word, ''), ' ') AS seq, n
+  FROM w0
+)"""]
+    for r in range(1, BPE_ENC_ROUNDS + 1):
+        prev = f"v{r - 1}"
+        # MATERIALIZED: each v{r} is consumed twice (p{r+1} and
+        # v{r+1}); default CTE inlining would re-expand the whole
+        # chain per consumer — exponential in rounds.
+        parts.append(f""", p{r} AS MATERIALIZED (
+  SELECT pair, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+    SELECT n, unnest(CASE WHEN len(t) >= 2
+             THEN list_transform(generate_series(1, len(t) - 1),
+                                 i -> array_to_string(t[i:i+1], ' '))
+             ELSE [] END) AS pair
+    FROM (SELECT string_split(seq, ' ') AS t, n FROM {prev})
+  ) GROUP BY pair
+), m{r} AS MATERIALIZED (
+  SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair LIMIT 1)
+, v{r} AS MATERIALIZED (
+  SELECT word,
+         trim(replace(' ' || seq || ' ',
+                      ' ' || (SELECT pair FROM m{r}) || ' ',
+                      ' ' || (SELECT replace(pair, ' ', '') FROM m{r})
+                          || ' ')) AS seq,
+         n
+  FROM {prev}
+)""")
+    parts.append(f"""
+SELECT d.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(len(string_split(v.seq, ' '))) AS BIGINT) AS n_tokens
+FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+      FROM documents) d
+JOIN v{BPE_ENC_ROUNDS} v ON v.word = d.word
+GROUP BY d.doc_id
+""")
+    return "".join(parts)
+
+
+@query("t_bpe_encode", oracle=_bpe_encode_oracle())
+def t_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BPE token counts after applying the first
+    {BPE_ENC_ROUNDS} learned merges — the tokenizer HOT PATH
+    (`t_bpe_merges` is the trainer; every pretraining pipeline then
+    encodes the whole corpus with the learned table, and token counts
+    drive packing, pricing, and mixture weights).
+
+    The scale trick is the same one that makes real tokenizers fast:
+    encode the VOCABULARY, not the corpus.  Merges apply to the
+    distinct-word table (Zipf-bounded) via the boundary-safe
+    space-padded replace; the corpus pass is then a broadcast join
+    word → token-count and one map-side-combined rollup per doc.  The
+    corpus is never re-scanned per merge round — rounds cost
+    vocabulary size, encoding costs one join.
+
+    Applying merges in learned order to whole-word symbol sequences
+    is exactly greedy BPE encoding (Sennrich et al.); both engines
+    scan replaces left-to-right non-overlapping, so the encoding —
+    and therefore every count — is deterministic.  Docs with no
+    ^[a-z]+$ word drop out (inner join), same as the oracle."""
+    from .text import shingles_col
+
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word"))
+    # ONE corpus scan builds the word-frequency vocab; persist it so
+    # the merge rounds (whose lineage replays from here) never touch
+    # the corpus again — without this, every round's collect() and the
+    # final join would each re-scan the documents table.
+    base = (words.where(F.col("word").rlike("^[a-z]+$"))
+            .groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+            .select("word",
+                    F.concat_ws(" ", F.split("word", "")).alias("seq"),
+                    "n")
+            .persist())
+    vocab = base
+    for _ in range(BPE_ENC_ROUNDS):
+        top = (vocab.select("n", F.explode(
+                    shingles_col(F.split("seq", " "), 2)).alias("pair"))
+               .groupBy("pair").agg(F.sum("n").alias("cnt"))
+               .orderBy(F.col("cnt").desc(), "pair")
+               .limit(1).collect()[0])
+        merged_tok = top.pair.replace(" ", "")
+        vocab = vocab.select(
+            "word",
+            F.trim(F.replace(
+                F.concat(F.lit(" "), F.col("seq"), F.lit(" ")),
+                F.lit(f" {top.pair} "), F.lit(f" {merged_tok} ")))
+            .alias("seq"), "n")
+    enc = vocab.select("word", F.size(F.split("seq", " ")).alias("tok"))
+    out = (words.join(F.broadcast(enc), "word")
+           .groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("n_words"),
+                F.sum("tok").cast("long").alias("n_tokens")))
+    # The result's lineage still references the persisted base (the
+    # replace chain replays from it lazily), so eviction is deferred:
+    # blocking=False marks it droppable once the consumer's jobs run.
+    base.unpersist(blocking=False)
+    return out
 
 
 # --------------------------------------------------------------------------

@@ -58,6 +58,7 @@ _CHECK_FIRST = [
     # new in round 5 — never driver-checked (registered below as added)
     "g_cc_star_clusters", "w8_gap_fill", "j8_temporal_join",
     "d_edit_distance_pairs", "t_zorder_layout", "stream_scd2_enrich",
+    "t_bpe_encode",
     "q7_volume_shipping", "q8_market_share", "q9_product_profit",
     "q10_returned_items", "q11_important_parts", "q12_shipping_delay",
     "q15_top_supplier", "sim_pq_adc_topk", "sim_semantic_decontaminate",
