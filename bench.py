@@ -73,6 +73,11 @@ HEADLINE = [
     "engine_pipeline_fold",
     "engine_run_index",
     "stream_doc_dedup",
+    "g_triangle_count",
+    "a9_markov_transitions",
+    "w9_sliding_windows",
+    "agg_pivot_matrix",
+    "sk_kmv_set_ops",
 ]
 
 N_TIMED_RUNS = 3  # median-of-3: one timed run was observed to mis-read

@@ -349,3 +349,95 @@ def sk_bottomk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         at(1, 2).alias("p50_cents"),
         at(9, 10).alias("p90_cents"),
         at(99, 100).alias("p99_cents"))
+
+
+# --------------------------------------------------------------------------
+# KMV set algebra — union / intersection estimates from mergeable sketches
+# --------------------------------------------------------------------------
+
+@query(
+    "sk_kmv_set_ops",
+    oracle=f"""
+WITH m AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS in_b
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+  GROUP BY 1
+), h AS (
+  SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 14)) AS BIGINT)
+           AS hv,
+         in_a, in_b
+  FROM m
+), bot AS (
+  SELECT hv, in_a, in_b, ROW_NUMBER() OVER (ORDER BY hv) AS rn FROM h
+), kth AS (
+  SELECT hv AS kth_hash FROM bot WHERE rn = {KMV_K}
+), agg AS (
+  SELECT CAST(SUM(in_a * in_b) AS BIGINT) AS n_common
+  FROM bot WHERE rn <= {KMV_K}
+), exact AS (
+  SELECT CAST(SUM(in_a * in_b) AS BIGINT) AS exact_inter,
+         CAST(COUNT(*) AS BIGINT) AS exact_union
+  FROM m
+)
+SELECT kth_hash,
+       ({KMV_K} - 1) * (1::BIGINT << 56) // kth_hash AS union_est,
+       n_common,
+       n_common * (({KMV_K} - 1) * (1::BIGINT << 56) // kth_hash)
+         // {KMV_K} AS inter_est,
+       n_common * 1000000 // {KMV_K} AS jaccard_e6,
+       exact_union, exact_inter
+FROM kth, agg, exact
+""",
+)
+def sk_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch SET ALGEBRA: estimate |A ∪ B|, |A ∩ B| and the
+    Jaccard similarity of two user populations (clickers vs
+    purchasers) from one merged bottom-k sketch — the mergeability
+    property that makes KMV/theta sketches the cross-dataset overlap
+    tool (audience overlap, corpus contamination, A/B exposure
+    leakage) at 100 TB: each side's sketch is k numbers, so set
+    expressions over N datasets combine k·N values, never the sets.
+
+    Math (Beyer et al., SIGMOD 2007): the k smallest distinct hashes
+    of A ∪ B give union_est = (k−1)·2^56 / h_k; of those k "minimal
+    witnesses", the fraction present in BOTH sides estimates Jaccard,
+    and inter_est = that fraction × union_est.  All arithmetic is
+    integer floor division on 56-bit md5 prefixes — both engines
+    replay it bit-identically — and the EXACT union/intersection
+    ride along so the sketch error is itself oracle-checked.
+
+    Spark-first: one exchange on user_id builds per-user membership
+    flags with map-side partial max; the bottom-k is
+    `orderBy(hv).limit(k)` — Catalyst's TakeOrdered, a per-partition
+    top-k merged on the driver, k rows forever; the three scalar
+    aggregates over k rows are a single tiny job.  Nothing but the
+    first exchange ever touches raw event volume."""
+    e = load_table(spark, sf_dir, "events")
+    m = (e.where(F.col("event_type").isin("click", "purchase"))
+         .groupBy("user_id")
+         .agg(F.max(F.when(F.col("event_type") == "click", 1)
+                    .otherwise(0)).alias("in_a"),
+              F.max(F.when(F.col("event_type") == "purchase", 1)
+                    .otherwise(0)).alias("in_b")))
+    h = m.select(_hex_long(F.col("user_id").cast("string"), 1, 14).alias("hv"),
+                 "in_a", "in_b")
+    bot = h.orderBy("hv").limit(KMV_K)
+    sk = bot.agg(F.max("hv").alias("kth_hash"),
+                 F.sum(F.col("in_a") * F.col("in_b")).cast("long")
+                  .alias("n_common"))
+    exact = m.agg(F.sum(F.col("in_a") * F.col("in_b")).cast("long")
+                  .alias("exact_inter"),
+                  F.count(F.lit(1)).alias("exact_union"))
+    est = F.expr(f"({KMV_K} - 1) * shiftleft(1L, 56) div kth_hash")
+    return (sk.crossJoin(exact)
+            .select("kth_hash",
+                    est.alias("union_est"),
+                    "n_common",
+                    F.expr(f"n_common * (({KMV_K} - 1) * shiftleft(1L, 56)"
+                           f" div kth_hash) div {KMV_K}").alias("inter_est"),
+                    F.expr(f"n_common * 1000000 div {KMV_K}")
+                     .alias("jaccard_e6"),
+                    "exact_union", "exact_inter"))

@@ -784,3 +784,103 @@ def j8_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("attr_at_ship")
             .agg(F.count(F.lit(1)).alias("n_items"),
                  F.sum("qty").alias("sum_qty")))
+
+
+# --------------------------------------------------------------------------
+# A9 — Markov event-transition matrix (sequence mining)
+# --------------------------------------------------------------------------
+
+@query(
+    "a9_markov_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS dst
+  FROM events
+), pair AS (
+  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n_trans
+  FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2
+)
+SELECT src, dst, n_trans,
+       n_trans * 1000000 // SUM(n_trans) OVER (PARTITION BY src) AS p_e6
+FROM pair
+""",
+)
+def a9_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for every ordered pair of event types, how often does
+    `dst` immediately follow `src` in some user's timeline, and what
+    fraction of `src`'s outgoing transitions is that (e6 fixed-point,
+    floor division — exact on both engines).  This is the sequence-
+    mining primitive behind next-event prediction, funnel discovery
+    and session-model features.
+
+    Spark-first: `lead()` over (user_id | ts, event_id) is one
+    exchange on user_id + an in-partition sort — the same partitioning
+    every per-user operator here reuses; the pair count is a second,
+    tiny exchange on (src, dst) with map-side combine (output
+    cardinality = |types|², independent of event volume); the row
+    total for the probability is a window over that tiny table, not
+    over events.  At 100 TB only the first exchange touches raw data,
+    and it is the partitioning the source would already be bucketed
+    by."""
+    e = load_table(spark, sf_dir, "events")
+    uw = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pair = (e.select(F.col("event_type").alias("src"),
+                     F.lead("event_type").over(uw).alias("dst"))
+            .where(F.col("dst").isNotNull())
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).alias("n_trans")))
+    sw = Window.partitionBy("src")
+    return pair.select(
+        "src", "dst", "n_trans",
+        F.expr("n_trans * 1000000 div sum(n_trans) over (partition by src)")
+         .alias("p_e6"))
+
+
+# --------------------------------------------------------------------------
+# W9 — sliding (overlapping) windows: 1 h span, 15 min slide
+# --------------------------------------------------------------------------
+
+@query(
+    "w9_sliding_windows",
+    oracle="""
+SELECT (epoch_us(ts) // 900000000) * 900000000 - i * 900000000
+         AS window_start_us,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events CROSS JOIN (SELECT CAST(UNNEST([0, 1, 2, 3]) AS BIGINT) AS i)
+GROUP BY 1, 2
+""",
+)
+def w9_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type rates over SLIDING 1-hour windows advancing every
+    15 minutes — the smoothed-rate / rolling-SLA shape `
+    a7_event_rate_windows`'s tumbling hours cannot express (a spike at
+    :59 is invisible to the :00 bucket boundary).
+
+    Spark-first: `F.window(ts, '1 hour', '15 minutes')` plans as a
+    4-way Expand (each event replicated to the span/slide = 4 windows
+    it belongs to) feeding ONE exchange on (window, type) with
+    map-side partial aggregation — Catalyst's native sliding-window
+    lowering, no self-join and no UDF.  The oracle replays the same
+    replication arithmetically: window starts are the event's
+    15-minute floor minus 0..3 slides (epoch-aligned exactly like
+    Spark's windowing).  At 100 TB the fan-out factor is the fixed
+    span/slide ratio, and the only exchange is on keys whose
+    cardinality is wall-clock × |types|, not event volume.  The same
+    expression runs under `readStream` + watermark for the continuous
+    twin (`stream_event_rates`)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"),
+                  "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+              .alias("value_cents"))
+        .select(F.unix_micros("w.start").alias("window_start_us"),
+                "event_type", "n_events", "value_cents")
+    )

@@ -638,6 +638,54 @@ def agg_rollup_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# PIVOT — wide conditional-aggregation matrix (returnflag × linestatus)
+# --------------------------------------------------------------------------
+
+@query(
+    "agg_pivot_matrix",
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN l_linestatus = 'F'
+                     THEN CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS f_cents,
+       CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+         AS f_rows,
+       CAST(SUM(CASE WHEN l_linestatus = 'O'
+                     THEN CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS o_cents,
+       CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT)
+         AS o_rows
+FROM lineitem GROUP BY 1
+""",
+)
+def agg_pivot_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: lineitem revenue/row-count matrix, returnflag rows ×
+    linestatus columns — the long-to-wide reshape behind every
+    crosstab report, exercised through Spark's native
+    `groupBy().pivot()` surface.
+
+    Spark-first: with the pivot values given explicitly (['F', 'O'],
+    the TPC-H linestatus domain), `pivot()` lowers to ONE scan and ONE
+    exchange of conditional aggregates — identical plan to the
+    oracle's CASE-WHEN spelling, no second values-discovery job and no
+    Expand.  (Omitting the value list would cost an extra distinct
+    scan — at 100 TB you always pass the domain.)  Cents are
+    round-then-cast BIGINTs so the matrix hash-matches exactly."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    wide = (li.groupBy("l_returnflag")
+            .pivot("l_linestatus", ["F", "O"])
+            .agg(F.sum(cents).alias("cents"),
+                 F.count(F.lit(1)).alias("rows")))
+    return wide.select(
+        "l_returnflag",
+        F.coalesce("F_cents", F.lit(0)).alias("f_cents"),
+        F.coalesce("F_rows", F.lit(0)).alias("f_rows"),
+        F.coalesce("O_cents", F.lit(0)).alias("o_cents"),
+        F.coalesce("O_rows", F.lit(0)).alias("o_rows"))
+
+
+# --------------------------------------------------------------------------
 # Q2-shape: min-cost supplier per part (argmin join over a region)
 # --------------------------------------------------------------------------
 

@@ -56,6 +56,8 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # round-4 set follows.
 _CHECK_FIRST = [
     # new in round 5 — never driver-checked (registered below as added)
+    "g_triangle_count", "a9_markov_transitions", "w9_sliding_windows",
+    "agg_pivot_matrix", "sk_kmv_set_ops",
     "g_cc_star_clusters", "w8_gap_fill", "j8_temporal_join",
     "d_edit_distance_pairs", "t_zorder_layout", "stream_scd2_enrich",
     "t_bpe_encode",
