@@ -575,7 +575,17 @@ def t_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequences.  The space-padded replace (' l l ' in ' '||seq||' ')
     is boundary-safe and both engines scan left-to-right
     non-overlapping, so merge application is deterministic and the
-    DuckDB oracle replays all rounds bit-for-bit.  Words are
+    DuckDB oracle replays all rounds bit-for-bit.
+
+    Merge-application caveat: a single padded replace consumes the
+    shared separator, so in a run of ≥4 repeats of the winning pair's
+    symbol (' a a a a ') it merges alternating occurrences where
+    Sennrich's scanner merges strictly left-to-right — deterministic
+    and engine-identical either way, but the residual pair survives
+    into later rounds there.  No word in the test corpora hits the
+    case: `tests/test_bpe_exact.py` replays the full trainer against
+    a pure-Python exact-greedy Sennrich implementation and pins
+    round-for-round equality of the merge trace.  Words are
     restricted to ^[a-z]+$ on both sides: Spark splits strings into
     UTF-16 code units while DuckDB splits into codepoints, so CJK
     text would desync the symbol alphabet (a real implementation
@@ -619,6 +629,7 @@ def t_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 BPE_ENC_ROUNDS = 6
+_BPE_PINNED: list = []  # previous invocation's persisted vocab base
 
 
 def _bpe_encode_oracle() -> str:
@@ -689,9 +700,13 @@ def t_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary size, encoding costs one join.
 
     Applying merges in learned order to whole-word symbol sequences
-    is exactly greedy BPE encoding (Sennrich et al.); both engines
-    scan replaces left-to-right non-overlapping, so the encoding —
-    and therefore every count — is deterministic.  Docs with no
+    follows greedy BPE encoding (Sennrich et al.) under the same
+    padded-replace semantics as the trainer (see `t_bpe_merges` for
+    the ≥4-repeat-run caveat — absent from these corpora and pinned
+    so by `tests/test_bpe_exact.py`, which checks every word's
+    segmentation against an exact-greedy encoder); both engines scan
+    replaces left-to-right non-overlapping, so the encoding — and
+    therefore every count — is deterministic.  Docs with no
     ^[a-z]+$ word drop out (inner join), same as the oracle."""
     from .text import shingles_col
 
@@ -727,11 +742,21 @@ def t_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
            .groupBy("doc_id")
            .agg(F.count(F.lit(1)).alias("n_words"),
                 F.sum("tok").cast("long").alias("n_tokens")))
-    # The result's lineage still references the persisted base (the
-    # replace chain replays from it lazily), so eviction is deferred:
-    # blocking=False marks it droppable once the consumer's jobs run.
-    base.unpersist(blocking=False)
+    # The returned DataFrame is lazy and its lineage replays the
+    # replace chain from `base`, so unpersisting here would drop the
+    # cache before the consumer ever runs (unpersist is immediate,
+    # not deferred).  Same convention as clustering._EDGE_MEMO /
+    # _PR_PINNED: keep this invocation's block pinned, evict the
+    # PREVIOUS one.
+    while _BPE_PINNED:
+        _BPE_PINNED.pop().unpersist()
+    _BPE_PINNED.append(base)
     return out
+
+
+t_bpe_merges.__doc__ = t_bpe_merges.__doc__.format(BPE_ROUNDS=BPE_ROUNDS)
+t_bpe_encode.__doc__ = t_bpe_encode.__doc__.format(
+    BPE_ENC_ROUNDS=BPE_ENC_ROUNDS)
 
 
 # --------------------------------------------------------------------------

@@ -757,13 +757,11 @@ def j8_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     The quantity channel is exact DECIMAL(18,2); output cardinality is
     the number of distinct priority values.
     """
+    from .relational import scd2_change_rows
+
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    ow = Window.partitionBy("o_custkey").orderBy("t", "o_orderkey")
-    chg = (o.select("o_custkey", F.col("o_orderpriority").alias("attr"),
-                    F.unix_micros("o_orderdate").alias("t"), "o_orderkey")
-           .withColumn("prev", F.lag("attr").over(ow))
-           .where(F.col("prev").isNull() | (F.col("attr") != F.col("prev")))
+    chg = (scd2_change_rows(o)
            .select("o_custkey", "t", F.col("o_orderkey").alias("seq"),
                    "attr",
                    F.lit(None).cast("decimal(18,2)").alias("qty"),
@@ -832,7 +830,6 @@ def a9_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("dst").isNotNull())
             .groupBy("src", "dst")
             .agg(F.count(F.lit(1)).alias("n_trans")))
-    sw = Window.partitionBy("src")
     return pair.select(
         "src", "dst", "n_trans",
         F.expr("n_trans * 1000000 div sum(n_trans) over (partition by src)")

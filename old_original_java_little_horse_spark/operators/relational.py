@@ -1396,22 +1396,40 @@ def s4_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     the state per key is one open version — this exact plan also runs
     incrementally as a MERGE against yesterday's dimension (close the
     open rows whose key changed, insert the new opens)."""
-    o = load_table(spark, sf_dir, "orders").select(
+    iv = scd2_intervals(load_table(spark, sf_dir, "orders"))
+    return iv.select(
+        "o_custkey", "attr",
+        F.col("valid_from").alias("valid_from_us"),
+        F.col("valid_to").alias("valid_to_us"),
+        F.when(F.col("valid_to").isNull(), 1).otherwise(0).cast("int")
+         .alias("is_current"))
+
+
+def scd2_change_rows(orders: DataFrame) -> DataFrame:
+    """(o_custkey, attr, t, o_orderkey) version-open events of the
+    customer-priority SCD2 dimension: lag() change detection with
+    consecutive-duplicate compaction over ONE business-key exchange.
+    Shared by `s4_scd2_dimension`, `j8_temporal_join` and
+    `stream_scd2_enrich` so the same-timestamp tie-break (orderkey in
+    the sort — without it two same-instant orders make the window
+    engine-dependent) lives in exactly one place."""
+    o = orders.select(
         "o_custkey", F.col("o_orderpriority").alias("attr"),
         F.unix_micros("o_orderdate").alias("t"), "o_orderkey")
     w = Window.partitionBy("o_custkey").orderBy("t", "o_orderkey")
-    chg = (o.withColumn("prev", F.lag("attr").over(w))
-           .where(F.col("prev").isNull() | (F.col("attr") != F.col("prev")))
-           .select("o_custkey", "attr", "t", "o_orderkey"))
-    # Tie-break the version-close window on o_orderkey too: two orders
-    # at the same event time with different values otherwise make
-    # lead() engine-dependent (seen at sf0.1, customer with two
-    # same-timestamp orders — a zero-length version is emitted, in
-    # change-detection order).
+    return (o.withColumn("prev", F.lag("attr").over(w))
+            .where(F.col("prev").isNull() | (F.col("attr") != F.col("prev")))
+            .select("o_custkey", "attr", "t", "o_orderkey"))
+
+
+def scd2_intervals(orders: DataFrame) -> DataFrame:
+    """`scd2_change_rows` closed into [valid_from, valid_to) validity
+    intervals via lead() over the same (t, o_orderkey) total order —
+    the second window shares the first's exchange, so Catalyst plans
+    one shuffle and two in-partition sorts."""
+    chg = scd2_change_rows(orders)
     w2 = Window.partitionBy("o_custkey").orderBy("t", "o_orderkey")
-    nxt = F.lead("t").over(w2)
     return chg.select(
         "o_custkey", "attr",
-        F.col("t").alias("valid_from_us"),
-        nxt.alias("valid_to_us"),
-        F.when(nxt.isNull(), 1).otherwise(0).cast("int").alias("is_current"))
+        F.col("t").alias("valid_from"),
+        F.lead("t").over(w2).alias("valid_to"))

@@ -732,8 +732,7 @@ def stream_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the same static dimension."""
     import os
 
-    from ..operators.analytics import j8_temporal_join
-    from pyspark.sql import Window
+    from ..operators.relational import scd2_intervals
 
     workdir = tempfile.mkdtemp(prefix="stream-scd2-q-")
     src_dir = f"{workdir}/facts"
@@ -741,16 +740,7 @@ def stream_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    ow = Window.partitionBy("o_custkey").orderBy("t", "o_orderkey")
-    w2 = Window.partitionBy("o_custkey").orderBy("t", "o_orderkey")
-    chg = (o.select("o_custkey", F.col("o_orderpriority").alias("attr"),
-                    F.unix_micros("o_orderdate").alias("t"), "o_orderkey")
-           .withColumn("prev", F.lag("attr").over(ow))
-           .where(F.col("prev").isNull() | (F.col("attr") != F.col("prev"))))
-    dim = (chg.select("o_custkey", "attr",
-                      F.col("t").alias("valid_from"),
-                      F.lead("t").over(w2).alias("valid_to"))
-           .persist())
+    dim = scd2_intervals(o).persist()
     dim.count()  # materialize once; micro-batches reuse the cached blocks
 
     facts = (li.join(o.select("o_orderkey", "o_custkey"),

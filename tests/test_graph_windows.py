@@ -114,3 +114,25 @@ def test_pivot_matrix_totals(spark):
                 F.sum(F.col("f_cents") + F.col("o_cents")).alias("cents")
                 ).collect()[0]
     assert (tot.n, tot.cents) == (raw.n, raw.cents)
+
+
+def test_kmv_set_ops_small_population_emits_no_row(spark, tmp_path):
+    """Fewer than KMV_K distinct users => there is no k-th hash and
+    the sketch is undefined: Spark emits zero rows, exactly like the
+    oracle's `rn = K` CTE (this is the guard sk_kmv_distinct has
+    always had, pinned here for the set-algebra twin)."""
+    import pandas as pd
+    from old_original_java_little_horse_spark.functions.sketches import (
+        sk_kmv_set_ops,
+    )
+
+    df = pd.DataFrame({
+        "event_id": range(6),
+        "ts": pd.to_datetime(["2024-01-01"] * 6),
+        "user_id": [1, 1, 2, 2, 3, 3],
+        "event_type": ["click", "purchase"] * 3,
+        "value": [1.0] * 6,
+        "props": ["{}"] * 6,
+    })
+    df.to_parquet(tmp_path / "events.parquet")
+    assert sk_kmv_set_ops(spark, str(tmp_path)).count() == 0

@@ -388,8 +388,12 @@ def test_q20_semi_chain_all_reductions(spark):
     assert txt.count("LeftSemi") >= 2, txt
     assert "BroadcastHashJoin" in ops, ops
     assert "SortMergeJoin" not in ops, ops
-    assert sum("lineitem" in op for op in
-               [txt[txt.find("Scan"):]]) <= 1  # fact scanned once in plan
+    # formatted explain: each "(N) Scan parquet" detail block carries
+    # the file location — count the blocks reading the fact table
+    fact_scans = [b for b in txt.split("\n\n")
+                  if b.lstrip().startswith("(") and "Scan parquet" in b
+                  and "lineitem" in b]
+    assert len(fact_scans) == 1, txt  # fact scanned exactly once
 
 
 def test_q21_exists_pair_from_one_profile(spark):
