@@ -665,11 +665,13 @@ def agg_pivot_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     `groupBy().pivot()` surface.
 
     Spark-first: with the pivot values given explicitly (['F', 'O'],
-    the TPC-H linestatus domain), `pivot()` lowers to ONE scan and ONE
-    exchange of conditional aggregates — identical plan to the
-    oracle's CASE-WHEN spelling, no second values-discovery job and no
-    Expand.  (Omitting the value list would cost an extra distinct
-    scan — at 100 TB you always pass the domain.)  Cents are
+    the TPC-H linestatus domain), `pivot()` lowers to ONE scan and a
+    two-phase aggregate — partial-agg on (returnflag, linestatus)
+    map-side, then PivotFirst over the |domains|-bounded rollup — so
+    both exchanges carry at most |flags|×|statuses| rows regardless
+    of fact volume; no Expand, no join, and no second
+    values-discovery job (omitting the value list would cost an extra
+    distinct scan — at 100 TB you always pass the domain).  Cents are
     round-then-cast BIGINTs so the matrix hash-matches exactly."""
     li = load_table(spark, sf_dir, "lineitem")
     cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")

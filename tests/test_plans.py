@@ -522,3 +522,58 @@ def test_semantic_decontaminate_broadcast_and_jvm_dot(spark):
     assert "BroadcastNestedLoopJoin" in ops, ops
     assert "SortMergeJoin" not in ops, ops
     assert "ArrowEvalPython" not in ops and "BatchEvalPython" not in ops, ops
+
+
+def test_w9_sliding_window_is_expand_one_exchange(spark):
+    """Sliding windows must lower to Catalyst's Expand (span/slide
+    replication) feeding ONE exchange — no self-join reformulation."""
+    df = Q["w9_sliding_windows"].fn(spark, SF_SMOKE)
+    ops = physical_ops(df)
+    assert "Expand" in ops, ops
+    assert not any("Join" in op for op in ops), ops
+    assert count_exchanges(df) <= 1, explain_str(df)
+
+
+def test_a9_markov_two_exchanges_no_join(spark):
+    """lead() over the user partition + the types^2 pair rollup: two
+    exchanges, the probability window over the tiny pair table adds
+    none on a new key."""
+    df = Q["a9_markov_transitions"].fn(spark, SF_SMOKE)
+    ops = physical_ops(df)
+    assert not any("Join" in op for op in ops), ops
+    assert count_exchanges(df) <= 3, explain_str(df)
+
+
+def test_pivot_is_two_phase_agg_no_expand(spark):
+    """With the pivot domain passed explicitly, pivot() compiles to
+    Spark's two-phase aggregate (pre-agg on (row, pivot) keys, then
+    PivotFirst over |domain|-bounded rows) — no Expand, no join, no
+    values-discovery subplan, and both exchanges carry at most
+    |row domain| x |pivot domain| rows after map-side combine."""
+    df = Q["agg_pivot_matrix"].fn(spark, SF_SMOKE)
+    ops = physical_ops(df)
+    assert "Expand" not in ops, ops
+    assert not any("Join" in op for op in ops), ops
+    assert count_exchanges(df) <= 2, explain_str(df)
+    assert ops.count("HashAggregate") >= 3, ops  # partial+final, both phases
+
+
+def test_kmv_set_ops_bottom_k_is_take_ordered(spark):
+    """The merged bottom-k must plan as TakeOrdered (per-partition
+    top-k, k rows to the driver) — never a global Sort."""
+    df = Q["sk_kmv_set_ops"].fn(spark, SF_SMOKE)
+    txt = explain_str(df)
+    assert "TakeOrderedAndProject" in txt, txt
+
+
+def test_triangle_count_equi_joins_only(spark):
+    """Wedge generation and closure must stay hash equi-joins —
+    a nested-loop or cartesian anywhere breaks the O(sqrt m)
+    out-degree bound's value."""
+    df = Q["g_triangle_count"].fn(spark, SF_SMOKE)
+    ops = physical_ops(df)
+    assert not any("NestedLoop" in op or "Cartesian" in op
+                   for op in ops if "BroadcastNestedLoopJoin" != op), ops
+    # the only allowed nested-loop is the final 1x1x1 scalar cross
+    nl = [op for op in ops if "NestedLoop" in op or "Cartesian" in op]
+    assert len(nl) <= 2, ops
