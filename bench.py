@@ -78,6 +78,7 @@ HEADLINE = [
     "w9_sliding_windows",
     "agg_pivot_matrix",
     "sk_kmv_set_ops",
+    "j9_salted_skew_join",
 ]
 
 N_TIMED_RUNS = 3  # median-of-3: one timed run was observed to mis-read

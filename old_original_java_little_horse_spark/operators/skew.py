@@ -46,3 +46,55 @@ def salted_join(fact: DataFrame, dim: DataFrame, on: str,
                         F.lit(salt)).cast("int"))
     dim_s = dim.withColumn("_salt", F.explode(cells))
     return fact_s.join(dim_s, [on, "_salt"], how).drop("_salt")
+
+
+# --------------------------------------------------------------------------
+# Registry proof: salted join ≡ plain join (one oracle, skew-proof plan)
+# --------------------------------------------------------------------------
+
+from pyspark.sql import SparkSession
+
+from ..registry import query
+from ..sources.parquet import load_table
+
+SALT = 8
+
+
+@query(
+    "j9_salted_skew_join",
+    oracle="""
+SELECT c.c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(round(e.value * 100, 0) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1
+""",
+)
+def j9_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation event rollup computed through `salted_join` — the
+    skew-spread fact⋈dim equi-join — against a PLAIN-join oracle: the
+    salting must be invisible in the result (same rows, every retry /
+    AQE re-plan deterministic) while the plan spreads each hot user's
+    fan-in over {salt} reducer cells.
+
+    This row exists so the skew playbook is driver-evidence, not just
+    unit-tested: the dim side replicates ×{salt} (tiny × 8 here; at
+    100 TB you size salt to hot-key row count / target partition
+    size), the join key becomes (user_id, _salt) with the salt a pure
+    row function (xxhash64, not rand() — task retries must agree),
+    and the rollup re-aggregates to exactly the plain join's answer.
+    `tests/test_skew_join.py` additionally pins cell balance and
+    retry determinism."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"))
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey")
+    joined = salted_join(e, dim, on="user_id", salt=SALT)
+    return (joined.groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("cents").alias("value_cents")))
+
+
+j9_salted_skew_join.__doc__ = j9_salted_skew_join.__doc__.format(salt=SALT)

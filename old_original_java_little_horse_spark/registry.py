@@ -57,7 +57,7 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 _CHECK_FIRST = [
     # new in round 5 — never driver-checked (registered below as added)
     "g_triangle_count", "a9_markov_transitions", "w9_sliding_windows",
-    "agg_pivot_matrix", "sk_kmv_set_ops",
+    "agg_pivot_matrix", "sk_kmv_set_ops", "j9_salted_skew_join",
     "g_cc_star_clusters", "w8_gap_fill", "j8_temporal_join",
     "d_edit_distance_pairs", "t_zorder_layout", "stream_scd2_enrich",
     "t_bpe_encode",
@@ -97,7 +97,7 @@ def all_queries() -> dict[str, QuerySpec]:
     """Import every module that registers queries, then return them
     with the least-driver-proven queries first (`_CHECK_FIRST`)."""
     # Imports are deferred so `import registry` stays cheap.
-    from .operators import analytics, indexing, layout, relational, run_index, tpch  # noqa: F401
+    from .operators import analytics, indexing, layout, relational, run_index, skew, tpch  # noqa: F401
     from .functions import clustering, corpus, curation, dedup, expressions, multimodal, retrieval, similarity, sketches, text  # noqa: F401
     from .engine import queries as engine_queries  # noqa: F401
     from .streaming import queries as streaming_queries  # noqa: F401

@@ -577,3 +577,15 @@ def test_triangle_count_equi_joins_only(spark):
     # the only allowed nested-loop is the final 1x1x1 scalar cross
     nl = [op for op in ops if "NestedLoop" in op or "Cartesian" in op]
     assert len(nl) <= 2, ops
+
+
+def test_j9_salted_join_plan_has_salt_key(spark):
+    """The salted join must plan as a hash equi-join whose key carries
+    the deterministic _salt (xxhash64 of the fact row) — no nested
+    loop, no rand()."""
+    df = Q["j9_salted_skew_join"].fn(spark, SF_SMOKE)
+    txt = explain_str(df)
+    assert "xxhash64" in txt, txt
+    assert "rand" not in txt.lower().replace("brand", ""), txt
+    assert "HashJoin" in txt, txt
+    assert "NestedLoop" not in txt and "CartesianProduct" not in txt, txt
