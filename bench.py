@@ -79,6 +79,7 @@ HEADLINE = [
     "agg_pivot_matrix",
     "sk_kmv_set_ops",
     "j9_salted_skew_join",
+    "a10_top_paths",
 ]
 
 N_TIMED_RUNS = 3  # median-of-3: one timed run was observed to mis-read

@@ -881,3 +881,56 @@ def w9_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.unix_micros("w.start").alias("window_start_us"),
                 "event_type", "n_events", "value_cents")
     )
+
+
+# --------------------------------------------------------------------------
+# A10 — top event trigrams (second-order path mining)
+# --------------------------------------------------------------------------
+
+PATHS_TOP_K = 20
+
+
+@query(
+    "a10_top_paths",
+    oracle=f"""
+WITH seq AS (
+  SELECT event_type AS e1,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), paths AS (
+  SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n_paths
+  FROM seq WHERE e3 IS NOT NULL GROUP BY 1, 2, 3
+)
+SELECT e1, e2, e3, n_paths FROM paths
+ORDER BY n_paths DESC, e1, e2, e3 LIMIT {PATHS_TOP_K}
+""",
+)
+def a10_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The {k} most common 3-step event paths across all user
+    timelines — second-order sequence mining on top of
+    `a9_markov_transitions`' first-order matrix (a funnel DISCOVERY
+    tool: `a6_funnel` measures a path you name, this surfaces the
+    paths worth naming).
+
+    Spark-first: two `lead()` offsets share ONE window spec, so
+    Catalyst plans a single exchange on user_id + one in-partition
+    sort for both; the trigram rollup is a second exchange bounded by
+    |types|³ keys after map-side combine, and the global top-k is
+    TakeOrderedAndProject (per-partition heads merged on the driver,
+    never a full sort).  Ties break on the path labels so the cut is
+    total and engine-independent."""
+    e = load_table(spark, sf_dir, "events")
+    uw = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (e.select(F.col("event_type").alias("e1"),
+                     F.lead("event_type", 1).over(uw).alias("e2"),
+                     F.lead("event_type", 2).over(uw).alias("e3"))
+            .where(F.col("e3").isNotNull())
+            .groupBy("e1", "e2", "e3")
+            .agg(F.count(F.lit(1)).alias("n_paths"))
+            .orderBy(F.col("n_paths").desc(), "e1", "e2", "e3")
+            .limit(PATHS_TOP_K))
+
+
+a10_top_paths.__doc__ = a10_top_paths.__doc__.format(k=PATHS_TOP_K)

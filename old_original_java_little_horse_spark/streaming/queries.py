@@ -381,6 +381,48 @@ def stream_event_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     stateful exchange on (window, event_type); map-side partial
     aggregation ahead of it exactly as in batch.
     """
+    return _windowed_rates_replay(spark, sf_dir, F.window("ts", "1 hour"))
+
+
+@query(
+    "stream_sliding_rates",
+    oracle="""
+SELECT (epoch_us(ts) // 900000000) * 900000000 - i * 900000000
+         AS window_start_us,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events CROSS JOIN (SELECT CAST(UNNEST([0, 1, 2, 3]) AS BIGINT) AS i)
+GROUP BY 1, 2
+""",
+)
+def stream_sliding_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`w9_sliding_windows`' SLIDING 1-h/15-min windows as the live
+    watermarked streaming aggregation — the sliding counterpart of
+    `stream_event_rates`' tumbling twin, sharing its replay harness
+    (three ordered time slices + flush sentinel over one checkpoint).
+
+    What changes under sliding windows in streaming: the Expand
+    replication happens BEFORE the watermark-gated stateful exchange,
+    so each event contributes to span/slide = 4 open windows of state
+    at once, and a window closes (emits, evicts) only when the
+    watermark passes ITS end — so at any instant ~4 windows per type
+    are open and each emits exactly once, in end-time order.  State is
+    bounded by (open windows × types), never event volume — the same
+    invariant the tumbling twin pins, ×4.  The oracle is w9's: the
+    batch plan, the streaming plan and DuckDB's arithmetic replication
+    all hash-agree."""
+    return _windowed_rates_replay(
+        spark, sf_dir, F.window("ts", "1 hour", "15 minutes"))
+
+
+def _windowed_rates_replay(spark: SparkSession, sf_dir: str,
+                           window_col) -> DataFrame:
+    """Shared watermark+append replay harness for the windowed-rate
+    twins: slice events into three strictly-ordered availableNow runs
+    plus a flush-sentinel run against ONE checkpoint, aggregate under
+    `window_col`, read back the append-mode output."""
     import os
 
     workdir = tempfile.mkdtemp(prefix="stream-rates-q-")
@@ -421,7 +463,7 @@ def stream_event_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream = spark.readStream.schema(schema).parquet(ev_dir)
         agg = (
             stream.withWatermark("ts", "1 hour")
-            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .groupBy(window_col.alias("w"), "event_type")
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.sum(F.round(F.col("value") * 100, 0).cast("long"))
                   .alias("value_cents"))

@@ -589,3 +589,15 @@ def test_j9_salted_join_plan_has_salt_key(spark):
     assert "rand" not in txt.lower().replace("brand", ""), txt
     assert "HashJoin" in txt, txt
     assert "NestedLoop" not in txt and "CartesianProduct" not in txt, txt
+
+
+def test_a10_paths_take_ordered_shared_window(spark):
+    """Both lead() offsets share one window spec (single user_id
+    exchange + sort) and the global top-k is TakeOrderedAndProject,
+    never a full sort."""
+    df = Q["a10_top_paths"].fn(spark, SF_SMOKE)
+    txt = explain_str(df)
+    assert "TakeOrderedAndProject" in txt, txt
+    ops = physical_ops(df)
+    assert ops.count("Window") == 1, ops
+    assert not any("Join" in op for op in ops), ops
