@@ -591,17 +591,31 @@ def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_stats(_dup_edges(spark, sf_dir))
 
 
+_TRI_PINNED: list = []  # previous invocation's persisted und/deg
+
+
 def triangle_stats(edges: DataFrame) -> DataFrame:
     """One-row (n_nodes, n_edges, n_wedges, n_triangles, global_cc_e6)
     for the undirected graph under `edges` (src/dst, any direction,
     duplicates/self-loops tolerated) — the degree-ordered wedge-join
-    core of `g_triangle_count`, exposed for unit graphs."""
+    core of `g_triangle_count`, exposed for unit graphs.
+
+    The canonical edge set and the degree table each feed several
+    plan branches (orientation join ×2, wedge join, closure probe,
+    the count aggregates); without pinning, each branch replays the
+    distinct/groupBy exchange chain (~5×).  Persist both — the memo
+    evicts the PREVIOUS invocation's blocks, same convention as
+    `_EDGE_MEMO`/`_PR_PINNED`."""
     und = (edges.select(F.least("src", "dst").alias("u"),
                         F.greatest("src", "dst").alias("v"))
            .where(F.col("u") != F.col("v")).distinct())
     deg = (und.select(F.col("u").alias("node"))
            .unionByName(und.select(F.col("v").alias("node")))
            .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
+    while _TRI_PINNED:
+        _TRI_PINNED.pop().unpersist()
+    und, deg = und.persist(), deg.persist()
+    _TRI_PINNED.extend([und, deg])
     du, dv = deg.alias("du"), deg.alias("dv")
     lower = (F.col("du.d") < F.col("dv.d")) | (
         (F.col("du.d") == F.col("dv.d")) & (F.col("u") < F.col("v")))
