@@ -498,7 +498,10 @@ def g_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (The cache earns its keep within one invocation: the
     # 5-iteration lineage references edges 5× in the final job.)
     while _PR_PINNED:
-        _PR_PINNED.pop().unpersist()
+        try:
+            _PR_PINNED.pop().unpersist()
+        except Exception:
+            pass  # a dead session's blocks are already gone
     edges = raw.join(deg, "src").persist()
     nodes = raw.select(F.col("src").alias("node")).distinct().persist()
     _PR_PINNED.extend([edges, nodes])
@@ -613,7 +616,10 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
            .unionByName(und.select(F.col("v").alias("node")))
            .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
     while _TRI_PINNED:
-        _TRI_PINNED.pop().unpersist()
+        try:
+            _TRI_PINNED.pop().unpersist()
+        except Exception:
+            pass  # a dead session's blocks are already gone
     und, deg = und.persist(), deg.persist()
     _TRI_PINNED.extend([und, deg])
     du, dv = deg.alias("du"), deg.alias("dv")

@@ -749,7 +749,10 @@ def t_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # _PR_PINNED: keep this invocation's block pinned, evict the
     # PREVIOUS one.
     while _BPE_PINNED:
-        _BPE_PINNED.pop().unpersist()
+        try:
+            _BPE_PINNED.pop().unpersist()
+        except Exception:
+            pass  # a dead session's blocks are already gone
     _BPE_PINNED.append(base)
     return out
 

@@ -775,3 +775,64 @@ def test_stream_interval_join_matches_batch(spark):
                            <= 2 * 3600 * 1_000_000)).collect()
     }
     assert stream_pairs == batch_pairs and len(stream_pairs) > 0
+
+
+def test_sliding_window_state_bounded_by_open_windows(spark):
+    """`stream_sliding_rates`' scale claim, isolated: sliding
+    1h/15min windows under a 10-min watermark keep exactly
+    span/slide = 4 window rows of state per type once the watermark
+    has passed everything older — state tracks OPEN windows, never
+    event volume (the ×4 analogue of the session-eviction proof).
+
+    Four single-event waves 2 h apart: each wave's 4 windows all end
+    ≤ 1 h after it, so the next wave's watermark (2 h − 10 min later)
+    closes and evicts them.  End of replay: 12 windows emitted
+    (3 closed waves × 4), 4 rows left in state (the last wave's)."""
+    import datetime as dt
+
+    from pyspark.sql.types import (
+        DoubleType, StringType, StructField, StructType, TimestampType,
+    )
+
+    schema = StructType([
+        StructField("event_type", StringType()),
+        StructField("ts", TimestampType()),
+        StructField("value", DoubleType()),
+    ])
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    waves = [[("click", base + dt.timedelta(hours=2 * i), 1.0)]
+             for i in range(4)]
+    workdir = Path(tempfile.mkdtemp(prefix="slide-evict-"))
+    try:
+        ev_dir = workdir / "events"
+        for i, rows in enumerate(waves):
+            spark.createDataFrame(rows, schema=schema) \
+                 .coalesce(1).write.parquet(str(ev_dir / f"wave{i}"))
+        out_dir = str(workdir / "out")
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(str(ev_dir) + "/*"))
+        agg = (stream.withWatermark("ts", "10 minutes")
+               .groupBy(F.window("ts", "1 hour", "15 minutes"),
+                        "event_type")
+               .agg(F.count(F.lit(1)).alias("n_events")))
+
+        def sink(batch_df, batch_id):
+            batch_df.select("event_type", "n_events") \
+                    .write.mode("append").parquet(out_dir)
+
+        q = (agg.writeStream.outputMode("append").foreachBatch(sink)
+             .option("checkpointLocation", str(workdir / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+        emitted = spark.read.parquet(out_dir).collect()
+        assert len(emitted) == 12, emitted
+        assert all(r["n_events"] == 1 for r in emitted)
+
+        progress = [p for p in q.recentProgress if p.get("stateOperators")]
+        assert progress, "no stateOperators progress recorded"
+        final_state_rows = progress[-1]["stateOperators"][0]["numRowsTotal"]
+        assert final_state_rows == 4
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
