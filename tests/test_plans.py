@@ -534,10 +534,12 @@ def test_w9_sliding_window_is_expand_one_exchange(spark):
     assert count_exchanges(df) <= 1, explain_str(df)
 
 
-def test_a9_markov_two_exchanges_no_join(spark):
-    """lead() over the user partition + the types^2 pair rollup: two
-    exchanges, the probability window over the tiny pair table adds
-    none on a new key."""
+def test_a9_markov_three_exchanges_no_join(spark):
+    """lead() over the user partition (raw-data exchange #1), the
+    types^2-bounded pair rollup (#2), and the probability window's
+    repartition on src (#3 — over at most |types|^2 rows, so its cost
+    is nil; only exchange #1 ever touches event volume).  No joins
+    anywhere."""
     df = Q["a9_markov_transitions"].fn(spark, SF_SMOKE)
     ops = physical_ops(df)
     assert not any("Join" in op for op in ops), ops
@@ -567,16 +569,16 @@ def test_kmv_set_ops_bottom_k_is_take_ordered(spark):
 
 
 def test_triangle_count_equi_joins_only(spark):
-    """Wedge generation and closure must stay hash equi-joins —
-    a nested-loop or cartesian anywhere breaks the O(sqrt m)
-    out-degree bound's value."""
+    """Wedge generation and closure must stay hash equi-joins — a
+    nested-loop or cartesian in the DATA path breaks the O(sqrt m)
+    out-degree bound's value.  The only non-equi joins allowed are
+    the two crossJoins combining the three single-row count
+    aggregates (1x1x1 scalar assembly, planned as BNLJ)."""
     df = Q["g_triangle_count"].fn(spark, SF_SMOKE)
     ops = physical_ops(df)
-    assert not any("NestedLoop" in op or "Cartesian" in op
-                   for op in ops if "BroadcastNestedLoopJoin" != op), ops
-    # the only allowed nested-loop is the final 1x1x1 scalar cross
-    nl = [op for op in ops if "NestedLoop" in op or "Cartesian" in op]
-    assert len(nl) <= 2, ops
+    non_equi = [op for op in ops if "NestedLoop" in op or "Cartesian" in op]
+    assert non_equi == ["BroadcastNestedLoopJoin"] * len(non_equi), ops
+    assert len(non_equi) <= 2, ops
 
 
 def test_j9_salted_join_plan_has_salt_key(spark):

@@ -8,6 +8,11 @@ hash-compared against its `oracle_sql()` on DuckDB.
     python tools/vanilla_drive.py                  # sf0.01, all queries
     python tools/vanilla_drive.py --sf /root/testdata/sf0.001
 
+The comparison itself is `tests/oracle_compare.compare` — the ONE
+normalization/diff implementation the parity sweep and the pytest
+parity tests also use, so the two committed harnesses can never
+disagree on what "matches" means.  This script's only delta is the
+session it builds and the `__spark_entry__` surface it goes through.
 Complements `tools/parity_sweep.py` (repo session, any SF): the sweep
 proves scale-independence, this proves harness-independence.
 Exit code 0 iff every query matches rows+schema+values.  ~2-3 min at
@@ -20,34 +25,9 @@ import argparse
 import os
 import sys
 import time
-from decimal import Decimal
+from types import SimpleNamespace
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-TABLES = ("region nation customer supplier part orders lineitem "
-          "events documents embeddings").split()
-
-
-def norm(v):
-    """The driver's value normalization: numerics through float repr
-    (ints as N.0) so cross-engine int/float/Decimal typing cannot flip
-    a compare; huge ints (> 2^53, e.g. 56-bit hash keys) stay exact."""
-    if isinstance(v, bool):
-        return repr(int(v))
-    if isinstance(v, Decimal):
-        v = float(v)
-    if isinstance(v, float):
-        return repr(v)
-    if isinstance(v, int):
-        return repr(float(v)) if abs(v) <= 2**53 else repr(v)
-    if v is None:
-        return "\x00NULL"
-    return v if isinstance(v, str) else repr(v)
-
-
-def rows_key(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(norm(r[i]) for i in order) for r in rows)
 
 
 def main() -> int:
@@ -61,18 +41,13 @@ def main() -> int:
     spark = (SparkSession.builder.master("local[8]")
              .config("spark.sql.shuffle.partitions", "8")
              .appName("vanilla-drive").getOrCreate())
-    import duckdb
 
     import __spark_entry__ as E
+    from tests.oracle_compare import compare
 
     df = E.entry(spark)
-    n = df.count()
-    print(f"entry(): {n} rows, schema={[f.name for f in df.schema]}")
-
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'")
+    print(f"entry(): {df.count()} rows, "
+          f"schema={[f.name for f in df.schema]}")
 
     qs = E.queries()
     if args.only:
@@ -82,31 +57,26 @@ def main() -> int:
     fail: list[tuple[str, str]] = []
     t0 = time.time()
     for name, fn in qs.items():
-        try:
-            sdf = fn(spark, args.sf)
-            scols, srows = sdf.columns, [tuple(r) for r in sdf.collect()]
-        except Exception as e:  # noqa: BLE001 — report, keep driving
-            fail.append((name, f"spark error: {e}"))
-            continue
         sql = oracles.get(name)
         if sql is None:
-            print(f"ok(rows-only) {name}: {len(srows)} rows")
+            try:
+                n = fn(spark, args.sf).count()
+                print(f"ok(rows-only) {name}: {n} rows")
+            except Exception as e:  # noqa: BLE001 — report, keep driving
+                fail.append((name, f"spark error: {e}"))
             continue
         try:
-            cur = con.execute(sql)
-            ocols = [d[0] for d in cur.description]
-            orows = cur.fetchall()
+            r = compare(spark, args.sf, name,
+                        SimpleNamespace(fn=fn, oracle=sql))
         except Exception as e:  # noqa: BLE001
-            fail.append((name, f"oracle error: {e}"))
+            fail.append((name, f"error: {e}"))
             continue
-        if sorted(scols) != sorted(ocols):
-            fail.append((name, f"schema {sorted(scols)} != {sorted(ocols)}"))
-        elif len(srows) != len(orows):
-            fail.append((name, f"rows {len(srows)} != {len(orows)}"))
-        elif rows_key(scols, srows) != rows_key(ocols, orows):
-            fail.append((name, "values differ"))
+        if r["ok"]:
+            print(f"ok {name}: {r['spark_rows']} rows")
         else:
-            print(f"ok {name}: {len(srows)} rows")
+            fail.append((name, {k: v for k, v in r.items()
+                                if k not in ("name", "spark_cols",
+                                             "oracle_cols") or not r["cols_match"]}))
     print(f"\n{len(qs)} queries, fail={len(fail)} in {time.time() - t0:.0f}s")
     for name, why in fail:
         print(f"  FAIL {name}: {why}")
