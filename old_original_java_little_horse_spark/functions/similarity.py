@@ -400,7 +400,7 @@ _IVF_DIST2 = ("list_sum([(x.v[i] - c.c[i]) * (x.v[i] - c.c[i])"
 # `//` and SQL FLOOR(s/n) agree, and with |s| < 2^53 the double
 # division inside FLOOR is exact enough that both engines floor the
 # same value).  Empty cells keep their seed vector.
-_IVF_ORACLE = _QUANT_ORACLE + f"""
+_IVF_ASSIGN_CTES = _QUANT_ORACLE + f"""
 , cent0 AS (
   SELECT vec_id - {IVF_SEED_LO} AS cid, v AS c FROM q
   WHERE vec_id BETWEEN {IVF_SEED_LO} AND {IVF_SEED_HI}
@@ -428,7 +428,10 @@ _IVF_ORACLE = _QUANT_ORACLE + f"""
   SELECT vec_id, v, cid FROM (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
     FROM scored) WHERE rn = 1
-), probe AS (
+)"""
+
+_IVF_ORACLE = _IVF_ASSIGN_CTES + f"""
+, probe AS (
   SELECT vec_id AS query_id, v AS qv, cid FROM (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
     FROM scored WHERE vec_id < {N_QUERIES}) WHERE rn <= {IVF_NPROBE}
@@ -481,6 +484,29 @@ def _ivf_cells_udf(centroids, nprobe: int):
     return cells
 
 
+def _ivf_train(e) -> list:
+    """Seed centroids (quantized vectors vec_id 10..73) refined by
+    IVF_LLOYD_ROUNDS exact-integer Lloyd rounds — the shared trainer
+    behind `sim_ivf_ann` (index build) and `sim_kmeans_assign`
+    (cluster table).  Per round: one Arrow-batched assignment pass,
+    one (cid, pos) partial-agg shuffle whose output is C*DIM rows —
+    corpus-size independent — and a bounded driver fetch; floor
+    division matches the oracle's FLOOR(s/n)."""
+    cent_rows = (e.where(F.col("vec_id").between(IVF_SEED_LO, IVF_SEED_HI))
+                  .select("vec_id", "v").collect())
+    centroids = [list(r.v) for r in sorted(cent_rows, key=lambda r: r.vec_id)]
+    for _ in range(IVF_LLOYD_ROUNDS):
+        assign0 = e.select(
+            "v", _ivf_cells_udf(centroids, 1)(F.col("v"))[0].alias("cid"))
+        sums = (assign0.select("cid", F.posexplode("v").alias("pos", "x"))
+                .groupBy("cid", "pos")
+                .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+                .collect())
+        for r in sums:  # floor division == the oracle's FLOOR(s/n)
+            centroids[r.cid][r.pos] = r.s // r.n
+    return centroids
+
+
 @query("sim_ivf_ann", oracle=_IVF_ORACLE)
 def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via an inverted-file (IVF) index: seed 64
@@ -515,18 +541,7 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", quantized(F.col("embedding")).alias("v")
     ).withColumn("norm2", dot_q(F.col("v"), F.col("v")).cast("double"))
-    cent_rows = (e.where(F.col("vec_id").between(IVF_SEED_LO, IVF_SEED_HI))
-                  .select("vec_id", "v").collect())
-    centroids = [list(r.v) for r in sorted(cent_rows, key=lambda r: r.vec_id)]
-    for _ in range(IVF_LLOYD_ROUNDS):
-        assign0 = e.select(
-            "v", _ivf_cells_udf(centroids, 1)(F.col("v"))[0].alias("cid"))
-        sums = (assign0.select("cid", F.posexplode("v").alias("pos", "x"))
-                .groupBy("cid", "pos")
-                .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
-                .collect())
-        for r in sums:  # floor division == the oracle's FLOOR(s/n)
-            centroids[r.cid][r.pos] = r.s // r.n
+    centroids = _ivf_train(e)
     corpus = e.select(
         "vec_id", "v", "norm2",
         _ivf_cells_udf(centroids, 1)(F.col("v"))[0].alias("cid"),
@@ -653,6 +668,44 @@ def sim_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (e.join(comp, e.vec_id == comp.node, "left")
             .select("vec_id",
                     F.coalesce("label", F.col("vec_id")).alias("cluster_id")))
+
+
+_KMEANS_ORACLE = _IVF_ASSIGN_CTES + """
+, szs AS (
+  SELECT cid, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM assign GROUP BY cid
+)
+SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cluster_id, s.cluster_size
+FROM assign a JOIN szs s ON a.cid = s.cid
+"""
+
+
+@query("sim_kmeans_assign", oracle=_KMEANS_ORACLE)
+def sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every embedding labeled with its k-means cluster (nearest of
+    the 64 Lloyd-refined centroids, exact-int d² with the (d2, cid)
+    tie rule) plus the cluster's size — the CLUSTERING surface of the
+    shared `_ivf_train` trainer: `sim_ivf_ann` uses these cells as an
+    ANN index, this query exposes them as the corpus-organization
+    artifact (topic bucketing, diversity sampling, per-cluster
+    curation quotas all start from exactly this table).
+
+    Scale shape: training is corpus-size independent beyond one
+    Arrow-batched assignment pass per round (the (cid, pos) rollup
+    ships C·DIM partial sums); the final labeling is a second
+    map-only pass, and cluster sizes are a C-row aggregate joined
+    back broadcast.  The oracle replays seeding, the Lloyd round and
+    the assignment bit-for-bit (the `assign` CTE shared with
+    `sim_ivf_ann`'s oracle)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", quantized(F.col("embedding")).alias("v"))
+    centroids = _ivf_train(e)
+    assign = e.select(
+        "vec_id",
+        _ivf_cells_udf(centroids, 1)(F.col("v"))[0].alias("cluster_id"))
+    szs = assign.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    return assign.join(F.broadcast(szs), "cluster_id").select(
+        "vec_id", "cluster_id", "cluster_size")
 
 
 # --------------------------------------------------------------------------
