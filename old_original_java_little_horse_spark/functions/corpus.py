@@ -404,9 +404,7 @@ def t_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DSIR-shape importance weights (target-vs-background n-gram models)
 # --------------------------------------------------------------------------
 
-@query(
-    "t_dsir_weights",
-    oracle="""
+_DSIR_CTES = """
 WITH t AS (
   SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
 ), bg AS (
@@ -433,6 +431,11 @@ WITH t AS (
   FROM bg g JOIN model m ON g.bigram = m.bigram
   GROUP BY g.doc_id
 )
+"""
+
+@query(
+    "t_dsir_weights",
+    oracle=_DSIR_CTES + """
 SELECT d.doc_id,
        CAST(COALESCE(sc.nb, 0) AS BIGINT) AS n_bigrams,
        CAST(COALESCE(CASE WHEN sc.total >= 0 THEN sc.total // sc.nb
@@ -503,6 +506,57 @@ def t_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("long").alias("dsir_x1m"),
                 F.when(F.coalesce("total", F.lit(0)) > 0, 1).otherwise(0)
                  .cast("int").alias("selected")))
+
+
+@query(
+    "t_dsir_resample",
+    oracle=_DSIR_CTES + """
+, wt AS (
+  SELECT d.doc_id,
+         COALESCE(CASE WHEN sc.total >= 0 THEN sc.total // sc.nb
+                       ELSE -((-sc.total) // sc.nb) END, 0) AS dsir_x1m
+  FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+)
+SELECT doc_id,
+       CAST(dsir_x1m AS BIGINT) AS dsir_x1m,
+       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         % 1000000 AS draw_x1m,
+       CAST(CASE WHEN dsir_x1m > 0 AND
+                      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                           AS BIGINT) % 1000000
+                      < LEAST(dsir_x1m, 1000000)
+                 THEN 1 ELSE 0 END AS INTEGER) AS accepted
+FROM wt
+""",
+)
+def t_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RESAMPLING half of DSIR (`t_dsir_weights` computes the
+    importance weights; Xie et al.'s pipeline then samples documents
+    with probability proportional to them): a deterministic Bernoulli
+    draw per document — accept iff md5(doc_id)-derived uniform draw
+    (×1e6) falls below the weight clamped to [0, 1e6] — so the
+    selected subset's composition converges to the importance-tilted
+    target distribution while remaining a pure function of the corpus
+    (re-runs, retries and both engines agree row for row; a rand()
+    draw would be none of those).
+
+    Scale shape: everything over the weight table — the corpus
+    bigrams still shuffle exactly once inside the weights build; the
+    draw and the accept flag are per-row codegen on top.  Emits every
+    document with its weight, draw and accepted flag (the export
+    pipeline filters `accepted = 1`; keeping rejects visible is what
+    makes selection rates auditable)."""
+    w = t_dsir_weights(spark, sf_dir).select(
+        "doc_id",
+        F.col("dsir_x1m").cast("long").alias("dsir_x1m"))
+    draw = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                   16, 10).cast("long") % 1000000)
+    return w.select(
+        "doc_id", "dsir_x1m",
+        draw.alias("draw_x1m"),
+        F.when((F.col("dsir_x1m") > 0)
+               & (draw < F.least("dsir_x1m", F.lit(1000000))), 1)
+         .otherwise(0).cast("int").alias("accepted"))
 
 
 # --------------------------------------------------------------------------

@@ -59,6 +59,7 @@ _CHECK_FIRST = [
     "g_triangle_count", "a9_markov_transitions", "w9_sliding_windows",
     "agg_pivot_matrix", "sk_kmv_set_ops", "j9_salted_skew_join",
     "stream_sliding_rates", "a10_top_paths", "sim_kmeans_assign",
+    "t_dsir_resample",
     "g_cc_star_clusters", "w8_gap_fill", "j8_temporal_join",
     "d_edit_distance_pairs", "t_zorder_layout", "stream_scd2_enrich",
     "t_bpe_encode",
