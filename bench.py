@@ -80,6 +80,9 @@ HEADLINE = [
     "sk_kmv_set_ops",
     "j9_salted_skew_join",
     "a10_top_paths",
+    "idx_bm25_topk",
+    "a11_rfm_segments",
+    "mm_shard_assign",
 ]
 
 N_TIMED_RUNS = 3  # median-of-3: one timed run was observed to mis-read

@@ -16,7 +16,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.types import (
     LongType, StringType, StructField, StructType,
 )
@@ -320,3 +320,63 @@ def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
     )
     return d.mapInPandas(audio_window_batches, schema=AUDIO_SCHEMA)
+
+
+SHARD_BYTES = 65_536  # target training-shard payload size
+
+
+@query(
+    "mm_shard_assign",
+    oracle=f"""
+WITH sized AS (
+  SELECT doc_id, source, strlen(text) AS n_bytes FROM documents
+), packed AS (
+  SELECT doc_id, source, CAST(n_bytes AS BIGINT) AS n_bytes,
+         CAST(SUM(n_bytes) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_bytes
+              AS BIGINT) AS start_off
+  FROM sized
+)
+SELECT doc_id, source, n_bytes,
+       start_off // {SHARD_BYTES} AS shard_id,
+       start_off % {SHARD_BYTES}  AS shard_offset
+FROM packed
+ORDER BY source, doc_id
+""",
+)
+def mm_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-based shard packing for blob export — the manifest step
+    that turns a corpus of variable-size payloads into ~{SHARD_BYTES}-
+    byte training shards (webdataset/TFRecord style), one deterministic
+    (shard_id, shard_offset) per document.
+
+    Packing rule: blobs are laid end-to-end in (source, doc_id) order
+    and a blob belongs to the shard where it STARTS (start-offset
+    floor-division), so assignment is a pure function of the running
+    sum — no bin-packing heuristics, replay-stable, and append-only
+    friendly (new docs never move old ones).
+
+    Scale shape: ONE exchange on `source`, then an in-partition sort +
+    running sum (window with ROWS UNBOUNDED PRECEDING is streaming-
+    evaluated, O(1) state).  Parallelism is per-source here; at 100 TB
+    the partition key becomes (source, date_bucket) so no single
+    source serializes, at the cost of shard ids scoped per bucket —
+    the same trade every sharded export makes."""
+    d = load_table(spark, sf_dir, "documents")
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    sized = d.select("doc_id", "source",
+                     F.length("text").cast("long").alias("n_bytes"))
+    packed = sized.withColumn(
+        "start_off", (F.sum("n_bytes").over(w) - F.col("n_bytes"))
+        .cast("long"))
+    # No output orderBy: the manifest is keyed, a presentation sort
+    # would add a range exchange for nothing.
+    return packed.select(
+        "doc_id", "source", "n_bytes",
+        F.expr(f"start_off div {SHARD_BYTES}").alias("shard_id"),
+        (F.col("start_off") % SHARD_BYTES).alias("shard_offset"))
+
+
+mm_shard_assign.__doc__ = mm_shard_assign.__doc__.replace(
+    "{SHARD_BYTES}", str(SHARD_BYTES))

@@ -80,3 +80,82 @@ def idx_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.lit(1)).alias("n_terms_matched"))
             .orderBy(F.col("score_e6").desc(), "doc_id")
             .limit(TOP_K))
+
+
+@query(
+    "idx_bm25_topk",
+    oracle=f"""
+WITH dl AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+  FROM documents
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS t_tokens
+  FROM dl
+), tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), hits AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE term IN ('spark', 'window', 'hash')
+  GROUP BY doc_id, term
+), df AS (
+  SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM hits
+  GROUP BY term
+)
+SELECT doc_id,
+       CAST(SUM(((1000 * n_docs // df) * 22 * t_tokens * tf)
+                // (10 * t_tokens * tf + 3 * t_tokens + 9 * dl * n_docs))
+            AS BIGINT) AS bm25_e3,
+       CAST(COUNT(*) AS BIGINT) AS n_terms_matched
+FROM hits JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN tot
+GROUP BY doc_id
+ORDER BY bm25_e3 DESC, doc_id
+LIMIT {TOP_K}
+""",
+)
+def idx_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} documents under BM25 (k1=1.2, b=0.75) with the log-idf
+    flattened to the same rational idf as `idx_tfidf_topk`, so every
+    term stays in exact integer arithmetic and the oracle hash-matches.
+
+    BM25's two defining behaviors over tf·idf are kept intact and
+    exact: TF SATURATION (the k1 damping — a term's 50th occurrence
+    adds almost nothing) and LENGTH NORMALIZATION (the b·dl/avgdl
+    penalty for long documents).  With k1 = 6/5, b = 3/4 and
+    avgdl = T/N (T total tokens, N docs), the per-term score
+
+        idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+    multiplied through by 10·T becomes the all-integer form
+
+        (idf_e3 · 22·T·tf)  div  (10·T·tf + 3·T + 9·dl·N).
+
+    Scale shape (same as tf·idf): the |Q|-term filter lands on the
+    tokenized scan, so only query-term postings survive; df (|Q| rows)
+    and the N/T totals (1 row) broadcast; doc length joins against the
+    tiny filtered hit set (broadcast here; a doc_id-partitioned hash
+    join of the posting fetch against a doc-stats table at 100 TB);
+    the global top-k is a TakeOrdered, never a full sort."""
+    d = load_table(spark, sf_dir, "documents")
+    dl = d.select("doc_id",
+                  F.size(F.split("text", " ")).cast("long").alias("dl"))
+    tot = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("dl").alias("t_tokens"))
+    tok = d.select("doc_id",
+                   F.explode(F.split("text", " ")).alias("term"))
+    hits = (tok.where(F.col("term").isin(*QUERY_TERMS))
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf")))
+    df = (hits.groupBy("term")
+          .agg(F.countDistinct("doc_id").alias("df")))
+    scored = (hits.join(F.broadcast(df), "term")
+              .crossJoin(F.broadcast(tot))
+              .join(dl, "doc_id"))
+    return (scored.groupBy("doc_id")
+            .agg(F.sum(F.expr(
+                "((1000 * n_docs div df) * 22 * t_tokens * tf)"
+                " div (10 * t_tokens * tf + 3 * t_tokens"
+                "      + 9 * dl * n_docs)")).alias("bm25_e3"),
+                 F.count(F.lit(1)).alias("n_terms_matched"))
+            .orderBy(F.col("bm25_e3").desc(), "doc_id")
+            .limit(TOP_K))

@@ -934,3 +934,75 @@ def a10_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 a10_top_paths.__doc__ = a10_top_paths.__doc__.format(k=PATHS_TOP_K)
+
+
+@query(
+    "a11_rfm_segments",
+    oracle="""
+WITH ref AS (
+  SELECT MAX(o_orderdate) AS max_date FROM orders
+), rfm AS (
+  SELECT o_custkey AS c_custkey,
+         CAST(date_diff('day', MAX(o_orderdate), max_date) AS BIGINT)
+           AS recency_days,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+           AS monetary
+  FROM orders CROSS JOIN ref
+  GROUP BY o_custkey, max_date
+), scored AS (
+  SELECT c_custkey, recency_days, frequency, monetary,
+         CAST(NTILE(5) OVER (ORDER BY recency_days ASC, c_custkey)
+              AS BIGINT) AS r_score,
+         CAST(NTILE(5) OVER (ORDER BY frequency DESC, c_custkey)
+              AS BIGINT) AS f_score,
+         CAST(NTILE(5) OVER (ORDER BY monetary DESC, c_custkey)
+              AS BIGINT) AS m_score
+  FROM rfm
+)
+SELECT c_custkey, recency_days, frequency, monetary,
+       r_score, f_score, m_score,
+       r_score * 100 + f_score * 10 + m_score AS rfm_code
+FROM scored
+ORDER BY c_custkey
+""",
+)
+def a11_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation —
+    the standard behavioral-cohort rollup a marketing/analytics stack
+    derives from the order history the reference's WFRun store records
+    per customer workflow.
+
+    Each active customer gets days-since-last-order, order count, and
+    lifetime spend (decimal-cast before the sum so addition order
+    cannot drift the hash), then a 1-5 quintile score per dimension
+    (NTILE with c_custkey tiebreaks — a total order, so both engines
+    cut identical quintiles) packed into the classic 3-digit RFM code.
+
+    Scale shape: the per-customer rollup is one map-side-combined
+    exchange on o_custkey; the global reference date is a 1-row
+    broadcast.  The three NTILEs are single-partition windows —
+    correct at any |customers| that fits one task's sort (they follow
+    a 1000x reduction), and the documented 100 TB path is the 2-pass
+    form: approxQuantile the 4 cut points per dimension, broadcast
+    them, and bucket by range comparison instead of a global sort."""
+    o = load_table(spark, sf_dir, "orders")
+    ref = o.agg(F.max("o_orderdate").alias("max_date"))
+    rfm = (o.crossJoin(F.broadcast(ref))
+           .groupBy(F.col("o_custkey").alias("c_custkey"))
+           .agg(F.datediff(F.max("max_date"), F.max("o_orderdate"))
+                .cast("long").alias("recency_days"),
+                F.count(F.lit(1)).alias("frequency"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("decimal(18,2)").alias("monetary")))
+    r_w = Window.orderBy(F.col("recency_days").asc(), "c_custkey")
+    f_w = Window.orderBy(F.col("frequency").desc(), "c_custkey")
+    m_w = Window.orderBy(F.col("monetary").desc(), "c_custkey")
+    return (rfm.select(
+        "c_custkey", "recency_days", "frequency", "monetary",
+        F.ntile(5).over(r_w).cast("long").alias("r_score"),
+        F.ntile(5).over(f_w).cast("long").alias("f_score"),
+        F.ntile(5).over(m_w).cast("long").alias("m_score"))
+        .withColumn("rfm_code", F.expr("r_score * 100 + f_score * 10"
+                                       " + m_score"))
+        .orderBy("c_custkey"))

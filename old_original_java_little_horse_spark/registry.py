@@ -56,6 +56,7 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # round-4 set follows.
 _CHECK_FIRST = [
     # new in round 5 — never driver-checked (registered below as added)
+    "idx_bm25_topk", "a11_rfm_segments", "mm_shard_assign",
     "g_triangle_count", "a9_markov_transitions", "w9_sliding_windows",
     "agg_pivot_matrix", "sk_kmv_set_ops", "j9_salted_skew_join",
     "stream_sliding_rates", "a10_top_paths", "sim_kmeans_assign",

@@ -603,3 +603,40 @@ def test_a10_paths_take_ordered_shared_window(spark):
     ops = physical_ops(df)
     assert ops.count("Window") == 1, ops
     assert not any("Join" in op for op in ops), ops
+
+
+def test_bm25_take_ordered_broadcast_stats(spark):
+    """BM25's df / totals sides broadcast onto the filtered posting
+    stream, the term filter reaches the scan side of the explode, and
+    the global top-k is TakeOrderedAndProject, never a full sort."""
+    df = Q["idx_bm25_topk"].fn(spark, SF_SMOKE)
+    ops = physical_ops(df)
+    assert "TakeOrderedAndProject" in ops, ops
+    assert "BroadcastHashJoin" in ops, ops
+    assert "SortMergeJoin" not in ops, ops
+
+
+def test_rfm_single_rollup_exchange(spark):
+    """The per-customer rollup partial-aggregates before its one
+    o_custkey exchange; the global max-date is a 1-row broadcast
+    (BroadcastNestedLoopJoin on a singleton is the cross-join plan),
+    and the scan reads only the 3 order columns the rollup needs."""
+    df = Q["a11_rfm_segments"].fn(spark, SF_SMOKE)
+    txt = explain_str(df)
+    ops = physical_ops(df)
+    assert "HashAggregate" in ops, ops
+    assert "o_orderpriority" not in txt and "o_orderstatus" not in txt, \
+        "scan reads columns RFM never uses"
+    assert "CartesianProduct" not in ops, ops
+
+
+def test_shard_assign_one_exchange_no_join(spark):
+    """Shard packing is ONE hash exchange on source + an in-partition
+    running-sum window — no join, no second shuffle before the ordered
+    output."""
+    df = Q["mm_shard_assign"].fn(spark, SF_SMOKE)
+    ops = physical_ops(df)
+    assert not any("Join" in op for op in ops), ops
+    assert ops.count("Window") == 1, ops
+    assert count_exchanges(df) == 1, explain_str(df)
+    assert "hashpartitioning(source" in explain_str(df), explain_str(df)
