@@ -1,0 +1,92 @@
+"""Semantic property tests for the round-5 additions that the oracle
+hash gate cannot express: BM25's ranking behaviors (saturation /
+length normalization) and the shard-packing manifest's invariants
+(contiguity, bounds, append stability)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from old_original_java_little_horse_spark.functions.multimodal import SHARD_BYTES
+from old_original_java_little_horse_spark.registry import all_queries
+
+from .conftest import SF_SMOKE
+
+Q = all_queries()
+
+
+def _bm25_term_score(tf: int, dl: int, n_docs: int, df: int, t_tokens: int) -> int:
+    """The exact integer form both engines compute, in plain Python."""
+    idf_e3 = (1000 * n_docs) // df
+    return (idf_e3 * 22 * t_tokens * tf) // (
+        10 * t_tokens * tf + 3 * t_tokens + 9 * dl * n_docs)
+
+
+def test_bm25_tf_saturation_and_length_norm():
+    """The integer rational keeps BM25's two defining monotonicities:
+    marginal gain per extra occurrence shrinks (saturation), and the
+    same tf scores lower in a longer document (length norm)."""
+    n_docs, df, t_tokens, dl = 1000, 50, 150_000, 150
+    scores = [_bm25_term_score(tf, dl, n_docs, df, t_tokens)
+              for tf in range(1, 30)]
+    assert scores == sorted(scores), "score must rise with tf"
+    gains = [b - a for a, b in zip(scores, scores[1:])]
+    assert all(g2 <= g1 for g1, g2 in zip(gains, gains[1:])), \
+        f"marginal gains must shrink (saturation): {gains}"
+    # Saturation ceiling: tf→∞ approaches idf·(k1+1)/1 ≈ idf_e3·22/10.
+    assert scores[-1] <= (1000 * n_docs // df) * 22 // 10
+    short = _bm25_term_score(3, 50, n_docs, df, t_tokens)
+    long_ = _bm25_term_score(3, 500, n_docs, df, t_tokens)
+    assert long_ < short, "same tf must score lower in a longer doc"
+
+
+def test_bm25_topk_is_subset_of_tfidf_candidates(spark):
+    """BM25 and tf·idf share the posting fetch, so every BM25 hit must
+    carry ≥1 query term — and both emit exactly TOP_K rows here."""
+    bm = Q["idx_bm25_topk"].fn(spark, SF_SMOKE).collect()
+    assert len(bm) > 0
+    assert all(r["n_terms_matched"] >= 1 for r in bm)
+    assert all(r["bm25_e3"] > 0 for r in bm)
+
+
+def test_shard_assign_invariants(spark):
+    """Per source: offsets are the exact running sum (contiguity — no
+    gaps, no overlap), shard_offset < SHARD_BYTES, shard ids are
+    non-decreasing in doc_id order, and every doc appears once."""
+    rows = Q["mm_shard_assign"].fn(spark, SF_SMOKE).collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    assert len(rows) == len({r["doc_id"] for r in rows})
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        running = 0
+        prev_shard = -1
+        for r in rs:
+            start = r["shard_id"] * SHARD_BYTES + r["shard_offset"]
+            assert start == running, (src, r["doc_id"], start, running)
+            assert 0 <= r["shard_offset"] < SHARD_BYTES
+            assert r["shard_id"] >= prev_shard, "shard ids must not regress"
+            prev_shard = r["shard_id"]
+            running += r["n_bytes"]
+
+
+def test_shard_assign_append_stable(spark):
+    """Appending new docs (higher doc_ids) must not move any existing
+    assignment — the property that lets the manifest be maintained
+    incrementally instead of recomputed."""
+    from old_original_java_little_horse_spark.sources.parquet import load_table
+
+    full = {(r["doc_id"], r["source"]): (r["shard_id"], r["shard_offset"])
+            for r in Q["mm_shard_assign"].fn(spark, SF_SMOKE).collect()}
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    cut = d.approxQuantile("doc_id", [0.5], 0.0)[0]
+    prefix = d.where(F.col("doc_id") <= cut)
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="shard-prefix-")
+    prefix.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    sub = {(r["doc_id"], r["source"]): (r["shard_id"], r["shard_offset"])
+           for r in Q["mm_shard_assign"].fn(spark, tmp).collect()}
+    assert sub == {k: v for k, v in full.items() if k in sub}
