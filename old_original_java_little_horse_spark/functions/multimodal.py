@@ -365,8 +365,11 @@ def mm_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     w = (Window.partitionBy("source").orderBy("doc_id")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    # octet_length: the manifest describes ENCODED payload bytes, and
+    # the DuckDB oracle's strlen counts bytes — F.length would count
+    # characters and drift on the first non-ASCII document.
     sized = d.select("doc_id", "source",
-                     F.length("text").cast("long").alias("n_bytes"))
+                     F.octet_length("text").cast("long").alias("n_bytes"))
     packed = sized.withColumn(
         "start_off", (F.sum("n_bytes").over(w) - F.col("n_bytes"))
         .cast("long"))

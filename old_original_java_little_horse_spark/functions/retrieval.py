@@ -35,6 +35,21 @@ QUERY_TERMS = ("spark", "window", "hash")
 TOP_K = 10
 
 
+def _query_term_hits(d: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Shared posting fetch: (hits, df) for the fixed QUERY_TERMS —
+    per-(doc, term) tf after the scan-side term filter, and per-term
+    document frequency.  Both ranked-retrieval queries score on top of
+    this same pipeline, so tokenization/term changes happen once."""
+    tok = d.select("doc_id",
+                   F.explode(F.split("text", " ")).alias("term"))
+    hits = (tok.where(F.col("term").isin(*QUERY_TERMS))
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf")))
+    df = (hits.groupBy("term")
+          .agg(F.countDistinct("doc_id").alias("df")))
+    return hits, df
+
+
 @query(
     "idx_tfidf_topk",
     oracle=f"""
@@ -64,13 +79,7 @@ def idx_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf·idf (module docstring).  Deterministic: ties broken by doc_id
     on both engines, so the LIMIT picks the same set."""
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select("doc_id",
-                   F.explode(F.split("text", " ")).alias("term"))
-    hits = (tok.where(F.col("term").isin(*QUERY_TERMS))
-            .groupBy("doc_id", "term")
-            .agg(F.count(F.lit(1)).alias("tf")))
-    df = (hits.groupBy("term")
-          .agg(F.countDistinct("doc_id").alias("df")))
+    hits, df = _query_term_hits(d)
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     return (hits.join(F.broadcast(df), "term")
             .crossJoin(F.broadcast(n))
@@ -103,8 +112,10 @@ WITH dl AS (
   GROUP BY term
 )
 SELECT doc_id,
-       CAST(SUM(((1000 * n_docs // df) * 22 * t_tokens * tf)
-                // (10 * t_tokens * tf + 3 * t_tokens + 9 * dl * n_docs))
+       CAST(SUM(CAST((CAST(1000 * n_docs // df AS HUGEINT)
+                      * 22 * t_tokens * tf)
+                     // (10 * t_tokens * tf + 3 * t_tokens + 9 * dl * n_docs)
+                AS BIGINT))
             AS BIGINT) AS bm25_e3,
        CAST(COUNT(*) AS BIGINT) AS n_terms_matched
 FROM hits JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN tot
@@ -135,27 +146,27 @@ def idx_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the N/T totals (1 row) broadcast; doc length joins against the
     tiny filtered hit set (broadcast here; a doc_id-partitioned hash
     join of the posting fetch against a doc-stats table at 100 TB);
-    the global top-k is a TakeOrdered, never a full sort."""
+    the global top-k is a TakeOrdered, never a full sort.
+
+    Overflow: the numerator idf_e3·22·T·tf exceeds 64 bits already at
+    ~1e6 docs × 1e9 tokens, so it is computed in DECIMAL(38,0) on
+    Spark / HUGEINT on DuckDB (exact on both) and only the per-term
+    quotient — bounded by idf_e3·22/10 — drops back to BIGINT."""
     d = load_table(spark, sf_dir, "documents")
     dl = d.select("doc_id",
                   F.size(F.split("text", " ")).cast("long").alias("dl"))
     tot = dl.agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("dl").alias("t_tokens"))
-    tok = d.select("doc_id",
-                   F.explode(F.split("text", " ")).alias("term"))
-    hits = (tok.where(F.col("term").isin(*QUERY_TERMS))
-            .groupBy("doc_id", "term")
-            .agg(F.count(F.lit(1)).alias("tf")))
-    df = (hits.groupBy("term")
-          .agg(F.countDistinct("doc_id").alias("df")))
+    hits, df = _query_term_hits(d)
     scored = (hits.join(F.broadcast(df), "term")
               .crossJoin(F.broadcast(tot))
               .join(dl, "doc_id"))
     return (scored.groupBy("doc_id")
             .agg(F.sum(F.expr(
-                "((1000 * n_docs div df) * 22 * t_tokens * tf)"
+                "cast((cast(1000 * n_docs div df as decimal(38,0))"
+                "      * 22 * t_tokens * tf)"
                 " div (10 * t_tokens * tf + 3 * t_tokens"
-                "      + 9 * dl * n_docs)")).alias("bm25_e3"),
+                "      + 9 * dl * n_docs) as bigint)")).alias("bm25_e3"),
                  F.count(F.lit(1)).alias("n_terms_matched"))
             .orderBy(F.col("bm25_e3").desc(), "doc_id")
             .limit(TOP_K))

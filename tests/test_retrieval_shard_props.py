@@ -41,10 +41,20 @@ def test_bm25_tf_saturation_and_length_norm():
 
 
 def test_bm25_topk_is_subset_of_tfidf_candidates(spark):
-    """BM25 and tf·idf share the posting fetch, so every BM25 hit must
-    carry ≥1 query term — and both emit exactly TOP_K rows here."""
+    """BM25 and tf·idf share the posting fetch (`_query_term_hits`),
+    so every BM25 hit must be a document carrying ≥1 query term — and
+    both emit exactly TOP_K rows at this SF."""
+    from old_original_java_little_horse_spark.functions.retrieval import (
+        TOP_K, _query_term_hits,
+    )
+    from old_original_java_little_horse_spark.sources.parquet import load_table
+
     bm = Q["idx_bm25_topk"].fn(spark, SF_SMOKE).collect()
-    assert len(bm) > 0
+    tf = Q["idx_tfidf_topk"].fn(spark, SF_SMOKE).collect()
+    assert len(bm) == TOP_K and len(tf) == TOP_K
+    hits, _ = _query_term_hits(load_table(spark, SF_SMOKE, "documents"))
+    candidates = {r["doc_id"] for r in hits.select("doc_id").distinct().collect()}
+    assert {r["doc_id"] for r in bm} <= candidates
     assert all(r["n_terms_matched"] >= 1 for r in bm)
     assert all(r["bm25_e3"] > 0 for r in bm)
 

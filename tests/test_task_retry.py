@@ -28,7 +28,7 @@ import textwrap
 
 SCRIPT = textwrap.dedent("""
     import sys
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, sys.argv[2])  # repo root, passed by the test
 
     from pyspark.sql import SparkSession
     from pyspark import TaskContext
@@ -107,10 +107,13 @@ SCRIPT = textwrap.dedent("""
 
 
 def test_fold_is_exactly_once_under_task_retry(tmp_path):
+    from pathlib import Path
+
+    repo_root = str(Path(__file__).resolve().parents[1])
     script = tmp_path / "retry_proof.py"
     script.write_text(SCRIPT)
     marker = tmp_path / "fault_fired"
-    r = subprocess.run([sys.executable, str(script), str(marker)],
+    r = subprocess.run([sys.executable, str(script), str(marker), repo_root],
                        capture_output=True, text=True, timeout=300)
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
     assert "RETRY-EXACTLY-ONCE-OK" in r.stdout, r.stdout[-2000:]

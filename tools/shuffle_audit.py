@@ -58,7 +58,10 @@ def main() -> int:
         # Keep every stage in the status store for the whole audit.
         "spark.ui.retainedStages": "100000",
     })
-    base = f"http://localhost:{UI_PORT}/api/v1"
+    # The UI may bind UI_PORT+n when the port is taken (port.maxRetries)
+    # — always read the port actually bound, never assume.
+    ui = spark.sparkContext.uiWebUrl
+    base = f"{ui}/api/v1"
     app_id = _get(f"{base}/applications")[0]["id"]
 
     def completed_stages() -> dict[int, dict]:
@@ -77,7 +80,10 @@ def main() -> int:
         before = set(completed_stages())
         t0 = time.perf_counter()
         df = specs[name].fn(spark, args.sf)
-        df.count()
+        # noop sink: materializes EVERY column through the full plan.
+        # A count() here would let Catalyst prune windows/sorts/columns
+        # and the audit would measure a thinner plan than the query.
+        df.write.format("noop").mode("overwrite").save()
         wall = time.perf_counter() - t0
         # Denominator: on-disk bytes of the parquet the final plan
         # scans.  (The REST stages' inputBytes under-reports for
