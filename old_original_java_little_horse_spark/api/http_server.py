@@ -114,15 +114,24 @@ class LittleHorseAPI:
             return
         name = (new or old or {}).get("name")
         if new is not None:
+            # A re-POST that RENAMES the spec (same id, new name)
+            # deploys under the new name — the engine registered under
+            # the old name must be undeployed too, or its continuous
+            # query runs (and serves list/search) forever for a name
+            # that no longer resolves in metadata.
+            old_name = (old or {}).get("name")
+            if old_name and old_name != new.get("name"):
+                self.engines.undeploy(old_name)
             self.engines.deploy(new)
         elif old is not None:
             self.engines.undeploy(old["name"])
         # Drop run→engine cache entries that pointed at the replaced
         # (now stopped) handle; _engine_for_run re-resolves them
         # against the new deployment's serving store.
-        current = self.engines.get(name) if name else None
+        affected = {name, (old or {}).get("name")} - {None}
         for rid, h in list(self._run_engine.items()):
-            if (h.spec or {}).get("name") == name and h is not current:
+            h_name = (h.spec or {}).get("name")
+            if h_name in affected and h is not self.engines.get(h_name):
                 del self._run_engine[rid]
 
     # -- command path (POSTApi.java:40-58) --------------------------------

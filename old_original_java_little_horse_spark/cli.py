@@ -367,49 +367,56 @@ def cmd_work(args) -> int:
     mod_name, _, attr = args.executor.partition(":")
     fn = getattr(importlib.import_module(mod_name), attr)
     spark = _spark()
-    root = Path(args.base_dir) / "engines" / args.spec
-    shared_root = Path(args.base_dir) / "engines" / "_shared"
-    if not root.exists() and shared_root.exists():
-        # `serve --shared` runs ONE engine for all specs: the tagged
-        # output and event topic live under engines/_shared.  The
-        # TaskDef filter below already scopes this worker's rows, and
-        # posted TASK_EVENTs resolve their spec through the run's
-        # pinned id — so the only difference is the directory.
-        root = shared_root
-    out_dir, events_dir = root / "out", root / "events"
-    # The worker keeps its OWN streaming checkpoint over the engine's
-    # tagged output: each poll is an availableNow run that reads only
-    # files not yet consumed — O(new schedule rows) per poll, never a
-    # rescan of the engine's full history (the consumer-group offset
-    # of the Kafka variant, in file-source form).
-    ckpt = root / "work-ckpt" / args.task_def
+    # `serve --shared` runs ONE engine for all specs: the tagged output
+    # and event topic live under engines/_shared.  Poll EVERY root that
+    # exists — not per-spec-else-shared — so a deployment migrated from
+    # per-spec to --shared (the stale per-spec dir still on disk) does
+    # not leave the worker tailing a dir the live engine never writes.
+    # Existence is re-checked each poll: either shape may appear later.
+    # The TaskDef filter below scopes this worker's rows, and posted
+    # TASK_EVENTs resolve their spec through the run's pinned id — so
+    # per root the only difference is the directory.
+    candidate_roots = [Path(args.base_dir) / "engines" / args.spec,
+                       Path(args.base_dir) / "engines" / "_shared"]
     worker = TaskWorker({args.task_def: fn},
                         worker_id=f"worker-{args.task_def}")
     deadline = (time.time() + args.max_seconds) if args.max_seconds else None
     n_done = 0
 
-    def execute_batch(batch_df, _batch_id):
-        nonlocal n_done
-        rows = (batch_df
-                .where((F.col("kind") == "task_schedule")
-                       & (F.col("task_def_name") == args.task_def))
-                .select("payload").collect())
-        for r in rows:
-            tsr = json.loads(r["payload"])
-            evs = worker.handle(tsr, int(time.time() * 1000),
-                                time.time_ns() // 1000)
-            for ev in evs:
-                _write_event(spark, str(events_dir), ev)
-            if evs:
-                n_done += 1
-                print(f"executed {tsr['task_def_name']} for "
-                      f"{tsr['wf_run_id']} pos {tsr['task_run_position']}")
+    def make_batch_fn(events_dir: Path):
+        def execute_batch(batch_df, _batch_id):
+            nonlocal n_done
+            rows = (batch_df
+                    .where((F.col("kind") == "task_schedule")
+                           & (F.col("task_def_name") == args.task_def))
+                    .select("payload").collect())
+            for r in rows:
+                tsr = json.loads(r["payload"])
+                evs = worker.handle(tsr, int(time.time() * 1000),
+                                    time.time_ns() // 1000)
+                for ev in evs:
+                    _write_event(spark, str(events_dir), ev)
+                if evs:
+                    n_done += 1
+                    print(f"executed {tsr['task_def_name']} for "
+                          f"{tsr['wf_run_id']} pos {tsr['task_run_position']}")
+        return execute_batch
 
     while True:
-        if any(out_dir.rglob("*.parquet")):
+        for root in candidate_roots:
+            out_dir = root / "out"
+            if not any(out_dir.rglob("*.parquet")):
+                continue
+            # The worker keeps its OWN streaming checkpoint (per root)
+            # over the engine's tagged output: each poll is an
+            # availableNow run that reads only files not yet consumed —
+            # O(new schedule rows) per poll, never a rescan of the
+            # engine's full history (the consumer-group offset of the
+            # Kafka variant, in file-source form).
             (spark.readStream.schema(OUTPUT_SCHEMA).parquet(str(out_dir))
-             .writeStream.foreachBatch(execute_batch)
-             .option("checkpointLocation", str(ckpt))
+             .writeStream.foreachBatch(make_batch_fn(root / "events"))
+             .option("checkpointLocation",
+                     str(root / "work-ckpt" / args.task_def))
              .trigger(availableNow=True).start().awaitTermination())
         if deadline is not None and time.time() >= deadline:
             print(f"worker exiting: {n_done} task(s) executed")

@@ -87,15 +87,21 @@ class DockerTaskDeployer:
     def deploy(self) -> None:
         """Launch one container per TaskDef; on a partial failure the
         already-started containers are torn down before the error
-        propagates (no unmanaged leftovers)."""
+        propagates (no unmanaged leftovers).  The FAILING TaskDef is
+        rolled back too: `docker run -d` can create the named
+        container and then fail to start it, and leaving that husk
+        behind would make every retry fail with 'container name
+        already in use'."""
         started: list[str] = []
+        failing: str | None = None
         try:
             for task_def in self.executors:
+                failing = task_def
                 subprocess.run(self.run_argv(task_def), check=True,
                                capture_output=True)
                 started.append(task_def)
         except subprocess.CalledProcessError:
-            for task_def in started:
+            for task_def in started + ([failing] if failing else []):
                 try:
                     self.undeploy(task_def)
                 except subprocess.CalledProcessError:

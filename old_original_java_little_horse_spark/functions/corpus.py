@@ -647,10 +647,16 @@ def t_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .text import shingles_col
 
     d = load_table(spark, sf_dir, "documents")
+    # ONE corpus scan builds the word-frequency base; persist it so
+    # each round's collect() replays the (growing) replace chain from
+    # the cached vocab table, never from the corpus — the same pin as
+    # t_bpe_encode's `base` (and evicted by the same convention).
     wf = (d.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
           .where(F.col("word").rlike("^[a-z]+$"))
           .groupBy("word").agg(F.count(F.lit(1)).alias("n"))
-          .select(F.concat_ws(" ", F.split("word", "")).alias("seq"), "n"))
+          .select(F.concat_ws(" ", F.split("word", "")).alias("seq"), "n")
+          .persist())
+    base = wf
 
     merges = []
     for rnd in range(1, BPE_ROUNDS + 1):
@@ -666,6 +672,11 @@ def t_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.concat(F.lit(" "), F.col("seq"), F.lit(" ")),
                 F.lit(f" {top.pair} "), F.lit(f" {merged_tok} ")))
             .alias("seq"), "n")
+
+    # Unlike t_bpe_encode, the result below is already materialized
+    # (every round collect()ed), so the cache has no lazy consumer and
+    # can be dropped immediately.
+    base.unpersist()
 
     from pyspark.sql.types import (LongType, StringType, StructField,
                                    StructType)

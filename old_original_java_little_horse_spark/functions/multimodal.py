@@ -7,6 +7,16 @@ columns move as Arrow buffers into `mapInPandas` batches, metadata
 extraction is schema-typed, and the pipeline stays per-partition
 (no shuffle).  Swap `fake_decode_meta` for a PIL/ffmpeg call and
 nothing else changes.
+
+Byte-exactness: every operator here slices BYTES of the encoded
+payload, never characters, and the oracles mirror that with
+DuckDB's strlen (bytes) and hex(encode(text)) slice arithmetic (2
+hex chars per byte) — one multi-byte UTF-8 character must not shift
+a window.  Because DuckDB's md5 only takes VARCHAR (a raw byte slice
+may not be valid UTF-8), slice digests are md5-of-uppercase-hex on
+BOTH sides (`_hex_md5`), which is bijectively equivalent to hashing
+the bytes.  `tests/test_multimodal_bytes.py` proves parity on a
+planted corpus of 2/3/4-byte UTF-8 at every window boundary.
 """
 
 from __future__ import annotations
@@ -46,6 +56,12 @@ try:
 except ImportError:
     _PILImage = None
     _HAS_PIL = False
+
+
+def _hex_md5(b: bytes) -> str:
+    """Digest of a byte slice computable by a VARCHAR-only md5:
+    md5 of the uppercase hex expansion (DuckDB: md5(hex(blob)))."""
+    return hashlib.md5(b.hex().upper().encode("ascii")).hexdigest()
 
 
 def fake_decode_meta(payload: bytes) -> dict:
@@ -108,7 +124,7 @@ def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     oracle="""
 SELECT doc_id,
        strlen(text)                      AS byte_len,
-       md5(text)                         AS content_md5,
+       md5(text)                               AS content_md5,
        64 + (strlen(text) % 577)         AS fake_width,
        64 + (strlen(text) % 311)         AS fake_height,
        1 + (strlen(text) % 24)           AS fake_n_frames
@@ -160,7 +176,7 @@ def frame_sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
                 frame = b[idx * chunk: idx * chunk + chunk]
                 out.append({"doc_id": doc_id, "frame_idx": idx,
                             "frame_len": len(frame),
-                            "frame_md5": hashlib.md5(frame).hexdigest()})
+                            "frame_md5": _hex_md5(frame)})
         yield pd.DataFrame(out, columns=[f.name for f in FRAME_SCHEMA.fields])
 
 
@@ -168,18 +184,20 @@ def frame_sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
     "mm_frame_sample",
     oracle=f"""
 WITH m AS (
-  SELECT doc_id, text, strlen(text) AS n,
+  SELECT doc_id, hex(encode(text)) AS p, strlen(text) AS n,
          1 + (strlen(text) % 24) AS n_frames,
-         greatest(strlen(text) // (1 + (strlen(text) % 24)), 1) AS chunk
+         greatest(strlen(text) // (1 + (strlen(text) % 24)), 1)
+           AS chunk
   FROM documents
 ), f AS (
-  SELECT doc_id, text, chunk,
+  SELECT doc_id, p, chunk,
          unnest(generate_series(0, n_frames - 1, {FRAME_STEP})) AS frame_idx
   FROM m
 )
 SELECT doc_id, frame_idx,
-       strlen(substr(text, 1 + frame_idx * chunk, chunk)) AS frame_len,
-       md5(substr(text, 1 + frame_idx * chunk, chunk))    AS frame_md5
+       strlen(substr(p, 1 + 2 * frame_idx * chunk, 2 * chunk)) // 2
+         AS frame_len,
+       md5(substr(p, 1 + 2 * frame_idx * chunk, 2 * chunk)) AS frame_md5
 FROM f
 """,
 )
@@ -189,8 +207,9 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     The real thing swaps the byte-slice for an ffmpeg seek-and-decode;
     the Spark shape — binary → mapInPandas → per-frame rows, no
     shuffle until a downstream aggregation — is what must scale.  The
-    oracle reproduces the slicing arithmetic with substr (payloads are
-    the docs' ascii bytes, so char and byte offsets coincide)."""
+    oracle slices the hex expansion of the ENCODED bytes (2 hex chars
+    per byte), so offsets are byte-exact for any UTF-8 payload; frame
+    digests are md5-of-hex on both sides (module docstring)."""
     from ..session import ship_package
 
     ship_package(spark)
@@ -222,19 +241,24 @@ def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             start = (n - target) // 2
             cropped = b[start: start + target]
             out.append({"doc_id": doc_id, "out_len": len(cropped),
-                        "resized_md5": hashlib.md5(cropped).hexdigest()})
+                        "resized_md5": _hex_md5(cropped)})
         yield pd.DataFrame(out, columns=[f.name for f in RESIZE_SCHEMA.fields])
 
 
 @query(
     "mm_resize_crop",
     oracle=f"""
+WITH m AS (
+  SELECT doc_id, hex(encode(text)) AS p,
+         strlen(text) AS n,
+         least(strlen(text), {RESIZE_TARGET}) AS target
+  FROM documents
+)
 SELECT doc_id,
-       least(strlen(text), {RESIZE_TARGET}) AS out_len,
-       md5(substr(text,
-                  1 + (strlen(text) - least(strlen(text), {RESIZE_TARGET})) // 2,
-                  least(strlen(text), {RESIZE_TARGET})))   AS resized_md5
-FROM documents
+       target AS out_len,
+       md5(substr(p, 1 + 2 * ((n - target) // 2), 2 * target))
+         AS resized_md5
+FROM m
 """,
 )
 def mm_resize_crop(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -242,7 +266,8 @@ def mm_resize_crop(spark: SparkSession, sf_dir: str) -> DataFrame:
     `img.resize()` drop-in would change only the worker body — the
     plumbing (binary in, binary-derived row out, Arrow-batched,
     shuffle-free) is the part under test, and the oracle proves the
-    byte arithmetic round-trips losslessly."""
+    byte arithmetic round-trips losslessly on the hex expansion of
+    the encoded payload (byte-exact for any UTF-8 text)."""
     from ..session import ship_package
 
     ship_package(spark)
@@ -282,7 +307,7 @@ def audio_window_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
                 win = b[start: start + AUDIO_WIN]
                 out.append({"doc_id": doc_id, "win_idx": w,
                             "start_byte": start, "win_len": len(win),
-                            "win_md5": hashlib.md5(win).hexdigest()})
+                            "win_md5": _hex_md5(win)})
         yield pd.DataFrame(out, columns=[f.name for f in AUDIO_SCHEMA.fields])
 
 
@@ -290,17 +315,20 @@ def audio_window_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
     "mm_audio_windows",
     oracle=f"""
 WITH m AS (
-  SELECT doc_id, text, strlen(text) AS n FROM documents
+  SELECT doc_id, hex(encode(text)) AS p, strlen(text) AS n
+  FROM documents
 ), w AS (
-  SELECT doc_id, text, n,
+  SELECT doc_id, p, n,
          unnest(generate_series(0, (greatest(n - 1, 0)) // {AUDIO_STRIDE}))
            AS win_idx
   FROM m
 )
 SELECT doc_id, win_idx,
-       win_idx * {AUDIO_STRIDE}                                    AS start_byte,
-       strlen(substr(text, 1 + win_idx * {AUDIO_STRIDE}, {AUDIO_WIN})) AS win_len,
-       md5(substr(text, 1 + win_idx * {AUDIO_STRIDE}, {AUDIO_WIN}))    AS win_md5
+       win_idx * {AUDIO_STRIDE} AS start_byte,
+       strlen(substr(p, 1 + 2 * win_idx * {AUDIO_STRIDE}, 2 * {AUDIO_WIN})) // 2
+         AS win_len,
+       md5(substr(p, 1 + 2 * win_idx * {AUDIO_STRIDE}, 2 * {AUDIO_WIN}))
+         AS win_md5
 FROM w
 """,
 )
@@ -311,8 +339,9 @@ def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     the property that matters at scale: windows OVERLAP, so output
     volume is input x (size/stride) — the explode stays worker-side in
     one mapInPandas pass and nothing re-shuffles the duplicated bytes.
-    Oracle reproduces the byte arithmetic with substr (ascii payloads:
-    char offsets == byte offsets)."""
+    Oracle reproduces the byte arithmetic on the hex expansion of the
+    encoded payload — byte-exact for any UTF-8 text (module
+    docstring)."""
     from ..session import ship_package
 
     ship_package(spark)

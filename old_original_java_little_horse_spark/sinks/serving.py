@@ -56,6 +56,11 @@ from ..operators.index_store import index_changelog
 # docstring — write cost scales with the touched-bucket fraction).
 N_BUCKETS = int(os.environ.get("LH_SPARK_SERVING_BUCKETS", "16"))
 
+# Fanout of stores written before the marker existed (the old
+# hard-coded constant).  A populated store with no marker was hashed
+# with THIS N — never with the env-configured current default.
+_LEGACY_N_BUCKETS = 16
+
 _NBUCKETS_MARKER = ".nbuckets"
 
 
@@ -65,15 +70,27 @@ def _store_nbuckets(store_dir: str, create_with: int | None = None) -> int:
     The hash→bucket mapping must never change under an existing store
     (old rows would land in the wrong partition for pruning), so the
     creation-time N is persisted in a marker file and always wins over
-    the current default.
+    the current default.  Two recovery rules keep that invariant under
+    upgrades: a POPULATED store with no marker predates the marker and
+    is stamped with the legacy constant its rows were hashed with (not
+    the env default, which may have changed); a marker that exists but
+    cannot be parsed is an integrity error and raises — silently
+    re-stamping it could re-bucket a live store.
     """
     marker = os.path.join(store_dir, _NBUCKETS_MARKER)
     try:
         with open(marker) as f:
             return int(f.read().strip())
-    except (OSError, ValueError):
-        pass
-    n = create_with if create_with is not None else N_BUCKETS
+    except OSError:
+        pass  # no marker yet — creation or pre-marker store, below
+    except ValueError:
+        raise RuntimeError(
+            f"corrupt {_NBUCKETS_MARKER} in {store_dir}: refusing to "
+            "guess the bucket fanout of an existing store") from None
+    if _has_parquet(store_dir):
+        n = _LEGACY_N_BUCKETS
+    else:
+        n = create_with if create_with is not None else N_BUCKETS
     if create_with is not None:
         os.makedirs(store_dir, exist_ok=True)
         with open(marker, "w") as f:

@@ -512,3 +512,43 @@ def test_shared_deploy_many_single_restart(spark):
     finally:
         mgr.stop_all()
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_spec_rename_undeploys_old_engine(spark):
+    """A re-POST that keeps the id but changes the name must stop the
+    engine registered under the OLD name — otherwise its continuous
+    query runs (and serves list/search) forever for a spec name that
+    404s in metadata, leaking one live query per rename."""
+    workdir = Path(tempfile.mkdtemp(prefix="http-rename-"))
+    store = MetadataStore(str(workdir / "meta"))
+    mgr = SparkEngineManager(spark, str(workdir / "engines"),
+                             executor=_executor, trigger_seconds=0.2)
+    api = LittleHorseAPI(spark, metadata=store, engines=mgr,
+                         barrier_timeout=60.0)
+    srv = LittleHorseHTTPServer(api).start()
+    try:
+        port = srv.port
+        _req(port, "POST", "/taskDef", {"name": "greet"})
+        st, spec = _req(port, "POST", "/wfSpec", _greet_spec())
+        assert st == 201
+        assert mgr.get("greeter") is not None
+
+        renamed = dict(_greet_spec(), id=spec["id"], name="welcomer")
+        st, _ = _req(port, "POST", "/wfSpec", renamed)
+        assert st == 201
+        assert mgr.get("welcomer") is not None
+        assert mgr.get("greeter") is None, \
+            "old-name engine leaked after rename"
+        st, _ = _req(port, "GET", "/wfSpec/greeter")
+        assert st == 404
+
+        # The renamed deployment is live end-to-end.
+        st, r1 = _req(port, "POST", "/wfrun",
+                      {"wf_spec_name": "welcomer", "variables": {"who": "bo"}})
+        assert st == 201
+        st, doc = _req(port, "GET", f"/wfrun/{r1['id']}")
+        assert st == 200
+    finally:
+        srv.stop()
+        mgr.stop_all()
+        shutil.rmtree(workdir, ignore_errors=True)

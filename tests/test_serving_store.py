@@ -178,3 +178,44 @@ def test_randomized_upserts_equal_global_compaction(store):
     got = {r["wf_run_id"]: (json.loads(r["state_json"])["seq"], r["status"])
            for r in read_all_snapshots(spark, d).collect()}
     assert got == {k: v for k, v in expect.items()}
+
+
+def test_premarker_store_stamped_with_legacy_fanout(store, monkeypatch):
+    """A populated store written before the .nbuckets marker existed
+    was hashed with the old hard-coded N=16.  On the first
+    post-upgrade write it must be stamped with THAT legacy constant —
+    not the env-configured current default, which would silently
+    re-bucket the store and orphan every existing key's partition."""
+    from old_original_java_little_horse_spark.sinks import serving
+
+    spark, d = store
+    upsert_serving_stores(
+        _batch(spark, [_snap(f"r{i}", 1) for i in range(20)]), d)
+    sd = Path(snapshots_dir(d))
+    assert (sd / ".nbuckets").read_text() == "16"
+    # Simulate the pre-marker store: marker absent, data present.
+    (sd / ".nbuckets").unlink()
+    ad = Path(serving.aliases_dir(d))
+    if (ad / ".nbuckets").exists():
+        (ad / ".nbuckets").unlink()
+    # Operator upgrades with a bigger configured fanout.
+    monkeypatch.setattr(serving, "N_BUCKETS", 64)
+    upsert_serving_stores(_batch(spark, [_snap("r3", 9, "COMPLETED")]), d)
+    assert (sd / ".nbuckets").read_text() == "16"
+    assert {p.name for p in sd.glob("bucket=*")} <= {
+        f"bucket={i}" for i in range(16)}
+    for rid, want in [("r3", "COMPLETED"), ("r11", "RUNNING")]:
+        rows = read_snapshot(spark, d, rid).collect()
+        assert len(rows) == 1 and rows[0]["status"] == want
+
+
+def test_corrupt_nbuckets_marker_raises(store):
+    """An unparseable marker on an existing store is an integrity
+    error: guessing (or re-stamping) the fanout could re-bucket a live
+    store, so the write must refuse instead."""
+    spark, d = store
+    upsert_serving_stores(_batch(spark, [_snap("r1", 1)]), d)
+    sd = Path(snapshots_dir(d))
+    (sd / ".nbuckets").write_text("not-a-number")
+    with pytest.raises(Exception, match="corrupt"):
+        upsert_serving_stores(_batch(spark, [_snap("r1", 2)]), d)
