@@ -57,6 +57,10 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 _CHECK_FIRST = [
     # new in round 5 — never driver-checked (registered below as added)
     "idx_bm25_topk", "a11_rfm_segments", "mm_shard_assign",
+    # oracle semantics changed round 5 (byte-exact hex digests) — the
+    # driver's last green rows checked the old form; re-prove first
+    "mm_metadata_extract", "mm_frame_sample", "mm_resize_crop",
+    "mm_audio_windows",
     "g_triangle_count", "a9_markov_transitions", "w9_sliding_windows",
     "agg_pivot_matrix", "sk_kmv_set_ops", "j9_salted_skew_join",
     "stream_sliding_rates", "a10_top_paths", "sim_kmeans_assign",
@@ -81,14 +85,13 @@ _CHECK_FIRST = [
     "q2_min_cost_supplier", "a7_event_rate_windows", "j7_interval_overlap",
     "stream_event_rates", "t_source_overlap", "q4_priority_semi",
     "q22_idle_customers_anti", "dq_check_suite", "d_dup_cluster_stats",
-    "w6_cohort_retention", "mm_audio_windows",
+    "w6_cohort_retention",
     # no round-4 driver row (green r1-r3)
     "s2_changelog_upsert", "agg_rollup_sets", "engine_run_index",
     "d_exact_dedup", "d_minhash_signatures", "d_minhash_lsh_pairs",
     "d_simhash", "x_mutation_string", "x_mutation_array",
     "x_mutation_remove_key", "x_jsonpath", "x_type_coercion",
-    "x_template_substitution", "mm_metadata_extract", "mm_frame_sample",
-    "mm_resize_crop", "sim_topk_bruteforce", "sim_lsh_bucketed_ann",
+    "x_template_substitution", "sim_topk_bruteforce", "sim_lsh_bucketed_ann",
     "sim_label_blocked_neardup", "sim_ivf_ann", "sim_label_centroids",
     "engine_pipeline_fold", "engine_task_runs_flat", "engine_result_counts",
     "engine_streaming_fold", "engine_index_incremental", "stream_doc_dedup",
