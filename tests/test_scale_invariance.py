@@ -39,6 +39,17 @@ FAMILIES = [
     "a11_rfm_segments",
     "j9_salted_skew_join",
     "idx_bm25_topk",
+    # sketches: register construction must be layout-independent
+    "sk_hll_registers",
+    "sk_cms_point_queries",
+    # iterative CC under O(log n) rounds; gap-fill calendar spine;
+    # point-in-time SCD2 (union+window as-of); native pivot;
+    # end-to-end curation decision table
+    "g_cc_star_clusters",
+    "w8_gap_fill",
+    "j8_temporal_join",
+    "agg_pivot_matrix",
+    "t_curated_corpus",
 ]
 
 HOSTILE = {
