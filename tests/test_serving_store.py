@@ -219,3 +219,23 @@ def test_corrupt_nbuckets_marker_raises(store):
     (sd / ".nbuckets").write_text("not-a-number")
     with pytest.raises(Exception, match="corrupt"):
         upsert_serving_stores(_batch(spark, [_snap("r1", 2)]), d)
+
+
+def test_upsert_retry_is_idempotent(store):
+    """foreachBatch delivers AT-LEAST-ONCE: a micro-batch whose commit
+    raced a crash is re-delivered with the same rows.  Re-applying a
+    batch (any number of times, in any interleaving with later
+    batches) must leave the store byte-for-byte as if applied once —
+    the property that turns retry into exactly-once at the store."""
+    spark, d = store
+    b1 = [_snap("r1", 1), _snap("r2", 1), _snap("r3", 1)]
+    b2 = [_snap("r1", 2, "COMPLETED"), _snap("r4", 2)]
+    upsert_serving_stores(_batch(spark, b1), d)
+    upsert_serving_stores(_batch(spark, b1), d)      # immediate redelivery
+    upsert_serving_stores(_batch(spark, b2), d)
+    upsert_serving_stores(_batch(spark, b1), d)      # late redelivery of b1
+    upsert_serving_stores(_batch(spark, b2), d)      # and of b2
+    got = {r["wf_run_id"]: (json.loads(r["state_json"])["seq"], r["status"])
+           for r in read_all_snapshots(spark, d).collect()}
+    assert got == {"r1": (2, "COMPLETED"), "r2": (1, "RUNNING"),
+                   "r3": (1, "RUNNING"), "r4": (2, "RUNNING")}
