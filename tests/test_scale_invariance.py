@@ -50,6 +50,10 @@ FAMILIES = [
     "j8_temporal_join",
     "agg_pivot_matrix",
     "t_curated_corpus",
+    # the engine fold itself: partition-batched applyInPandas must
+    # fold identical snapshots however runs land on partitions
+    "engine_pipeline_fold",
+    "engine_result_counts",
 ]
 
 HOSTILE = {
