@@ -412,3 +412,44 @@ def mm_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 mm_shard_assign.__doc__ = mm_shard_assign.__doc__.replace(
     "{SHARD_BYTES}", str(SHARD_BYTES))
+
+
+def extend_shard_assign(manifest: DataFrame, new_docs: DataFrame,
+                        shard_bytes: int = SHARD_BYTES) -> DataFrame:
+    """Incremental manifest maintenance: assign shards to NEW docs
+    without touching (or reading all of) the existing manifest.
+
+    Because assignment is a pure function of the per-source running
+    sum (`mm_shard_assign`), extending the corpus only needs each
+    source's TAIL offset — a |sources|-row aggregate of the existing
+    manifest, broadcast onto the new docs' running sums.  Appending is
+    O(new docs) + one tiny broadcast, not a recompute of the manifest;
+    `tests/test_retrieval_shard_props.py` proves extend == full
+    recompute.  Precondition (enforced): new doc_ids sort after every
+    existing doc_id of their source, the same append-only contract the
+    packing rule itself assumes.
+    """
+    tails = (manifest.groupBy("source")
+             .agg(F.max("doc_id").alias("max_doc_id"),
+                  F.sum("n_bytes").alias("tail_off")))
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    sized = new_docs.select(
+        "doc_id", "source",
+        F.octet_length("text").cast("long").alias("n_bytes"))
+    packed = (sized.join(F.broadcast(tails), "source", "left")
+              .withColumn("tail_off", F.coalesce("tail_off", F.lit(0)))
+              .withColumn("start_off",
+                          (F.sum("n_bytes").over(w) - F.col("n_bytes")
+                           + F.col("tail_off")).cast("long")))
+    violation = packed.where(F.col("max_doc_id").isNotNull()
+                             & (F.col("doc_id") <= F.col("max_doc_id")))
+    if not violation.isEmpty():
+        bad = violation.select("doc_id", "source").limit(3).collect()
+        raise ValueError(
+            f"append-only contract violated: new doc_ids not after the "
+            f"existing tail, e.g. {[(r['doc_id'], r['source']) for r in bad]}")
+    return packed.select(
+        "doc_id", "source", "n_bytes",
+        F.expr(f"start_off div {shard_bytes}").alias("shard_id"),
+        (F.col("start_off") % shard_bytes).alias("shard_offset"))

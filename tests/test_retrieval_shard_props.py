@@ -100,3 +100,40 @@ def test_shard_assign_append_stable(spark):
     sub = {(r["doc_id"], r["source"]): (r["shard_id"], r["shard_offset"])
            for r in Q["mm_shard_assign"].fn(spark, tmp).collect()}
     assert sub == {k: v for k, v in full.items() if k in sub}
+
+
+def test_extend_shard_assign_equals_full_recompute(spark):
+    """Incremental manifest maintenance: assigning only the NEW docs
+    against the old manifest's per-source tails must reproduce exactly
+    what a full recompute assigns them — and reject docs that violate
+    the append-only contract."""
+    import pyspark.sql.functions as F
+
+    from old_original_java_little_horse_spark.functions.multimodal import (
+        extend_shard_assign,
+    )
+    from old_original_java_little_horse_spark.sources.parquet import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    cut = d.approxQuantile("doc_id", [0.5], 0.0)[0]
+    old_docs, new_docs = (d.where(F.col("doc_id") <= cut),
+                          d.where(F.col("doc_id") > cut))
+
+    full = {(r["doc_id"], r["source"]): (r["shard_id"], r["shard_offset"])
+            for r in Q["mm_shard_assign"].fn(spark, SF_SMOKE).collect()}
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="shard-old-")
+    old_docs.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    manifest = Q["mm_shard_assign"].fn(spark, tmp)
+    ext = {(r["doc_id"], r["source"]): (r["shard_id"], r["shard_offset"])
+           for r in extend_shard_assign(manifest, new_docs).collect()}
+    assert ext == {k: v for k, v in full.items()
+                   if k not in {(r["doc_id"], r["source"])
+                                for r in manifest.collect()}}
+
+    # Appending an ALREADY-ASSIGNED doc_id must be rejected.
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="append-only"):
+        extend_shard_assign(manifest, old_docs.limit(1)).collect()
