@@ -23,6 +23,12 @@ def default_parallelism() -> int:
 
 def get_spark(app_name: str = "old-original-java-little-horse-spark",
               extra_conf: dict | None = None) -> SparkSession:
+    # Resolve google.protobuf (needed by transformWithStateInPandas'
+    # Python state server) BEFORE the JVM launches: workers inherit
+    # the JVM's PYTHONPATH, which is frozen at session creation.
+    from .protobuf_compat import ensure_protobuf
+
+    ensure_protobuf()
     cpus = default_parallelism()
     b = (
         SparkSession.builder.appName(app_name)

@@ -430,6 +430,23 @@ def split_outputs(tagged: DataFrame) -> dict[str, DataFrame]:
     }
 
 
+_ROCKSDB_PROVIDER = ("org.apache.spark.sql.execution.streaming."
+                     "state.RocksDBStateStoreProvider")
+
+
+def _tws_confs(use_tws: bool) -> dict[str, str]:
+    """`transformWithStateInPandas` requires a state store that
+    supports multiple column families (one per typed state variable /
+    timer store) — Spark's RocksDB provider, not the default
+    HDFS-backed one.  Fitting: RocksDB is exactly what the
+    reference's stores run on (SURVEY §2.1 S6).  The provider class
+    is read at query START, so callers scope it around `.start()`."""
+    if not use_tws:
+        return {}
+    return {"spark.sql.streaming.stateStore.providerClass":
+            _ROCKSDB_PROVIDER}
+
+
 def start_continuous(spark: SparkSession, events_dir: str, spec: dict,
                      checkpoint_dir: str, output_dir: str,
                      executor: TaskExecutor | None = None,
@@ -473,13 +490,16 @@ def start_continuous(spark: SparkSession, events_dir: str, spec: dict,
         else:
             batch_df.write.mode("append").parquet(output_dir)
 
-    return (
-        tagged.writeStream.foreachBatch(sink)
-        .outputMode("update")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(processingTime=f"{trigger_seconds} seconds")
-        .start()
-    )
+    from ..session import scoped_conf
+
+    with scoped_conf(spark, _tws_confs(use_tws)):
+        return (
+            tagged.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(processingTime=f"{trigger_seconds} seconds")
+            .start()
+        )
 
 
 def start_continuous_shared(spark: SparkSession, events_dir: str,
@@ -543,13 +563,16 @@ def start_continuous_shared(spark: SparkSession, events_dir: str,
         attributed.unpersist()
         batch_df.unpersist()
 
-    return (
-        tagged.writeStream.foreachBatch(sink)
-        .outputMode("update")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(processingTime=f"{trigger_seconds} seconds")
-        .start()
-    )
+    from ..session import scoped_conf
+
+    with scoped_conf(spark, _tws_confs(use_tws)):
+        return (
+            tagged.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(processingTime=f"{trigger_seconds} seconds")
+            .start()
+        )
 
 
 def await_read_your_writes(query, timeout: float = 60.0) -> None:
@@ -615,6 +638,7 @@ def run_streaming_availablenow(spark: SparkSession, events_dir: str, spec: dict,
 
     confs = ({"spark.sql.shuffle.partitions": str(shuffle_partitions)}
              if shuffle_partitions is not None else {})
+    confs.update(_tws_confs(use_tws))
     with scoped_conf(spark, confs):
         reader = spark.readStream.schema(WF_EVENT_SCHEMA)
         if max_files_per_trigger is not None:

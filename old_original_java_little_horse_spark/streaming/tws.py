@@ -61,13 +61,13 @@ def tws_runtime_available() -> bool:
     importable the query crashes at initialization
     (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE).  Feature-detect
     so callers/tests gate cleanly, as with the Kafka integration
-    tests (broker required)."""
-    try:
-        from google.protobuf import descriptor  # noqa: F401
+    tests (broker required).  `protobuf_compat.ensure_protobuf`
+    first tries to RESOLVE a runtime (a pure-Python bundle shipped
+    with the host's gcloud SDK, exposed through a shim path) before
+    giving up — where it succeeds, the tws engine runs for real."""
+    from ..protobuf_compat import ensure_protobuf
 
-        return True
-    except ImportError:
-        return False
+    return ensure_protobuf()
 
 
 class WFRunFoldProcessor(StatefulProcessor):
