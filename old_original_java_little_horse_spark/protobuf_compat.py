@@ -59,6 +59,50 @@ def _make_shim(bundle_google_dir: str) -> str:
     return _SHIM_DIR
 
 
+def ship_protobuf(spark) -> None:
+    """Make `google.protobuf` importable on executor Python workers of
+    an ALREADY-RUNNING session (whose JVM env — hence worker
+    PYTHONPATH — is frozen).
+
+    Mirrors `session.ship_package`: zip the resolved runtime and
+    `addPyFile` it, which reaches worker `sys.path` regardless of how
+    the session was built — the path that matters for the driver's
+    own vanilla SparkSession and for any real cluster where protobuf
+    is not in the executor image.  The version-check escape hatch
+    travels via `sparkContext.environment` (captured into each Python
+    function's worker env).  No-ops when nothing needs shipping.
+    Idempotent per session."""
+    if not ensure_protobuf():
+        return
+    import google.protobuf as gp
+
+    src = os.path.dirname(gp.__file__)
+    if not src.startswith(_SHIM_DIR):
+        return  # properly installed runtime — workers have it too
+    if os.environ.get("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"):
+        spark.sparkContext.environment[
+            "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"] = "true"
+    if getattr(spark, "_oojlh_protobuf_shipped", False):
+        return
+    import pathlib
+    import zipfile
+
+    src_dir = pathlib.Path(src).resolve()
+    zip_path = pathlib.Path(_SHIM_DIR) / "protobuf_pyfiles.zip"
+    if not zip_path.exists():
+        tmp = zip_path.with_suffix(".tmp")
+        with zipfile.ZipFile(tmp, "w") as z:
+            # plain package-with-__init__ (not a namespace portion):
+            # zipimport handles it uniformly, and no other `google.*`
+            # distribution exists where the fallback is in play.
+            z.writestr("google/__init__.py", "")
+            for p in sorted(src_dir.rglob("*.py")):
+                z.write(p, f"google/protobuf/{p.relative_to(src_dir)}")
+        tmp.replace(zip_path)
+    spark.sparkContext.addPyFile(str(zip_path))
+    spark._oojlh_protobuf_shipped = True
+
+
 def ensure_protobuf() -> bool:
     """Make `google.protobuf` importable (driver AND Spark workers)
     if at all possible; return whether it is."""

@@ -70,6 +70,35 @@ def tws_runtime_available() -> bool:
     return ensure_protobuf()
 
 
+def _export_worker_pythonpath(spark) -> None:
+    """transformWithStateInPandas starts a LONG-LIVED state-server
+    Python process through `StreamingPythonRunner`, which (unlike
+    task workers) does not consult the session's addPyFile includes —
+    its import path comes from the PYTHONPATH in the Python
+    function's captured env (`sc.environment`, snapshotted when the
+    UDF is wrapped).  Export this package's parent dir and, when the
+    protobuf fallback is active, the shim path, BEFORE the UDF is
+    created.  Driver-local paths are fine: the runner lives on the
+    driver node; ordinary executor workers are covered by
+    ship_package/ship_protobuf."""
+    import os
+    import pathlib
+
+    extra = [str(pathlib.Path(__file__).resolve().parents[2])]
+    try:
+        import google.protobuf as gp
+
+        extra.append(str(pathlib.Path(gp.__file__).resolve().parents[2]))
+    except ImportError:
+        pass
+    env = spark.sparkContext.environment
+    parts = [p for p in (env.get("PYTHONPATH") or
+                         os.environ.get("PYTHONPATH", "")).split(os.pathsep)
+             if p]
+    env["PYTHONPATH"] = os.pathsep.join(
+        dict.fromkeys(extra + parts))  # ordered de-dup
+
+
 class WFRunFoldProcessor(StatefulProcessor):
     """One instance per state partition; state accessors are per-key
     (implicit grouping key, as with the reference's processor)."""
@@ -258,6 +287,10 @@ def streaming_engine_tws(events: DataFrame, spec: dict,
             "(google.protobuf) for its Python state server; install it or "
             "use the applyInPandasWithState engine (use_tws=False)")
     ship_package(events.sparkSession)
+    from ..protobuf_compat import ship_protobuf
+
+    ship_protobuf(events.sparkSession)
+    _export_worker_pythonpath(events.sparkSession)
     if watermark_delay is not None:
         events = events.withColumn(
             "event_time", F.timestamp_millis(F.col("timestamp"))
