@@ -1,10 +1,12 @@
 """transformWithStateInPandas engine (`streaming/tws.py`).
 
 The TWS Python worker needs `google.protobuf` (its state-server
-protocol), absent in this sandbox — so the full streaming twin runs
-only where the runtime exists (skip otherwise, like the Kafka broker
-tests).  The processor's SEMANTICS are proven everywhere via a fake
-StatefulProcessorHandle driving `handleInputRows` /
+protocol); `protobuf_compat.ensure_protobuf` resolves a pure-Python
+runtime from the host where none is installed, so the full streaming
+twins RUN here — they still gate on `tws_runtime_available()` for
+hosts where no runtime can be found (like the Kafka broker tests).
+The processor's SEMANTICS are additionally proven everywhere via a
+fake StatefulProcessorHandle driving `handleInputRows` /
 `handleExpiredTimer` directly: same fold, same outputs, same state
 transitions as the applyInPandasWithState engine."""
 
@@ -261,4 +263,64 @@ def test_tws_streaming_twin_matches_batch(spark):
         state = json.loads(snaps[0]["payload"])
         assert state["thread_runs"][0]["variables"]["score"] == 2 * 2 + 5 + 7
     finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+@pytest.mark.skipif(not tws_runtime_available(),
+                    reason="no google.protobuf runtime resolvable — TWS "
+                           "Python state server cannot start on this host")
+def test_tws_native_timer_fires_live(spark):
+    """ST2 under the REAL tws runtime: a stored SLEEP's WFRunTimer is
+    armed as ONE native timer (`handle.registerTimer`) and
+    `handleExpiredTimer` fires for exactly that maturation — the run
+    completes with NO further input (reference punctuator semantics,
+    SchedulerProcessor.java:88-126), proven against the RocksDB state
+    store + timer services rather than the fake handle."""
+    import time
+
+    from old_original_java_little_horse_spark.streaming.engine import (
+        start_continuous,
+    )
+
+    wf = Workflow("sleepy-tws")
+    t = wf.thread("entrypoint")
+    t.sleep_for(1)
+    spec = wf.build()
+
+    workdir = Path(tempfile.mkdtemp(prefix="tws-native-"))
+    events_dir = workdir / "events"
+    events_dir.mkdir()
+    out_dir = workdir / "out"
+    q = start_continuous(
+        spark, str(events_dir) + "/*", spec,
+        checkpoint_dir=str(workdir / "ckpt"), output_dir=str(out_dir),
+        trigger_seconds=0.2, use_tws=True,
+    )
+    try:
+        now = int(time.time() * 1000)
+        start = [("r1", "s", "s", "WF_RUN_STARTED", 0, now, 0,
+                  json.dumps({"variables": {}}))]
+        spark.createDataFrame(start, schema=WF_EVENT_SCHEMA) \
+             .coalesce(1).write.parquet(str(events_dir / "cmd1"))
+
+        deadline = time.monotonic() + 60
+        final = None
+        while time.monotonic() < deadline:
+            try:
+                rows = spark.read.parquet(str(out_dir)).collect()
+            except Exception:
+                rows = []
+            snaps = sorted((r for r in rows if r["kind"] == "snapshot"),
+                           key=lambda r: r["seq"])
+            if snaps and snaps[-1]["status"] == "COMPLETED":
+                final = snaps[-1]
+                break
+            time.sleep(0.3)
+        assert final is not None, "sleep never completed without a pump"
+        state = json.loads(final["payload"])
+        assert state["thread_runs"][0]["task_runs"][0]["status"] == "COMPLETED"
+        # Nothing re-injected events: the input dir still has only cmd1.
+        assert {p.name for p in events_dir.iterdir()} == {"cmd1"}
+    finally:
+        q.stop()
         shutil.rmtree(workdir, ignore_errors=True)
