@@ -552,3 +552,43 @@ def test_spec_rename_undeploys_old_engine(spark):
         srv.stop()
         mgr.stop_all()
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_http_deploy_on_tws_engine(spark):
+    """The full product stack on the ALTERNATE stateful engine:
+    `SparkEngineManager(use_tws=True)` deploys the spec's continuous
+    query on `transformWithStateInPandas` (RocksDB state store,
+    per-timer callbacks) and the HTTP POST /wfrun → GET round-trip
+    completes identically — engine choice is an ops knob, not an API
+    change."""
+    from old_original_java_little_horse_spark.streaming.tws import (
+        tws_runtime_available,
+    )
+
+    if not tws_runtime_available():
+        pytest.skip("no google.protobuf runtime resolvable")
+    workdir = Path(tempfile.mkdtemp(prefix="http-tws-"))
+    store = MetadataStore(str(workdir / "meta"))
+    mgr = SparkEngineManager(spark, str(workdir / "engines"),
+                             executor=_executor, trigger_seconds=0.2,
+                             use_tws=True)
+    api = LittleHorseAPI(spark, metadata=store, engines=mgr)
+    srv = LittleHorseHTTPServer(api).start()
+    try:
+        port = srv.port
+        st, _ = _req(port, "POST", "/taskDef", {"name": "greet"})
+        assert st == 201
+        st, _ = _req(port, "POST", "/externalEventDef", {"name": "approval"})
+        assert st == 201
+        st, _ = _req(port, "POST", "/wfSpec", _greet_spec())
+        assert st == 201
+        st, r1 = _req(port, "POST", "/wfrun",
+                      {"wf_spec_name": "greeter", "variables": {"who": "tws"}})
+        assert st == 201
+        st, doc = _req(port, "GET", f"/wfrun/{r1['id']}")
+        assert st == 200 and doc["status"] == "COMPLETED", doc
+        assert doc["thread_runs"][0]["task_runs"][0]["stdout"] == "hi tws"
+    finally:
+        srv.stop()
+        mgr.stop_all()
+        shutil.rmtree(workdir, ignore_errors=True)
