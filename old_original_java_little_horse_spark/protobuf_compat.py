@@ -90,7 +90,9 @@ def ship_protobuf(spark) -> None:
     src_dir = pathlib.Path(src).resolve()
     zip_path = pathlib.Path(_SHIM_DIR) / "protobuf_pyfiles.zip"
     if not zip_path.exists():
-        tmp = zip_path.with_suffix(".tmp")
+        # pid-suffixed temp + atomic replace: concurrent drivers
+        # (pytest workers, the round driver) may race this write
+        tmp = zip_path.with_suffix(f".{os.getpid()}.tmp")
         with zipfile.ZipFile(tmp, "w") as z:
             # plain package-with-__init__ (not a namespace portion):
             # zipimport handles it uniformly, and no other `google.*`

@@ -324,3 +324,90 @@ def test_tws_native_timer_fires_live(spark):
     finally:
         q.stop()
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Engine-equivalence fuzz: ANY interleaving, ANY micro-batch slicing
+# ---------------------------------------------------------------------------
+
+def test_engines_agree_on_random_interleavings_and_batchings():
+    """The two stateful engines (applyInPandasWithState update fn vs
+    the tws processor) must emit IDENTICAL output-row streams for any
+    event interleaving AND any micro-batch slicing of it — the
+    runtime twin (`engine_streaming_fold_tws`) proves one scenario
+    end-to-end; this fuzzes the semantic surface across the fold
+    property pool (garbage events, duplicates, interrupts, stops,
+    retries, timers)."""
+    import copy
+
+    from hypothesis import given, settings, strategies as st
+
+    from old_original_java_little_horse_spark.streaming.engine import (
+        make_update_fn,
+    )
+    from .test_fold_properties import SPEC, event_pool
+
+    class FakeGroupState:
+        def __init__(self):
+            self._v = None
+            self.hasTimedOut = False
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+        def remove(self):
+            self._v = None
+
+        def setTimeoutDuration(self, ms):
+            pass
+
+    @settings(max_examples=75, deadline=None)
+    @given(st.data())
+    def run(data):
+        pool = event_pool()
+        n = data.draw(st.integers(min_value=1, max_value=14))
+        seq = [copy.deepcopy(pool[i]) for i in
+               data.draw(st.lists(st.integers(0, len(pool) - 1),
+                                  min_size=n, max_size=n))]
+        for i, ev in enumerate(seq):
+            ev["offset"] = i
+            # the streaming column is always a JSON string
+            if isinstance(ev.get("content"), dict):
+                ev["content"] = json.dumps(ev["content"])
+        # random micro-batch boundaries (sorted unique cut points)
+        cuts = sorted(set(data.draw(st.lists(
+            st.integers(1, max(1, n - 1)), max_size=4))))
+        batches, lo = [], 0
+        for c in cuts + [n]:
+            if c > lo:
+                batches.append(seq[lo:c])
+                lo = c
+
+        update = make_update_fn(SPEC, evict_completed=False)
+        gs = FakeGroupState()
+        apds_rows: list[dict] = []
+        proc = WFRunFoldProcessor(SPEC, evict_completed=False)
+        proc.init(FakeHandle())
+        tws_rows: list[dict] = []
+        for batch in batches:
+            pdf = pd.DataFrame(batch)
+            for res in update(("r1",), iter([pdf.copy()]), gs):
+                apds_rows.extend(res.to_dict("records"))
+            for res in proc.handleInputRows(("r1",), iter([pdf.copy()]), None):
+                tws_rows.extend(res.to_dict("records"))
+        def norm(rows):
+            # pandas NaN (float cols) != NaN under dict equality
+            return [{k: (None if isinstance(v, float) and v != v else v)
+                     for k, v in r.items()} for r in rows]
+
+        assert norm(tws_rows) == norm(apds_rows)
+
+    run()
