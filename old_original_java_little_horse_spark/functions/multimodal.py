@@ -391,7 +391,11 @@ def mm_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     the partition key becomes (source, date_bucket) so no single
     source serializes, at the cost of shard ids scoped per bucket —
     the same trade every sharded export makes."""
-    d = load_table(spark, sf_dir, "documents")
+    return _pack_manifest(load_table(spark, sf_dir, "documents"))
+
+
+def _pack_manifest(d: DataFrame) -> DataFrame:
+    """The packing rule shared by full assignment and extension."""
     w = (Window.partitionBy("source").orderBy("doc_id")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     # octet_length: the manifest describes ENCODED payload bytes, and
@@ -412,6 +416,49 @@ def mm_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 mm_shard_assign.__doc__ = mm_shard_assign.__doc__.replace(
     "{SHARD_BYTES}", str(SHARD_BYTES))
+
+
+@query(
+    "mm_shard_extend",
+    oracle=f"""
+WITH bounds AS (
+  SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS cut FROM documents
+), sized AS (
+  SELECT doc_id, source, strlen(text) AS n_bytes FROM documents
+), packed AS (
+  SELECT doc_id, source, CAST(n_bytes AS BIGINT) AS n_bytes,
+         CAST(SUM(n_bytes) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_bytes
+              AS BIGINT) AS start_off
+  FROM sized
+)
+SELECT doc_id, source, n_bytes,
+       start_off // {SHARD_BYTES} AS shard_id,
+       start_off % {SHARD_BYTES}  AS shard_offset
+FROM packed, bounds
+WHERE doc_id > cut
+""",
+)
+def mm_shard_extend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental manifest maintenance: the corpus is split at the
+    deterministic midpoint doc_id, the FIRST half is packed into a
+    manifest (`mm_shard_assign` rule), and the second half is
+    appended with `extend_shard_assign` — O(new docs) work plus one
+    |sources|-row tail-offset broadcast, never re-reading the old
+    manifest's rows.
+
+    The oracle is the FULL recompute restricted to the appended docs,
+    so the hash gate independently asserts the load-bearing property:
+    extending == recomputing, because assignment is a pure function
+    of the per-source running sum (append-only friendly by
+    construction).  At 100 TB this is the difference between a daily
+    manifest job that scans the delta and one that scans the
+    corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    lo, hi = d.agg(F.min("doc_id"), F.max("doc_id")).first()
+    cut = (int(lo) + int(hi)) // 2
+    manifest = _pack_manifest(d.where(F.col("doc_id") <= cut))
+    return extend_shard_assign(manifest, d.where(F.col("doc_id") > cut))
 
 
 def extend_shard_assign(manifest: DataFrame, new_docs: DataFrame,

@@ -56,7 +56,7 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # round-4 set follows.
 _CHECK_FIRST = [
     # new in round 5 — never driver-checked (registered below as added)
-    "engine_streaming_fold_tws",
+    "engine_streaming_fold_tws", "mm_shard_extend",
     "idx_bm25_topk", "a11_rfm_segments", "mm_shard_assign",
     # oracle semantics changed round 5 (byte-exact hex digests) — the
     # driver's last green rows checked the old form; re-prove first
