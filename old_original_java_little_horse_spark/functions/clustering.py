@@ -558,10 +558,12 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM degt) AS n_nodes,
        (SELECT CAST(COUNT(*) AS BIGINT) FROM und) AS n_edges,
        (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) FROM degt) AS n_wedges,
        n_triangles,
-       CASE WHEN (SELECT SUM(d * (d - 1) // 2) FROM degt) = 0 THEN 0
+       -- CAST pins BIGINT: DuckDB SUM(BIGINT) is HUGEINT and would
+       -- otherwise leak through // into the driver's value hash.
+       CAST(CASE WHEN (SELECT SUM(d * (d - 1) // 2) FROM degt) = 0 THEN 0
             ELSE 3 * n_triangles * 1000000
                  // (SELECT SUM(d * (d - 1) // 2) FROM degt) END
-         AS global_cc_e6
+         AS BIGINT) AS global_cc_e6
 FROM tri
 """
 

@@ -424,18 +424,20 @@ def sk_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .otherwise(0)).alias("in_b")))
     h = m.select(_hex_long(F.col("user_id").cast("string"), 1, 14).alias("hv"),
                  "in_a", "in_b")
-    # TakeOrdered bottom-k first (scale path), THEN rank inside the
-    # ≤k candidate rows: when fewer than k distinct users exist there
-    # is no k-th hash and the sketch is undefined — emit zero rows,
+    # TakeOrdered bottom-k first (scale path): within the ≤k
+    # candidate rows, max(hv) IS the k-th smallest hash — but only
+    # when exactly k rows exist; with fewer distinct users there is
+    # no k-th hash and the sketch is undefined — emit zero rows,
     # exactly like the oracle's `rn = K` CTE (small/filtered inputs
-    # must not silently use the wrong-k estimator formula).
-    bot = (h.orderBy("hv").limit(KMV_K)
-           .withColumn("rn", F.row_number().over(Window.orderBy("hv"))))
-    sk = (bot.agg(F.max(F.when(F.col("rn") == KMV_K, F.col("hv")))
-                  .alias("kth_hash"),
+    # must not silently use the wrong-k estimator formula).  A plain
+    # aggregate, not a row_number window: same result, no
+    # single-partition WindowExec.
+    bot = h.orderBy("hv").limit(KMV_K)
+    sk = (bot.agg(F.max("hv").alias("kth_hash"),
+                  F.count(F.lit(1)).alias("n_seen"),
                   F.sum(F.col("in_a") * F.col("in_b")).cast("long")
                    .alias("n_common"))
-          .where(F.col("kth_hash").isNotNull()))
+          .where(F.col("n_seen") == KMV_K).drop("n_seen"))
     exact = m.agg(F.sum(F.col("in_a") * F.col("in_b")).cast("long")
                   .alias("exact_inter"),
                   F.count(F.lit(1)).alias("exact_union"))

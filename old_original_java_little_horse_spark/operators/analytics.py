@@ -626,7 +626,7 @@ def a8_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH daily AS (
   SELECT user_id, CAST(ts AS DATE) AS day,
          CAST(COUNT(*) AS BIGINT) AS n,
-         SUM(CAST(value AS DECIMAL(18,6))) AS sv
+         CAST(SUM(CAST(round(value * 1000000, 0) AS BIGINT)) AS BIGINT) AS sv
   FROM events GROUP BY 1, 2
 ), span AS (
   SELECT user_id, MIN(day) AS mn, MAX(day) AS mx FROM daily GROUP BY 1
@@ -644,7 +644,7 @@ SELECT g.user_id,
        COALESCE(d.n, 0) AS n_events,
        last_value(d.sv IGNORE NULLS) OVER (
          PARTITION BY g.user_id ORDER BY g.day
-         ROWS UNBOUNDED PRECEDING) AS filled_sum_value,
+         ROWS UNBOUNDED PRECEDING) AS filled_value_e6,
        CAST(CASE WHEN d.n IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_gap
 FROM grid g LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day
 """,
@@ -667,14 +667,17 @@ def w8_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     users × calendar days, independent of raw event volume, so the
     operator's output is SMALLER than its input at real scale.
 
-    Determinism: the value channel is an exact DECIMAL(18,6) sum
-    (float summation order cannot drift the hash), and the first
+    Determinism: the value channel is an exact e6 fixed-point BIGINT
+    sum (integer addition commutes, so summation order cannot drift
+    the hash, and BIGINT serializes identically on both engines —
+    the repo-wide `*_cents`/`*_e6` output convention), and the first
     grid day per user is by construction observed, so LOCF never
     emits NULL.
     """
     e = load_table(spark, sf_dir, "events")
     daily = (e.select("user_id", F.to_date("ts").alias("day"),
-                      F.col("value").cast("decimal(18,6)").alias("v"))
+                      F.round(F.col("value") * 1000000, 0)
+                      .cast("long").alias("v"))
              .groupBy("user_id", "day")
              .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")))
     span = daily.groupBy("user_id").agg(F.min("day").alias("mn"),
@@ -689,7 +692,7 @@ def w8_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.date_format("day", "yyyy-MM-dd").alias("day_s"),
                     F.coalesce("n", F.lit(0)).alias("n_events"),
                     F.last("sv", ignorenulls=True).over(w)
-                    .alias("filled_sum_value"),
+                    .alias("filled_value_e6"),
                     F.when(F.col("n").isNull(), 1).otherwise(0)
                     .cast("int").alias("is_gap")))
 
@@ -714,11 +717,11 @@ WITH o AS (
   FROM o WHERE prev IS NULL OR attr <> prev
 ), facts AS (
   SELECT o2.o_custkey, epoch_us(l.l_shipdate) AS t,
-         CAST(l.l_quantity AS DECIMAL(18,2)) AS qty
+         CAST(round(l.l_quantity * 100, 0) AS BIGINT) AS qty
   FROM lineitem l JOIN orders o2 ON l.l_orderkey = o2.o_orderkey
 ), tagged AS (
   SELECT o_custkey, t, o_orderkey AS seq, attr,
-         NULL::DECIMAL(18,2) AS qty, 0 AS is_fact
+         NULL::BIGINT AS qty, 0 AS is_fact
   FROM chg
   UNION ALL
   SELECT o_custkey, t, NULL, NULL, qty, 1 FROM facts
@@ -731,7 +734,7 @@ WITH o AS (
 )
 SELECT attr_at_ship,
        CAST(COUNT(*) AS BIGINT) AS n_items,
-       SUM(qty) AS sum_qty
+       CAST(SUM(qty) AS BIGINT) AS sum_qty_cents
 FROM resolved WHERE is_fact = 1 GROUP BY attr_at_ship
 """,
 )
@@ -754,8 +757,10 @@ def j8_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-filter, strictly worse at 100 TB.  Ship dates trail order dates
     by months, so versions genuinely interleave with facts.
 
-    The quantity channel is exact DECIMAL(18,2); output cardinality is
-    the number of distinct priority values.
+    The quantity channel is exact cents fixed-point BIGINT (the
+    repo-wide integer output convention — DECIMAL serializes
+    differently across engines); output cardinality is the number of
+    distinct priority values.
     """
     from .relational import scd2_change_rows
 
@@ -764,14 +769,15 @@ def j8_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     chg = (scd2_change_rows(o)
            .select("o_custkey", "t", F.col("o_orderkey").alias("seq"),
                    "attr",
-                   F.lit(None).cast("decimal(18,2)").alias("qty"),
+                   F.lit(None).cast("long").alias("qty"),
                    F.lit(0).alias("is_fact")))
     facts = (li.join(o.select("o_orderkey", "o_custkey"),
                      li.l_orderkey == F.col("o_orderkey"))
              .select("o_custkey", F.unix_micros("l_shipdate").alias("t"),
                      F.lit(None).cast("long").alias("seq"),
                      F.lit(None).cast("string").alias("attr"),
-                     F.col("l_quantity").cast("decimal(18,2)").alias("qty"),
+                     F.round(F.col("l_quantity") * 100, 0)
+                     .cast("long").alias("qty"),
                      F.lit(1).alias("is_fact")))
     w = (Window.partitionBy("o_custkey").orderBy("t", "is_fact", "seq")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
@@ -781,7 +787,7 @@ def j8_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("is_fact") == 1)
             .groupBy("attr_at_ship")
             .agg(F.count(F.lit(1)).alias("n_items"),
-                 F.sum("qty").alias("sum_qty")))
+                 F.sum("qty").alias("sum_qty_cents")))
 
 
 # --------------------------------------------------------------------------
@@ -800,8 +806,12 @@ WITH seq AS (
   SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n_trans
   FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2
 )
+-- CAST pins the result to BIGINT: DuckDB's SUM(BIGINT) returns
+-- HUGEINT, which would otherwise propagate through // and serialize
+-- differently from Spark's long on the driver's hash path.
 SELECT src, dst, n_trans,
-       n_trans * 1000000 // SUM(n_trans) OVER (PARTITION BY src) AS p_e6
+       CAST(n_trans * 1000000
+            // SUM(n_trans) OVER (PARTITION BY src) AS BIGINT) AS p_e6
 FROM pair
 """,
 )
@@ -936,6 +946,92 @@ def a10_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 a10_top_paths.__doc__ = a10_top_paths.__doc__.format(k=PATHS_TOP_K)
 
 
+_RANK_PINNED: list = []  # recent invocations' persisted frames
+# One a11 build pins 4 frames (the shared rollup + one range-
+# partitioned frame per score dimension); keep two builds' worth so
+# constructing a new query never unpersists a frame an already-built-
+# but-not-yet-executed plan still depends on.
+_RANK_KEEP = 8
+
+
+def _pin(df: DataFrame) -> DataFrame:
+    while len(_RANK_PINNED) >= _RANK_KEEP:
+        try:
+            _RANK_PINNED.pop(0).unpersist()
+        except Exception:
+            pass  # a dead session's blocks are already gone
+    df = df.persist()
+    _RANK_PINNED.append(df)
+    return df
+
+
+def exact_global_rank(df: DataFrame, order_cols, rank_name: str = "_grank",
+                      n_parts: int = 0) -> DataFrame:
+    """Exact 1-based global rank under a TOTAL order, computed the
+    distributed way — no single-partition sort, no driver collect:
+
+      1. range-partition on the order columns (each partition holds a
+         contiguous rank interval),
+      2. `row_number()` WITHIN each partition (Window partitioned by
+         `spark_partition_id()` — an in-partition sort, no exchange),
+      3. per-partition counts (≤ shuffle-partitions rows) turned into
+         prefix offsets via a triangular self-join (no empty-
+         partitionBy window, so no single-partition WindowExec), and
+      4. a broadcast join adding offset + local row number.
+
+    The range-partitioned frame feeds two branches (ranks + counts);
+    it is persisted and pinned so both read the SAME materialization
+    — `repartitionByRange` samples its boundaries per execution, so
+    two independent evaluations could disagree on which partition a
+    row lands in, corrupting the offsets.  At 100 TB this is the
+    standard zipWithIndex-free global-rank shape: one range exchange
+    over the data plus a bounded (≤ #partitions row) offset table."""
+    spark = df.sparkSession
+    if not n_parts:
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    rp = _pin(df.repartitionByRange(n_parts, *order_cols)
+              .withColumn("_pid", F.spark_partition_id()))
+    lw = Window.partitionBy("_pid").orderBy(*order_cols)
+    counts = rp.groupBy("_pid").agg(F.count(F.lit(1)).alias("_pn"))
+    before = counts.select(F.col("_pid").alias("_bpid"),
+                           F.col("_pn").alias("_bpn"))
+    offsets = (counts.join(before, F.col("_bpid") < F.col("_pid"), "left")
+               .groupBy("_pid", "_pn")
+               .agg(F.coalesce(F.sum("_bpn"), F.lit(0)).alias("_off")))
+    total = offsets.groupBy().agg(
+        F.sum("_pn").cast("long").alias("_ntotal"))
+    return (rp.withColumn("_lrank", F.row_number().over(lw))
+            .join(F.broadcast(offsets.select("_pid", "_off")), "_pid")
+            .crossJoin(F.broadcast(total))
+            .withColumn(rank_name,
+                        (F.col("_off") + F.col("_lrank")).cast("long"))
+            .drop("_pid", "_lrank", "_off"))
+
+
+def exact_ntile(df: DataFrame, k: int, order_cols, out_name: str,
+                keys=("c_custkey",)) -> DataFrame:
+    """SQL-NTILE(k)-exact bucket assignment at any scale: global rank
+    via `exact_global_rank`, then the NTILE arithmetic — with
+    n rows, q = n div k and r = n mod k, the first r buckets hold
+    q+1 rows — applied as integer expressions.  Bit-identical to
+    `NTILE(k) OVER (ORDER BY ...)` when the order is total, without
+    the single-partition sort NTILE itself plans.  Returns only
+    (keys..., out_name) for joining back on the business key."""
+    ranked = exact_global_rank(df, order_cols)
+    q = F.expr(f"_ntotal div {k}")
+    r = F.expr(f"_ntotal % {k}")
+    t = (q + 1) * r
+    rk = F.col("_grank")
+    # integer division throughout (expr's div, never /): when q = 0
+    # the otherwise-branch divides by zero, but rk <= t always holds
+    # there (t = n) and non-ANSI div-by-zero is NULL, not an error
+    bucket = (F.when(rk <= t, F.expr(f"(_grank - 1) div (_ntotal div {k} + 1)"))
+              .otherwise(F.expr(
+                  f"_ntotal % {k} + (_grank - (_ntotal div {k} + 1)"
+                  f" * (_ntotal % {k}) - 1) div (_ntotal div {k})")))
+    return ranked.select(*keys, (bucket + 1).cast("long").alias(out_name))
+
+
 @query(
     "a11_rfm_segments",
     oracle="""
@@ -946,21 +1042,21 @@ WITH ref AS (
          CAST(date_diff('day', MAX(o_orderdate), max_date) AS BIGINT)
            AS recency_days,
          CAST(COUNT(*) AS BIGINT) AS frequency,
-         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
-           AS monetary
+         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS monetary_cents
   FROM orders CROSS JOIN ref
   GROUP BY o_custkey, max_date
 ), scored AS (
-  SELECT c_custkey, recency_days, frequency, monetary,
+  SELECT c_custkey, recency_days, frequency, monetary_cents,
          CAST(NTILE(5) OVER (ORDER BY recency_days ASC, c_custkey)
               AS BIGINT) AS r_score,
          CAST(NTILE(5) OVER (ORDER BY frequency DESC, c_custkey)
               AS BIGINT) AS f_score,
-         CAST(NTILE(5) OVER (ORDER BY monetary DESC, c_custkey)
+         CAST(NTILE(5) OVER (ORDER BY monetary_cents DESC, c_custkey)
               AS BIGINT) AS m_score
   FROM rfm
 )
-SELECT c_custkey, recency_days, frequency, monetary,
+SELECT c_custkey, recency_days, frequency, monetary_cents,
        r_score, f_score, m_score,
        r_score * 100 + f_score * 10 + m_score AS rfm_code
 FROM scored
@@ -974,35 +1070,47 @@ def a11_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     per customer workflow.
 
     Each active customer gets days-since-last-order, order count, and
-    lifetime spend (decimal-cast before the sum so addition order
-    cannot drift the hash), then a 1-5 quintile score per dimension
-    (NTILE with c_custkey tiebreaks — a total order, so both engines
-    cut identical quintiles) packed into the classic 3-digit RFM code.
+    lifetime spend in exact cents (BIGINT — integer addition commutes
+    and serializes identically on both engines), then a 1-5 quintile
+    score per dimension packed into the classic 3-digit RFM code.
+
+    The quintiles are NTILE(5)-exact with c_custkey tiebreaks (a
+    total order, so both engines cut identical quintiles) but are NOT
+    computed with a global-NTILE window: each dimension runs the
+    2-pass `exact_ntile` — range-partition on (dimension, custkey),
+    in-partition row_number, prefix offsets from a ≤ #partitions-row
+    count table, broadcast back.  No operator in the plan moves all
+    customers through one task, so the segmentation survives a 100×
+    customer count where the textbook NTILE would funnel into a
+    single-partition sort.
 
     Scale shape: the per-customer rollup is one map-side-combined
     exchange on o_custkey; the global reference date is a 1-row
-    broadcast.  The three NTILEs are single-partition windows —
-    correct at any |customers| that fits one task's sort (they follow
-    a 1000x reduction), and the documented 100 TB path is the 2-pass
-    form: approxQuantile the 4 cut points per dimension, broadcast
-    them, and bucket by range comparison instead of a global sort."""
+    broadcast; then three range exchanges (one per score dimension)
+    and three joins back on c_custkey."""
     o = load_table(spark, sf_dir, "orders")
     ref = o.agg(F.max("o_orderdate").alias("max_date"))
-    rfm = (o.crossJoin(F.broadcast(ref))
-           .groupBy(F.col("o_custkey").alias("c_custkey"))
-           .agg(F.datediff(F.max("max_date"), F.max("o_orderdate"))
-                .cast("long").alias("recency_days"),
-                F.count(F.lit(1)).alias("frequency"),
-                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-                .cast("decimal(18,2)").alias("monetary")))
-    r_w = Window.orderBy(F.col("recency_days").asc(), "c_custkey")
-    f_w = Window.orderBy(F.col("frequency").desc(), "c_custkey")
-    m_w = Window.orderBy(F.col("monetary").desc(), "c_custkey")
-    return (rfm.select(
-        "c_custkey", "recency_days", "frequency", "monetary",
-        F.ntile(5).over(r_w).cast("long").alias("r_score"),
-        F.ntile(5).over(f_w).cast("long").alias("f_score"),
-        F.ntile(5).over(m_w).cast("long").alias("m_score"))
-        .withColumn("rfm_code", F.expr("r_score * 100 + f_score * 10"
-                                       " + m_score"))
-        .orderBy("c_custkey"))
+    # Pinned: the rollup feeds four branches (three ntile range
+    # partitions + the final join spine); without the cache each
+    # branch would replay the orders scan + rollup exchange.
+    rfm = _pin(o.crossJoin(F.broadcast(ref))
+               .groupBy(F.col("o_custkey").alias("c_custkey"))
+               .agg(F.datediff(F.max("max_date"), F.max("o_orderdate"))
+                    .cast("long").alias("recency_days"),
+                    F.count(F.lit(1)).alias("frequency"),
+                    F.sum(F.round(F.col("o_totalprice") * 100, 0)
+                          .cast("long"))
+                    .alias("monetary_cents")))
+    r_s = exact_ntile(rfm, 5, [F.col("recency_days").asc(), "c_custkey"],
+                      "r_score")
+    f_s = exact_ntile(rfm, 5, [F.col("frequency").desc(), "c_custkey"],
+                      "f_score")
+    m_s = exact_ntile(rfm, 5, [F.col("monetary_cents").desc(), "c_custkey"],
+                      "m_score")
+    return (rfm.join(r_s, "c_custkey").join(f_s, "c_custkey")
+            .join(m_s, "c_custkey")
+            .select("c_custkey", "recency_days", "frequency",
+                    "monetary_cents", "r_score", "f_score", "m_score")
+            .withColumn("rfm_code", F.expr("r_score * 100 + f_score * 10"
+                                           " + m_score"))
+            .orderBy("c_custkey"))

@@ -49,45 +49,30 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 
 # Queries with the thinnest driver-check history, surfaced to the
 # front of the registry: the driver verifies queries in registry order
-# under a time budget, so whatever it cannot reach is whatever sits at
-# the tail.  Rotated each round: round 5 fronts any never-checked new
-# queries, then the 28 queries with no round-4 CORRECTNESS row (the
-# round-4 rotation's displacees, all green in r1-r3); the freshly-green
-# round-4 set follows.
+# under a time budget (~50 rows), so whatever it cannot reach is
+# whatever sits at the tail.  Round-6 rotation (VERDICT r5 items 1+3):
+# the six round-5 hash-red queries (fixed this round — integer
+# fixed-point output surface) lead so CORRECTNESS_r06 records the fix;
+# then the 24 queries that have NEVER had a driver row (late-round-5
+# registrations past the budget); then the 25 queries stale since r3.
+# The freshly-r5-green set follows — it has the freshest evidence and
+# can wait a round.
 _CHECK_FIRST = [
-    # new in round 5 — never driver-checked (registered below as added)
-    "engine_streaming_fold_tws", "mm_shard_extend",
-    "idx_bm25_topk", "a11_rfm_segments", "mm_shard_assign",
-    # oracle semantics changed round 5 (byte-exact hex digests) — the
-    # driver's last green rows checked the old form; re-prove first
-    "mm_metadata_extract", "mm_frame_sample", "mm_resize_crop",
-    "mm_audio_windows",
-    "g_triangle_count", "a9_markov_transitions", "w9_sliding_windows",
-    "agg_pivot_matrix", "sk_kmv_set_ops", "j9_salted_skew_join",
-    "stream_sliding_rates", "a10_top_paths", "sim_kmeans_assign",
-    "t_dsir_resample",
-    "g_cc_star_clusters", "w8_gap_fill", "j8_temporal_join",
-    "d_edit_distance_pairs", "t_zorder_layout", "stream_scd2_enrich",
-    "t_bpe_encode",
-    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
-    "q10_returned_items", "q11_important_parts", "q12_shipping_delay",
-    "q15_top_supplier", "sim_pq_adc_topk", "sim_semantic_decontaminate",
-    "t_dsir_weights", "t_bpe_merges", "a8_anomaly_hours",
-    "stream_dedup_watermark",
-    "q13_order_distribution", "q16_supplier_variety",
-    "q17_small_quantity_revenue", "q20_heavy_part_suppliers",
-    "q21_sole_fault_suppliers", "w7_rolling_revenue", "t_span_dedup",
-    "stream_interval_join", "sk_bottomk_quantiles", "s4_scd2_dimension",
-    "q6_forecast_revenue", "q14_promo_revenue", "q18_large_orders",
-    "q19_disjunctive_revenue", "sk_hll_registers", "sk_kmv_distinct",
+    # round-5 hash-red, fixed in round 6: DECIMAL/HUGEINT output
+    # columns converted to *_cents/*_e6 BIGINT on both engines
+    "a11_rfm_segments", "g_triangle_count", "a9_markov_transitions",
+    "w8_gap_fill", "j8_temporal_join", "stream_scd2_enrich",
+    # never driver-checked (registered mid/late round 5)
+    "q2_min_cost_supplier", "q4_priority_semi", "q14_promo_revenue",
+    "q18_large_orders", "q19_disjunctive_revenue",
+    "q22_idle_customers_anti",
+    "sk_hll_registers", "sk_kmv_distinct", "sk_cms_registers",
+    "sk_cms_point_queries", "stream_hll_registers", "stream_event_rates",
     "idx_tfidf_topk", "d_winnow_fingerprint_pairs", "g_pagerank_purchases",
-    "stream_hll_registers", "sk_cms_registers", "sk_cms_point_queries",
     "d_url_dedup", "t_decontaminate_bloom", "t_stratified_sample",
-    "q2_min_cost_supplier", "a7_event_rate_windows", "j7_interval_overlap",
-    "stream_event_rates", "t_source_overlap", "q4_priority_semi",
-    "q22_idle_customers_anti", "dq_check_suite", "d_dup_cluster_stats",
-    "w6_cohort_retention",
-    # no round-4 driver row (green r1-r3)
+    "t_source_overlap", "a7_event_rate_windows", "j7_interval_overlap",
+    "dq_check_suite", "d_dup_cluster_stats", "w6_cohort_retention",
+    # stale since round 3 (no r4/r5 driver row)
     "s2_changelog_upsert", "agg_rollup_sets", "engine_run_index",
     "d_exact_dedup", "d_minhash_signatures", "d_minhash_lsh_pairs",
     "d_simhash", "x_mutation_string", "x_mutation_array",
@@ -97,6 +82,15 @@ _CHECK_FIRST = [
     "engine_pipeline_fold", "engine_task_runs_flat", "engine_result_counts",
     "engine_streaming_fold", "engine_index_incremental", "stream_doc_dedup",
     "stream_minhash_incremental",
+    # last-checked round 4 (all green)
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+    "q6_forecast_revenue", "q13_order_distribution", "q16_supplier_variety",
+    "q17_small_quantity_revenue", "q20_heavy_part_suppliers",
+    "q21_sole_fault_suppliers", "w7_rolling_revenue", "t_span_dedup",
+    "stream_interval_join", "sk_bottomk_quantiles", "s4_scd2_dimension",
+    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+    "q10_returned_items", "q11_important_parts", "q12_shipping_delay",
+    "q15_top_supplier",
 ]
 
 

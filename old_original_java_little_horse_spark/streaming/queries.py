@@ -815,7 +815,8 @@ def stream_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     facts = (li.join(o.select("o_orderkey", "o_custkey"),
                      li.l_orderkey == F.col("o_orderkey"))
              .select("o_custkey", F.unix_micros("l_shipdate").alias("t"),
-                     F.col("l_quantity").cast("decimal(18,2)").alias("qty")))
+                     F.round(F.col("l_quantity") * 100, 0)
+                     .cast("long").alias("qty")))
     cut = facts.agg(F.expr(
         "percentile_approx(t, 0.5, 10000)")).collect()[0][0]
     slice_dirs = [f"{workdir}/slice1", f"{workdir}/slice2"]
@@ -851,7 +852,7 @@ def stream_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = (spark.read.parquet(out_dir)
                .groupBy("attr_at_ship")
                .agg(F.count(F.lit(1)).alias("n_items"),
-                    F.sum("qty").alias("sum_qty")))
+                    F.sum("qty").alias("sum_qty_cents")))
         rows = out.collect()
         schema_out = out.schema
     finally:

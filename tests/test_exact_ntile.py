@@ -1,0 +1,65 @@
+"""`exact_ntile` must be bit-identical to SQL NTILE(k) under a total
+order — including the uneven-bucket arithmetic (first n%k buckets get
+one extra row) and the degenerate n < k case — while never planning a
+single-partition sort (the whole point of the rewrite; a11's old
+global-NTILE windows were the repo's one plan that funneled all rows
+through one task)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from old_original_java_little_horse_spark.operators.analytics import (
+    exact_global_rank,
+    exact_ntile,
+)
+
+
+def _frame(spark, n, seed):
+    # xxhash-scrambled values: distinct-ish but with collisions, so
+    # the custkey tiebreak genuinely decides some bucket boundaries
+    return spark.range(n).select(
+        F.col("id").alias("c_custkey"),
+        (F.xxhash64(F.col("id") + seed) % 97).alias("v"))
+
+
+@pytest.mark.parametrize("n,k", [(1, 5), (3, 5), (5, 5), (7, 3),
+                                 (100, 5), (101, 5), (104, 5), (997, 7)])
+def test_matches_sql_ntile(spark, n, k):
+    df = _frame(spark, n, k)
+    want = {r["c_custkey"]: r["b"] for r in df.select(
+        "c_custkey",
+        F.ntile(k).over(Window.orderBy(F.col("v").desc(), "c_custkey"))
+        .cast("long").alias("b")).collect()}
+    got = {r["c_custkey"]: r["s"] for r in exact_ntile(
+        df, k, [F.col("v").desc(), "c_custkey"], "s").collect()}
+    assert got == want
+
+
+def test_global_rank_is_dense_and_total(spark):
+    df = _frame(spark, 500, 11)
+    ranks = sorted(r["_grank"] for r in exact_global_rank(
+        df, [F.col("v").asc(), "c_custkey"]).select("_grank").collect())
+    assert ranks == list(range(1, 501))
+
+
+def test_a11_plans_no_single_partition_window(spark):
+    """The executed a11 plan must contain no Window whose child is a
+    single-partition Exchange — NTILE's signature shape."""
+    from old_original_java_little_horse_spark.operators.analytics import (
+        a11_rfm_segments,
+    )
+
+    import re
+
+    df = a11_rfm_segments(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # The NTILE signature is specifically Window→Sort→Exchange
+    # SinglePartition; the 1-row scalar aggregates (ref date, ntile
+    # total) legitimately coalesce to one partition under
+    # HashAggregate and are fine.
+    assert not re.search(
+        r"Window[^\n]*\n[^\n]*Sort[^\n]*\n[^\n]*Exchange SinglePartition",
+        plan), plan

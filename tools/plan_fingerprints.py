@@ -35,6 +35,7 @@ SF = "/root/testdata/sf0.001"
 # streaming pipeline — fingerprinted by their own dedicated tests.
 EXCLUDE_PREFIXES = ("stream_",)
 EXCLUDE = {
+    "a11_rfm_segments",  # memoized rollup + 3 pinned rank partitions
     "d_dup_clusters", "d_dedup_canonical", "d_dup_cluster_stats",
     "sim_dup_clusters", "g_pagerank_purchases", "g_cc_star_clusters",
     "g_triangle_count", "t_bpe_encode", "t_bpe_merges",
