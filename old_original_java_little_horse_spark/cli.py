@@ -378,8 +378,18 @@ def cmd_work(args) -> int:
     # per root the only difference is the directory.
     candidate_roots = [Path(args.base_dir) / "engines" / args.spec,
                        Path(args.base_dir) / "engines" / "_shared"]
+    # The idempotency ledger is durable and SHARED ACROSS ROOTS (one
+    # file per TaskDef): after a per-spec → --shared migration the
+    # shared engine replays schedule rows the per-spec deployment
+    # already executed, and a fresh worker process would otherwise
+    # re-run them once per root.  Residual contract: at-least-once
+    # per attempt key, window = a crash between user-function return
+    # and the ledger append.
+    seen_dir = Path(args.base_dir) / "engines" / "worker-seen"
+    seen_dir.mkdir(parents=True, exist_ok=True)
     worker = TaskWorker({args.task_def: fn},
-                        worker_id=f"worker-{args.task_def}")
+                        worker_id=f"worker-{args.task_def}",
+                        seen_path=str(seen_dir / f"{args.task_def}.jsonl"))
     deadline = (time.time() + args.max_seconds) if args.max_seconds else None
     n_done = 0
 

@@ -25,12 +25,32 @@ TaskFn = Callable[[dict], dict]
 
 
 class TaskWorker:
-    """Executes task_schedule payloads with registered functions."""
+    """Executes task_schedule payloads with registered functions.
 
-    def __init__(self, tasks: dict[str, TaskFn], worker_id: str = "pyworker-1"):
+    `seen_path` (optional) makes the idempotency ledger durable: one
+    JSONL line per executed attempt key, loaded at startup.  A worker
+    restarted against replayed schedule rows — or tailing MULTIPLE
+    engine roots after a per-spec → `--shared` migration, where the
+    shared engine re-emits rows the per-spec deployment already
+    executed — then skips everything already run, shrinking the
+    at-least-once window to a crash between user-function return and
+    the ledger append (the same window Kafka's transactional variant
+    closes with its offset+event commit)."""
+
+    def __init__(self, tasks: dict[str, TaskFn], worker_id: str = "pyworker-1",
+                 seen_path: str | None = None):
         self.tasks = tasks
         self.worker_id = worker_id
         self._seen: set[tuple] = set()  # idempotency keys
+        self._seen_path = seen_path
+        if seen_path:
+            try:
+                with open(seen_path) as f:
+                    for line in f:
+                        if line.strip():
+                            self._seen.add(tuple(json.loads(line)))
+            except FileNotFoundError:
+                pass
 
     def _key(self, tsr: dict) -> tuple:
         return (tsr["wf_run_id"], tsr["thread_id"],
@@ -43,6 +63,9 @@ class TaskWorker:
         if key in self._seen:
             return []  # duplicate delivery — idempotent skip
         self._seen.add(key)
+        if self._seen_path:
+            with open(self._seen_path, "a") as f:
+                f.write(json.dumps(list(key)) + "\n")
 
         fn = self.tasks.get(tsr["task_def_name"])
         base = {

@@ -456,6 +456,9 @@ def mm_shard_extend(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus."""
     d = load_table(spark, sf_dir, "documents")
     lo, hi = d.agg(F.min("doc_id"), F.max("doc_id")).first()
+    if lo is None:  # empty corpus: an empty manifest extended by nothing
+        empty = d.where(F.lit(False))
+        return extend_shard_assign(_pack_manifest(empty), empty)
     cut = (int(lo) + int(hi)) // 2
     manifest = _pack_manifest(d.where(F.col("doc_id") <= cut))
     return extend_shard_assign(manifest, d.where(F.col("doc_id") > cut))
@@ -489,14 +492,20 @@ def extend_shard_assign(manifest: DataFrame, new_docs: DataFrame,
               .withColumn("start_off",
                           (F.sum("n_bytes").over(w) - F.col("n_bytes")
                            + F.col("tail_off")).cast("long")))
-    violation = packed.where(F.col("max_doc_id").isNotNull()
-                             & (F.col("doc_id") <= F.col("max_doc_id")))
-    if not violation.isEmpty():
-        bad = violation.select("doc_id", "source").limit(3).collect()
-        raise ValueError(
-            f"append-only contract violated: new doc_ids not after the "
-            f"existing tail, e.g. {[(r['doc_id'], r['source']) for r in bad]}")
+    # The contract check rides the returned plan (raise_error fires
+    # at action time on the first violating row) instead of an eager
+    # isEmpty() probe — the probe executed the whole broadcast-join +
+    # window pipeline once for the check and again when the manifest
+    # was consumed, doubling the O(new docs) cost per call.
+    violated = (F.col("max_doc_id").isNotNull()
+                & (F.col("doc_id") <= F.col("max_doc_id")))
+    shard_id = F.when(violated, F.raise_error(F.concat(
+        F.lit("append-only contract violated: new doc_id "),
+        F.col("doc_id").cast("string"),
+        F.lit(" not after the existing tail of source "),
+        F.col("source")))).otherwise(
+            F.expr(f"start_off div {shard_bytes}"))
     return packed.select(
         "doc_id", "source", "n_bytes",
-        F.expr(f"start_off div {shard_bytes}").alias("shard_id"),
+        shard_id.alias("shard_id"),
         (F.col("start_off") % shard_bytes).alias("shard_offset"))

@@ -150,8 +150,17 @@ def idx_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Overflow: the numerator idf_e3·22·T·tf exceeds 64 bits already at
     ~1e6 docs × 1e9 tokens, so it is computed in DECIMAL(38,0) on
-    Spark / HUGEINT on DuckDB (exact on both) and only the per-term
-    quotient — bounded by idf_e3·22/10 — drops back to BIGINT."""
+    Spark / HUGEINT on DuckDB and only the per-term quotient —
+    bounded by idf_e3·22/10 — drops back to BIGINT.  The two widths
+    are NOT symmetric past 38 digits: DuckDB's HUGEINT stays exact to
+    ~1.7e38 while Spark caps DECIMAL precision at 38 and, under the
+    default non-ANSI mode, yields NULL on overflow — a SUM would then
+    silently drop that term's score instead of erring.  The corpus
+    needed to reach 38 digits (T·tf ≳ 1e34, i.e. ~1e15× the 100 TB
+    target) is out of envelope, but if this form is ever lifted to
+    document-scale aggregates, enable ANSI mode (or assert the
+    numerator non-null) so the failure is loud, not a quiet ranking
+    change."""
     d = load_table(spark, sf_dir, "documents")
     dl = d.select("doc_id",
                   F.size(F.split("text", " ")).cast("long").alias("dl"))

@@ -34,29 +34,69 @@ containing ``google/protobuf``).
 from __future__ import annotations
 
 import os
+import stat
 import sys
+import tempfile
 
 _BUNDLE_CANDIDATES = (
     "/usr/lib/google-cloud-sdk/platform/google_appengine",
     "/usr/lib/google-cloud-sdk/lib/third_party",
 )
 
-_SHIM_DIR = os.path.join(
-    os.environ.get("TMPDIR", "/tmp"), "lh-spark-protobuf-shim")
+_shim_root_cache: str | None = None
+
+
+def _shim_root() -> str:
+    """Per-user, mode-0700 shim root.
+
+    The shim is imported on the driver and shipped to every worker,
+    so its path must not be adoptable by another local user: the
+    directory is uid-suffixed, created 0700, and only reused when
+    lstat shows we own it, it is a real directory (not a symlink a
+    squatter planted), and group/other have no write bit.  Anything
+    else falls back to a fresh `mkdtemp` (0700 by construction) for
+    this process."""
+    global _shim_root_cache
+    if _shim_root_cache is not None:
+        return _shim_root_cache
+    base = os.path.join(os.environ.get("TMPDIR", "/tmp"),
+                        f"lh-spark-protobuf-shim-{os.getuid()}")
+    try:
+        os.mkdir(base, 0o700)
+    except FileExistsError:
+        st = os.lstat(base)
+        if (not stat.S_ISDIR(st.st_mode) or st.st_uid != os.getuid()
+                or st.st_mode & (stat.S_IWGRP | stat.S_IWOTH)):
+            base = tempfile.mkdtemp(prefix="lh-spark-protobuf-shim-")
+    except OSError:
+        base = tempfile.mkdtemp(prefix="lh-spark-protobuf-shim-")
+    _shim_root_cache = base
+    return base
 
 
 def _make_shim(bundle_google_dir: str) -> str:
     """Shim dir exposing only ``google/protobuf`` from the bundle."""
-    google_dir = os.path.join(_SHIM_DIR, "google")
+    root = _shim_root()
+    google_dir = os.path.join(root, "google")
     link = os.path.join(google_dir, "protobuf")
     target = os.path.join(bundle_google_dir, "protobuf")
     os.makedirs(google_dir, exist_ok=True)
+    # Only ever import through a symlink WE created pointing at the
+    # expected bundle: a pre-existing real dir/file (or a link
+    # elsewhere) is replaced, never adopted.
     if os.path.islink(link):
         if os.readlink(link) != target:
             os.unlink(link)
-    if not os.path.exists(link):
+    elif os.path.lexists(link):
+        import shutil
+
+        if os.path.isdir(link):
+            shutil.rmtree(link)
+        else:
+            os.unlink(link)
+    if not os.path.lexists(link):
         os.symlink(target, link)
-    return _SHIM_DIR
+    return root
 
 
 def ship_protobuf(spark) -> None:
@@ -77,7 +117,7 @@ def ship_protobuf(spark) -> None:
     import google.protobuf as gp
 
     src = os.path.dirname(gp.__file__)
-    if not src.startswith(_SHIM_DIR):
+    if not src.startswith(_shim_root()):
         return  # properly installed runtime — workers have it too
     if os.environ.get("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"):
         spark.sparkContext.environment[
@@ -88,19 +128,20 @@ def ship_protobuf(spark) -> None:
     import zipfile
 
     src_dir = pathlib.Path(src).resolve()
-    zip_path = pathlib.Path(_SHIM_DIR) / "protobuf_pyfiles.zip"
-    if not zip_path.exists():
-        # pid-suffixed temp + atomic replace: concurrent drivers
-        # (pytest workers, the round driver) may race this write
-        tmp = zip_path.with_suffix(f".{os.getpid()}.tmp")
-        with zipfile.ZipFile(tmp, "w") as z:
-            # plain package-with-__init__ (not a namespace portion):
-            # zipimport handles it uniformly, and no other `google.*`
-            # distribution exists where the fallback is in play.
-            z.writestr("google/__init__.py", "")
-            for p in sorted(src_dir.rglob("*.py")):
-                z.write(p, f"google/protobuf/{p.relative_to(src_dir)}")
-        tmp.replace(zip_path)
+    zip_path = pathlib.Path(_shim_root()) / "protobuf_pyfiles.zip"
+    # ALWAYS rebuilt from the resolved runtime (never a pre-existing
+    # file adopted as-is — it ships to every worker); pid-suffixed
+    # temp + atomic replace so concurrent drivers (pytest workers,
+    # the round driver) can race the write safely.
+    tmp = zip_path.with_suffix(f".{os.getpid()}.tmp")
+    with zipfile.ZipFile(tmp, "w") as z:
+        # plain package-with-__init__ (not a namespace portion):
+        # zipimport handles it uniformly, and no other `google.*`
+        # distribution exists where the fallback is in play.
+        z.writestr("google/__init__.py", "")
+        for p in sorted(src_dir.rglob("*.py")):
+            z.write(p, f"google/protobuf/{p.relative_to(src_dir)}")
+    tmp.replace(zip_path)
     spark.sparkContext.addPyFile(str(zip_path))
     spark._oojlh_protobuf_shipped = True
 
@@ -123,10 +164,17 @@ def ensure_protobuf() -> bool:
             shim = _make_shim(os.path.join(base, "google"))
         except OSError:
             continue
+        # Snapshot process-wide env BEFORE trying this candidate: a
+        # failed probe must not leave its dead shim path on the
+        # PYTHONPATH the JVM/workers/children inherit, nor the
+        # version-check escape hatch set — env changes commit only
+        # once the verification import succeeds.
+        prev_pythonpath = os.environ.get("PYTHONPATH")
+        prev_disable = os.environ.get(
+            "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK")
         sys.path.insert(0, shim)
         os.environ["PYTHONPATH"] = (
-            shim + os.pathsep + os.environ.get("PYTHONPATH", "")).rstrip(
-                os.pathsep)
+            shim + os.pathsep + (prev_pythonpath or "")).rstrip(os.pathsep)
         os.environ.setdefault(
             "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true")
         sys.modules.pop("google", None)
@@ -136,5 +184,16 @@ def ensure_protobuf() -> bool:
             return True
         except ImportError:
             sys.path.remove(shim)
+            if prev_pythonpath is None:
+                os.environ.pop("PYTHONPATH", None)
+            else:
+                os.environ["PYTHONPATH"] = prev_pythonpath
+            if prev_disable is None:
+                os.environ.pop(
+                    "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", None)
+            else:
+                os.environ[
+                    "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"
+                ] = prev_disable
             continue
     return False

@@ -132,8 +132,10 @@ def test_extend_shard_assign_equals_full_recompute(spark):
                    if k not in {(r["doc_id"], r["source"])
                                 for r in manifest.collect()}}
 
-    # Appending an ALREADY-ASSIGNED doc_id must be rejected.
+    # Appending an ALREADY-ASSIGNED doc_id must be rejected — at
+    # action time: the contract check is a raise_error column in the
+    # returned plan, not an eager extra job.
     import pytest as _pytest
 
-    with _pytest.raises(ValueError, match="append-only"):
+    with _pytest.raises(Exception, match="append-only"):
         extend_shard_assign(manifest, old_docs.limit(1)).collect()

@@ -79,3 +79,38 @@ def test_async_worker_loop_to_quiescence(spark):
             assert positions == [0, 1]  # no duplicate task runs
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_durable_seen_ledger_survives_restart():
+    """A worker restarted with the same `seen_path` must skip attempt
+    keys an earlier process already executed — the cross-root /
+    cross-restart half of the idempotent-consumer contract (an
+    engine-root migration replays schedule rows a dead worker
+    already ran; only the durable ledger can know that)."""
+    calls = []
+
+    def fn(subs):
+        calls.append(subs)
+        return {"stdout": "1", "success": True, "returncode": 0}
+
+    tsr = {"wf_run_id": "wf-1", "thread_id": 0, "task_run_position": 0,
+           "attempt_number": 0, "task_def_name": "t",
+           "variable_substitutions": {}}
+    workdir = Path(tempfile.mkdtemp(prefix="worker-ledger-"))
+    try:
+        ledger = str(workdir / "t.jsonl")
+        w1 = TaskWorker({"t": fn}, seen_path=ledger)
+        assert len(w1.handle(tsr, 1000, 10)) == 2
+        assert w1.handle(tsr, 1001, 12) == []  # in-memory dedupe
+        # fresh process, same ledger: still a duplicate
+        w2 = TaskWorker({"t": fn}, seen_path=ledger)
+        assert w2.handle(tsr, 1002, 14) == []
+        # a NEW attempt of the same position executes
+        tsr2 = dict(tsr, attempt_number=1)
+        assert len(w2.handle(tsr2, 1003, 16)) == 2
+        assert len(calls) == 2
+        # and a ledger-less worker (unit-test shape) is unaffected
+        w3 = TaskWorker({"t": fn})
+        assert len(w3.handle(tsr, 1004, 18)) == 2
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
