@@ -60,34 +60,43 @@ def doc_aliases(doc: dict | None) -> set[tuple[str, str]]:
 
 def alias_rows(snapshots: DataFrame) -> DataFrame:
     """(object_id, key, value) alias pairs per WFRun snapshot:
-    'name' plus every string-valued thread variable."""
+    'name' plus every string-valued thread variable.
+
+    Single pass over `snapshots`: the name alias and the variable
+    aliases are assembled into ONE per-row array (higher-order
+    map_entries/filter/transform — all JVM-side) and exploded once.
+    The earlier union-of-two-branches formulation scanned `snapshots`
+    twice — and when the input is an unmaterialized fold pipeline
+    (engine_run_index's shape), that meant running the entire fold
+    per branch."""
+    _KV = "array<struct<key:string,value:string>>"
     parsed = snapshots.select(
         "wf_run_id", F.from_json("state_json", _PARSE).alias("st")
     )
-    name_alias = parsed.select(
+    name_pair = F.array(F.struct(
+        F.lit("name").alias("key"), F.col("wf_run_id").alias("value")))
+    # The reference indexes only `instanceof String` variable values
+    # (WFRun.java:328-330).  The declared type travels in the
+    # document (fold.create_thread), so a STRING variable whose
+    # *content* renders numeric/boolean/JSON ("42", "true") is still
+    # indexed — value-shape sniffing would drop it.  Duplicate
+    # (key, value) pairs across threads are KEPT, exactly like the
+    # union formulation this replaces.
+    var_pairs = F.flatten(F.coalesce(F.transform(
+        F.col("st.thread_runs"),
+        lambda tr: F.coalesce(F.transform(
+            F.filter(
+                F.map_entries(tr["variables"]),
+                lambda e: e["value"].isNotNull()
+                & (F.element_at(tr["var_types"], e["key"]) == "STRING")),
+            lambda e: F.struct(e["key"].alias("key"),
+                               e["value"].alias("value"))),
+            F.array().cast(_KV))),
+        F.array().cast(f"array<{_KV}>")))
+    return (parsed.select(
         F.col("wf_run_id").alias("object_id"),
-        F.lit("name").alias("key"),
-        F.col("wf_run_id").alias("value"),
-    )
-    threads = parsed.select("wf_run_id", F.explode("st.thread_runs").alias("t"))
-    var_alias = (
-        threads.select(
-            F.col("wf_run_id").alias("object_id"),
-            F.col("t.var_types").alias("_types"),
-            F.explode("t.variables").alias("key", "value"),
-        )
-        # The reference indexes only `instanceof String` variable
-        # values (WFRun.java:328-330).  The declared type travels in
-        # the document (fold.create_thread), so a STRING variable whose
-        # *content* renders numeric/boolean/JSON ("42", "true") is
-        # still indexed — value-shape sniffing would drop it.
-        .where(
-            F.col("value").isNotNull()
-            & (F.col("_types")[F.col("key")] == "STRING")
-        )
-        .drop("_types")
-    )
-    return name_alias.unionByName(var_alias)
+        F.explode(F.concat(name_pair, var_pairs)).alias("kv"))
+        .select("object_id", "kv.key", "kv.value"))
 
 
 def run_index(snapshots: DataFrame) -> DataFrame:
