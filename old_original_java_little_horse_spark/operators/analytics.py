@@ -947,10 +947,10 @@ a10_top_paths.__doc__ = a10_top_paths.__doc__.format(k=PATHS_TOP_K)
 
 
 _RANK_PINNED: list = []  # recent invocations' persisted frames
-# One a11 build pins 4 frames (the shared rollup + one range-
-# partitioned frame per score dimension); keep two builds' worth so
-# constructing a new query never unpersists a frame an already-built-
-# but-not-yet-executed plan still depends on.
+# One a11 build pins 2 frames (the shared rollup + the stacked rank
+# partition); keep several builds' worth so constructing a new query
+# never unpersists a frame an already-built-but-not-yet-executed
+# plan still depends on.
 _RANK_KEEP = 8
 
 
@@ -1008,6 +1008,83 @@ def exact_global_rank(df: DataFrame, order_cols, rank_name: str = "_grank",
             .drop("_pid", "_lrank", "_off"))
 
 
+def _ntile_bucket(k: int, rank_col: str = "_grank",
+                  total_col: str = "_ntotal"):
+    """The NTILE(k) arithmetic as an integer column expression: with
+    n rows, q = n div k and r = n mod k, the first r buckets hold
+    q+1 rows.  Integer division throughout (expr's div, never /):
+    when q = 0 the otherwise-branch divides by zero, but rank <= t
+    always holds there (t = n) and non-ANSI div-by-zero is NULL, not
+    an error."""
+    q = F.expr(f"{total_col} div {k}")
+    r = F.expr(f"{total_col} % {k}")
+    t = (q + 1) * r
+    rk = F.col(rank_col)
+    return 1 + (F.when(
+        rk <= t,
+        F.expr(f"({rank_col} - 1) div ({total_col} div {k} + 1)"))
+        .otherwise(F.expr(
+            f"{total_col} % {k} + ({rank_col} - ({total_col} div {k} + 1)"
+            f" * ({total_col} % {k}) - 1) div ({total_col} div {k})")))
+
+
+def exact_ntile_stacked(df: DataFrame, k: int, dims, key: str,
+                        n_parts: int = 0) -> DataFrame:
+    """NTILE(k)-exact scores for SEVERAL numeric dimensions over ONE
+    shared range exchange — the amortized form of `exact_ntile` for
+    multi-score rollups like RFM.
+
+    `dims` is a list of (out_name, ascending-numeric Column); a
+    descending dimension is passed negated.  Each input row explodes
+    into |dims| (dim_id, value) rows; ONE `repartitionByRange` on
+    (dim_id, value, key) makes every dimension's rows contiguous and
+    totally ordered, so one in-partition `row_number` per (partition,
+    dim) plus per-(partition, dim) prefix offsets (≤ #partitions ×
+    |dims| rows, broadcast) yields every dimension's exact global
+    rank simultaneously.  Scores reassemble with one conditional-max
+    rollup on `key` — no per-dimension join.
+
+    Against the one-dimension-at-a-time form this is 1 boundary-
+    sampling job, 1 shuffle, and 1 persisted frame instead of |dims|
+    of each; the tie-broken total order makes it skew-proof the same
+    way (equal values split across partitions by key, never pile
+    up).  The exploded frame is |dims|× the rollup — at 100 TB the
+    rollup is already the 1000×-reduced table, so the constant is
+    noise next to the avoided jobs."""
+    spark = df.sparkSession
+    if not n_parts:
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    stacked = df.select(
+        key,
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("dim"), c.cast("long").alias("v"))
+            for i, (_, c) in enumerate(dims)])).alias("dv")
+    ).select(key, "dv.dim", "dv.v")
+    rp = _pin(stacked.repartitionByRange(n_parts, "dim", "v", key)
+              .withColumn("_pid", F.spark_partition_id()))
+    lw = Window.partitionBy("_pid", "dim").orderBy("v", key)
+    counts = rp.groupBy("_pid", "dim").agg(F.count(F.lit(1)).alias("_pn"))
+    before = counts.select(F.col("_pid").alias("_bpid"),
+                           F.col("dim").alias("_bdim"),
+                           F.col("_pn").alias("_bpn"))
+    offsets = (counts.join(
+        before, (F.col("_bdim") == F.col("dim"))
+        & (F.col("_bpid") < F.col("_pid")), "left")
+        .groupBy("_pid", "dim")
+        .agg(F.coalesce(F.sum("_bpn"), F.lit(0)).alias("_off")))
+    totals = counts.groupBy("dim").agg(
+        F.sum("_pn").cast("long").alias("_ntotal"))
+    bucket = _ntile_bucket(k)
+    ranked = (rp.withColumn("_lrank", F.row_number().over(lw))
+              .join(F.broadcast(offsets), ["_pid", "dim"])
+              .join(F.broadcast(totals), "dim")
+              .withColumn("_grank",
+                          (F.col("_off") + F.col("_lrank")).cast("long")))
+    return ranked.groupBy(key).agg(*[
+        F.max(F.when(F.col("dim") == i, bucket)).cast("long").alias(out)
+        for i, (out, _) in enumerate(dims)])
+
+
 def exact_ntile(df: DataFrame, k: int, order_cols, out_name: str,
                 keys=("c_custkey",)) -> DataFrame:
     """SQL-NTILE(k)-exact bucket assignment at any scale: global rank
@@ -1018,18 +1095,8 @@ def exact_ntile(df: DataFrame, k: int, order_cols, out_name: str,
     the single-partition sort NTILE itself plans.  Returns only
     (keys..., out_name) for joining back on the business key."""
     ranked = exact_global_rank(df, order_cols)
-    q = F.expr(f"_ntotal div {k}")
-    r = F.expr(f"_ntotal % {k}")
-    t = (q + 1) * r
-    rk = F.col("_grank")
-    # integer division throughout (expr's div, never /): when q = 0
-    # the otherwise-branch divides by zero, but rk <= t always holds
-    # there (t = n) and non-ANSI div-by-zero is NULL, not an error
-    bucket = (F.when(rk <= t, F.expr(f"(_grank - 1) div (_ntotal div {k} + 1)"))
-              .otherwise(F.expr(
-                  f"_ntotal % {k} + (_grank - (_ntotal div {k} + 1)"
-                  f" * (_ntotal % {k}) - 1) div (_ntotal div {k})")))
-    return ranked.select(*keys, (bucket + 1).cast("long").alias(out_name))
+    return ranked.select(
+        *keys, _ntile_bucket(k).cast("long").alias(out_name))
 
 
 @query(
@@ -1076,18 +1143,20 @@ def a11_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The quintiles are NTILE(5)-exact with c_custkey tiebreaks (a
     total order, so both engines cut identical quintiles) but are NOT
-    computed with a global-NTILE window: each dimension runs the
-    2-pass `exact_ntile` — range-partition on (dimension, custkey),
-    in-partition row_number, prefix offsets from a ≤ #partitions-row
-    count table, broadcast back.  No operator in the plan moves all
-    customers through one task, so the segmentation survives a 100×
-    customer count where the textbook NTILE would funnel into a
-    single-partition sort.
+    computed with a global-NTILE window: all three dimensions run
+    through ONE `exact_ntile_stacked` pass — explode to (dim, value)
+    rows, one shared range exchange, in-partition row_number, prefix
+    offsets from a ≤ #partitions×3-row count table, conditional-max
+    reassembly.  No operator in the plan moves all customers through
+    one task, so the segmentation survives a 100× customer count
+    where the textbook NTILE would funnel into a single-partition
+    sort.
 
     Scale shape: the per-customer rollup is one map-side-combined
     exchange on o_custkey; the global reference date is a 1-row
-    broadcast; then three range exchanges (one per score dimension)
-    and three joins back on c_custkey."""
+    broadcast; then one range exchange over the 3×-stacked rollup,
+    one rollup back to per-customer scores, and one join to the
+    pinned rollup."""
     o = load_table(spark, sf_dir, "orders")
     ref = o.agg(F.max("o_orderdate").alias("max_date"))
     # Pinned: the rollup feeds four branches (three ntile range
@@ -1101,14 +1170,12 @@ def a11_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.sum(F.round(F.col("o_totalprice") * 100, 0)
                           .cast("long"))
                     .alias("monetary_cents")))
-    r_s = exact_ntile(rfm, 5, [F.col("recency_days").asc(), "c_custkey"],
-                      "r_score")
-    f_s = exact_ntile(rfm, 5, [F.col("frequency").desc(), "c_custkey"],
-                      "f_score")
-    m_s = exact_ntile(rfm, 5, [F.col("monetary_cents").desc(), "c_custkey"],
-                      "m_score")
-    return (rfm.join(r_s, "c_custkey").join(f_s, "c_custkey")
-            .join(m_s, "c_custkey")
+    scores = exact_ntile_stacked(rfm, 5, [
+        ("r_score", F.col("recency_days")),       # asc
+        ("f_score", -F.col("frequency")),         # desc via negation
+        ("m_score", -F.col("monetary_cents")),    # desc via negation
+    ], key="c_custkey")
+    return (rfm.join(scores, "c_custkey")
             .select("c_custkey", "recency_days", "frequency",
                     "monetary_cents", "r_score", "f_score", "m_score")
             .withColumn("rfm_code", F.expr("r_score * 100 + f_score * 10"

@@ -38,6 +38,32 @@ def test_matches_sql_ntile(spark, n, k):
     assert got == want
 
 
+@pytest.mark.parametrize("n,k", [(3, 5), (101, 5), (997, 7)])
+def test_stacked_matches_sql_ntile_per_dimension(spark, n, k):
+    """The amortized multi-dimension form must equal NTILE(k) per
+    dimension — ascending AND descending (negated), sharing one
+    exchange."""
+    from old_original_java_little_horse_spark.operators.analytics import (
+        exact_ntile_stacked,
+    )
+
+    df = _frame(spark, n, k).withColumn(
+        "w", (F.xxhash64(F.col("c_custkey") * 7) % 13))
+    want_v = {r["c_custkey"]: r["b"] for r in df.select(
+        "c_custkey",
+        F.ntile(k).over(Window.orderBy(F.col("v").asc(), "c_custkey"))
+        .cast("long").alias("b")).collect()}
+    want_w = {r["c_custkey"]: r["b"] for r in df.select(
+        "c_custkey",
+        F.ntile(k).over(Window.orderBy(F.col("w").desc(), "c_custkey"))
+        .cast("long").alias("b")).collect()}
+    got = {r["c_custkey"]: (r["sv"], r["sw"]) for r in exact_ntile_stacked(
+        df, k, [("sv", F.col("v")), ("sw", -F.col("w"))],
+        key="c_custkey").collect()}
+    assert {c: b[0] for c, b in got.items()} == want_v
+    assert {c: b[1] for c, b in got.items()} == want_w
+
+
 def test_global_rank_is_dense_and_total(spark):
     df = _frame(spark, 500, 11)
     ranks = sorted(r["_grank"] for r in exact_global_rank(
