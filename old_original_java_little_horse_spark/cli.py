@@ -383,8 +383,10 @@ def cmd_work(args) -> int:
     # shared engine replays schedule rows the per-spec deployment
     # already executed, and a fresh worker process would otherwise
     # re-run them once per root.  Residual contract: at-least-once
-    # per attempt key, window = a crash between user-function return
-    # and the ledger append.
+    # per attempt key — duplicate windows are (a) a crash between
+    # user-function return and the ledger append, and (b) while TWO
+    # worker processes overlap (old per-spec + new --shared), up to
+    # one poll interval between reload_seen() calls.
     seen_dir = Path(args.base_dir) / "engines" / "worker-seen"
     seen_dir.mkdir(parents=True, exist_ok=True)
     worker = TaskWorker({args.task_def: fn},
@@ -413,6 +415,10 @@ def cmd_work(args) -> int:
         return execute_batch
 
     while True:
+        # Pick up attempt keys another worker process appended since
+        # our last poll (migration overlap, multi-root tailing) —
+        # narrows the cross-process duplicate window to one poll.
+        worker.reload_seen()
         for root in candidate_roots:
             out_dir = root / "out"
             if not any(out_dir.rglob("*.parquet")):

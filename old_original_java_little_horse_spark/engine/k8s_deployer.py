@@ -33,16 +33,25 @@ _LABELS_STATIC = {
 }
 
 
-def k8s_name(raw: str, max_len: int = 54) -> str:
-    """Driver-side twin of `functions.expressions.k8s_slug`
-    (LHUtil.toValidK8sName, LHUtil.java:53-67): lowercase,
-    separators→'-', strip other non-alphanumerics, collapse dashes,
-    trim, cap at {max_len} chars."""
+def k8s_name(raw: str) -> str:
+    """LHUtil.toValidK8sName (LHUtil.java:53-67), full fidelity:
+    lowercase, separators→'-', strip other non-alphanumerics,
+    collapse dashes, trim — and names of 63+ chars become
+    first-54 + '-' + 8-char digest, exactly like the reference.  The
+    digest suffix (not a bare truncation) keeps long names BOTH
+    DNS-1123-valid (no trailing dash can survive — the suffix ends in
+    hex) and collision-resistant when two TaskDefs share a 54-char
+    prefix.  (`functions.expressions.k8s_slug` is the simplified
+    SQL twin capped at 54, pinned against its own oracle.)"""
+    import hashlib
+
     s = raw.lower()
     s = re.sub(r"[. _\n]", "-", s)
     s = re.sub(r"[^0-9a-z-]", "", s)
     s = re.sub(r"-+", "-", s).strip("-")
-    return s[:max_len]
+    if len(s) >= 63:
+        s = s[:54] + "-" + hashlib.md5(s.encode()).hexdigest()[:8]
+    return s
 
 
 class K8sTaskDeployer:

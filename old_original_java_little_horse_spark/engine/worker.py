@@ -43,14 +43,30 @@ class TaskWorker:
         self.worker_id = worker_id
         self._seen: set[tuple] = set()  # idempotency keys
         self._seen_path = seen_path
-        if seen_path:
-            try:
-                with open(seen_path) as f:
-                    for line in f:
-                        if line.strip():
-                            self._seen.add(tuple(json.loads(line)))
-            except FileNotFoundError:
-                pass
+        self._seen_offset = 0
+        self.reload_seen()
+
+    def reload_seen(self) -> None:
+        """Fold any ledger lines appended since the last read into the
+        in-memory set (incremental: resumes at the last byte offset).
+        Called at startup and — when another process may share the
+        ledger, e.g. both engine roots during a per-spec → --shared
+        migration — once per poll by `cli.cmd_work`, which shrinks the
+        cross-process duplicate window from the whole overlap period
+        to one poll interval.  Concurrent executions WITHIN a poll are
+        still possible: at-least-once per attempt key is the
+        contract, this ledger just narrows it."""
+        if not self._seen_path:
+            return
+        try:
+            with open(self._seen_path) as f:
+                f.seek(self._seen_offset)
+                for line in f:
+                    if line.strip():
+                        self._seen.add(tuple(json.loads(line)))
+                self._seen_offset = f.tell()
+        except FileNotFoundError:
+            pass
 
     def _key(self, tsr: dict) -> tuple:
         return (tsr["wf_run_id"], tsr["thread_id"],
@@ -63,9 +79,6 @@ class TaskWorker:
         if key in self._seen:
             return []  # duplicate delivery — idempotent skip
         self._seen.add(key)
-        if self._seen_path:
-            with open(self._seen_path, "a") as f:
-                f.write(json.dumps(list(key)) + "\n")
 
         fn = self.tasks.get(tsr["task_def_name"])
         base = {
@@ -101,6 +114,15 @@ class TaskWorker:
                              "returncode": result.get("returncode", 0),
                          }},
                      }))
+        # Ledger append comes AFTER the user function has returned and
+        # the result events exist: a crash mid-function must leave the
+        # key un-recorded so a restart RE-executes (at-least-once).
+        # Appending before fn() would invert the contract into
+        # at-most-once — a crash mid-task would mark it done and the
+        # workflow would stall forever.
+        if self._seen_path:
+            with open(self._seen_path, "a") as f:
+                f.write(json.dumps(list(key)) + "\n")
         return [started, ended]
 
     def drain(self, schedule_rows: list[dict], start_offset: int = 1000,

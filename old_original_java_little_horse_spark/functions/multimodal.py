@@ -496,16 +496,25 @@ def extend_shard_assign(manifest: DataFrame, new_docs: DataFrame,
     # at action time on the first violating row) instead of an eager
     # isEmpty() probe — the probe executed the whole broadcast-join +
     # window pipeline once for the check and again when the manifest
-    # was consumed, doubling the O(new docs) cost per call.
+    # was consumed, doubling the O(new docs) cost per call.  It is
+    # attached to BOTH derived columns, so any consumer that reads an
+    # assignment (the manifest's entire point) trips it; a projection
+    # that prunes both shard columns (e.g. bare doc_id counts) skips
+    # the check along with the work it guards — lazy-check semantics,
+    # documented here on purpose.  Surfaces as a Spark
+    # SparkRuntimeException (raise_error), not ValueError.
     violated = (F.col("max_doc_id").isNotNull()
                 & (F.col("doc_id") <= F.col("max_doc_id")))
-    shard_id = F.when(violated, F.raise_error(F.concat(
+    err = F.raise_error(F.concat(
         F.lit("append-only contract violated: new doc_id "),
         F.col("doc_id").cast("string"),
         F.lit(" not after the existing tail of source "),
-        F.col("source")))).otherwise(
-            F.expr(f"start_off div {shard_bytes}"))
+        F.col("source")))
+    shard_id = F.when(violated, err).otherwise(
+        F.expr(f"start_off div {shard_bytes}"))
+    shard_offset = F.when(violated, err).otherwise(
+        F.col("start_off") % shard_bytes)
     return packed.select(
         "doc_id", "source", "n_bytes",
         shard_id.alias("shard_id"),
-        (F.col("start_off") % shard_bytes).alias("shard_offset"))
+        shard_offset.alias("shard_offset"))

@@ -946,29 +946,39 @@ def a10_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 a10_top_paths.__doc__ = a10_top_paths.__doc__.format(k=PATHS_TOP_K)
 
 
-_RANK_PINNED: list = []  # recent invocations' persisted frames
-# One a11 build pins 2 frames (the shared rollup + the stacked rank
-# partition); keep several builds' worth so constructing a new query
-# never unpersists a frame an already-built-but-not-yet-executed
-# plan still depends on.
-_RANK_KEEP = 8
+# Persisted-frame memo, scoped like clustering's _TRI_PINNED: each
+# SCOPE (one call site / query build) evicts only ITS OWN previous
+# build's frames when a new build starts, never another plan's — a
+# count-based FIFO could unpersist a frame an already-built-but-not-
+# yet-executed plan still depends on, re-exposing the boundary-
+# resampling hazard the persist exists to prevent.  Building query X
+# twice and then executing the FIRST build is the one unsupported
+# pattern (same contract as _TRI_PINNED repo-wide).
+_RANK_PINNED: dict[str, list] = {}
 
 
-def _pin(df: DataFrame) -> DataFrame:
-    while len(_RANK_PINNED) >= _RANK_KEEP:
+def _evict_scope(scope: str) -> None:
+    for df in _RANK_PINNED.pop(scope, []):
         try:
-            _RANK_PINNED.pop(0).unpersist()
+            df.unpersist()
         except Exception:
             pass  # a dead session's blocks are already gone
+
+
+def _pin(df: DataFrame, scope: str) -> DataFrame:
     df = df.persist()
-    _RANK_PINNED.append(df)
+    _RANK_PINNED.setdefault(scope, []).append(df)
     return df
 
 
 def exact_global_rank(df: DataFrame, order_cols, rank_name: str = "_grank",
-                      n_parts: int = 0) -> DataFrame:
+                      n_parts: int = 0,
+                      scope: str = "exact_global_rank") -> DataFrame:
     """Exact 1-based global rank under a TOTAL order, computed the
-    distributed way — no single-partition sort, no driver collect:
+    distributed way — no single-partition sort, no driver collect.
+    Returns the input columns plus TWO helpers: `rank_name` and
+    `_ntotal` (the frame's row count — callers computing quantile
+    buckets need it; drop it otherwise).  Steps:
 
       1. range-partition on the order columns (each partition holds a
          contiguous rank interval),
@@ -989,8 +999,9 @@ def exact_global_rank(df: DataFrame, order_cols, rank_name: str = "_grank",
     spark = df.sparkSession
     if not n_parts:
         n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    _evict_scope(scope)
     rp = _pin(df.repartitionByRange(n_parts, *order_cols)
-              .withColumn("_pid", F.spark_partition_id()))
+              .withColumn("_pid", F.spark_partition_id()), scope)
     lw = Window.partitionBy("_pid").orderBy(*order_cols)
     counts = rp.groupBy("_pid").agg(F.count(F.lit(1)).alias("_pn"))
     before = counts.select(F.col("_pid").alias("_bpid"),
@@ -1029,7 +1040,8 @@ def _ntile_bucket(k: int, rank_col: str = "_grank",
 
 
 def exact_ntile_stacked(df: DataFrame, k: int, dims, key: str,
-                        n_parts: int = 0) -> DataFrame:
+                        n_parts: int = 0,
+                        scope: str = "exact_ntile_stacked") -> DataFrame:
     """NTILE(k)-exact scores for SEVERAL numeric dimensions over ONE
     shared range exchange — the amortized form of `exact_ntile` for
     multi-score rollups like RFM.
@@ -1060,8 +1072,9 @@ def exact_ntile_stacked(df: DataFrame, k: int, dims, key: str,
             F.struct(F.lit(i).alias("dim"), c.cast("long").alias("v"))
             for i, (_, c) in enumerate(dims)])).alias("dv")
     ).select(key, "dv.dim", "dv.v")
+    _evict_scope(scope)
     rp = _pin(stacked.repartitionByRange(n_parts, "dim", "v", key)
-              .withColumn("_pid", F.spark_partition_id()))
+              .withColumn("_pid", F.spark_partition_id()), scope)
     lw = Window.partitionBy("_pid", "dim").orderBy("v", key)
     counts = rp.groupBy("_pid", "dim").agg(F.count(F.lit(1)).alias("_pn"))
     before = counts.select(F.col("_pid").alias("_bpid"),
@@ -1086,7 +1099,7 @@ def exact_ntile_stacked(df: DataFrame, k: int, dims, key: str,
 
 
 def exact_ntile(df: DataFrame, k: int, order_cols, out_name: str,
-                keys=("c_custkey",)) -> DataFrame:
+                keys=("c_custkey",), scope: str = "") -> DataFrame:
     """SQL-NTILE(k)-exact bucket assignment at any scale: global rank
     via `exact_global_rank`, then the NTILE arithmetic — with
     n rows, q = n div k and r = n mod k, the first r buckets hold
@@ -1094,7 +1107,8 @@ def exact_ntile(df: DataFrame, k: int, order_cols, out_name: str,
     `NTILE(k) OVER (ORDER BY ...)` when the order is total, without
     the single-partition sort NTILE itself plans.  Returns only
     (keys..., out_name) for joining back on the business key."""
-    ranked = exact_global_rank(df, order_cols)
+    ranked = exact_global_rank(df, order_cols,
+                               scope=scope or f"exact_ntile:{out_name}")
     return ranked.select(
         *keys, _ntile_bucket(k).cast("long").alias(out_name))
 
@@ -1159,9 +1173,10 @@ def a11_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned rollup."""
     o = load_table(spark, sf_dir, "orders")
     ref = o.agg(F.max("o_orderdate").alias("max_date"))
-    # Pinned: the rollup feeds four branches (three ntile range
-    # partitions + the final join spine); without the cache each
-    # branch would replay the orders scan + rollup exchange.
+    # Pinned: the rollup feeds the stacked rank exchange AND the
+    # final join spine; without the cache each branch would replay
+    # the orders scan + rollup exchange.
+    _evict_scope("a11:rfm")
     rfm = _pin(o.crossJoin(F.broadcast(ref))
                .groupBy(F.col("o_custkey").alias("c_custkey"))
                .agg(F.datediff(F.max("max_date"), F.max("o_orderdate"))
@@ -1169,12 +1184,12 @@ def a11_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.count(F.lit(1)).alias("frequency"),
                     F.sum(F.round(F.col("o_totalprice") * 100, 0)
                           .cast("long"))
-                    .alias("monetary_cents")))
+                    .alias("monetary_cents")), "a11:rfm")
     scores = exact_ntile_stacked(rfm, 5, [
         ("r_score", F.col("recency_days")),       # asc
         ("f_score", -F.col("frequency")),         # desc via negation
         ("m_score", -F.col("monetary_cents")),    # desc via negation
-    ], key="c_custkey")
+    ], key="c_custkey", scope="a11:ntile")
     return (rfm.join(scores, "c_custkey")
             .select("c_custkey", "recency_days", "frequency",
                     "monetary_cents", "r_score", "f_score", "m_score")

@@ -80,7 +80,9 @@ def test_a11_plans_no_single_partition_window(spark):
 
     import re
 
-    df = a11_rfm_segments(spark, "/root/testdata/sf0.001")
+    from .conftest import SF_SMOKE
+
+    df = a11_rfm_segments(spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     # The NTILE signature is specifically Window→Sort→Exchange
     # SinglePartition; the 1-row scalar aggregates (ref date, ntile

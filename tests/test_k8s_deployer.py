@@ -30,12 +30,23 @@ def _deployer() -> K8sTaskDeployer:
     )
 
 
-def test_k8s_name_is_the_slug_twin():
-    """Driver-side twin of the SQL `k8s_slug` (LHUtil.toValidK8sName):
-    same rules, same 54-char cap."""
+def test_k8s_name_matches_reference_rules():
+    """LHUtil.toValidK8sName fidelity: slug rules, and 63+-char names
+    get the first-54 + '-' + digest8 form — never a bare truncation
+    that could end in '-' (invalid DNS-1123) or collide."""
+    import hashlib
+    import re
+
     assert k8s_name("lh-task-My_Task.Name") == "lh-task-my-task-name"
-    assert k8s_name("a" * 99) == "a" * 54
+    long = k8s_name("a" * 99)
+    assert long == "a" * 54 + "-" + hashlib.md5(
+        ("a" * 99).encode()).hexdigest()[:8]
+    assert len(long) == 63
     assert k8s_name("--Weird---chars!!") == "weird-chars"
+    # the regression that motivated the digest form: a '-' landing at
+    # the truncation point must not survive as a trailing dash
+    tricky = k8s_name("x" * 53 + "_" + "tail" * 3)
+    assert re.fullmatch(r"[a-z0-9]([-a-z0-9]*[a-z0-9])?", tricky), tricky
 
 
 def test_manifest_contract():
