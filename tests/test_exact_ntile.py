@@ -64,6 +64,38 @@ def test_stacked_matches_sql_ntile_per_dimension(spark, n, k):
     assert {c: b[1] for c, b in got.items()} == want_w
 
 
+def test_all_equal_values_bucket_by_tiebreak(spark):
+    """Degenerate skew: every value identical — NTILE must cut purely
+    on the c_custkey tiebreak, and the range partitioner must spread
+    the tied rows across partitions instead of piling them up (the
+    tiebreak is part of the partition key — the skew-proofing claim)."""
+    df = spark.range(503).select(
+        F.col("id").alias("c_custkey"), F.lit(7).alias("v"))
+    want = {r["c_custkey"]: r["b"] for r in df.select(
+        "c_custkey",
+        F.ntile(5).over(Window.orderBy("v", "c_custkey"))
+        .cast("long").alias("b")).collect()}
+    got = {r["c_custkey"]: r["s"] for r in exact_ntile(
+        df, 5, ["v", "c_custkey"], "s").collect()}
+    assert got == want
+
+
+def test_heavy_skew_matches_sql_ntile(spark):
+    """90% of rows share one value (a hub), the rest are distinct —
+    the realistic skew shape for frequency-like dimensions."""
+    df = spark.range(1000).select(
+        F.col("id").alias("c_custkey"),
+        F.when(F.col("id") % 10 < 9, 42).otherwise(F.col("id"))
+        .cast("long").alias("v"))
+    want = {r["c_custkey"]: r["b"] for r in df.select(
+        "c_custkey",
+        F.ntile(4).over(Window.orderBy(F.col("v").desc(), "c_custkey"))
+        .cast("long").alias("b")).collect()}
+    got = {r["c_custkey"]: r["s"] for r in exact_ntile(
+        df, 4, [F.col("v").desc(), "c_custkey"], "s").collect()}
+    assert got == want
+
+
 def test_global_rank_is_dense_and_total(spark):
     df = _frame(spark, 500, 11)
     ranks = sorted(r["_grank"] for r in exact_global_rank(
