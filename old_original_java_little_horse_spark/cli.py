@@ -477,6 +477,59 @@ def cmd_serve(args) -> int:
         mgr.stop_all()
 
 
+def cmd_test(args) -> int:
+    """Integration-test harness (the reference's `lhctl test` verb,
+    `handle_test.py` + `lh_test_harness/`): deploy the built-in test
+    workflows, launch `--requests` runs per case over plain HTTP,
+    poll each to a terminal status, run the case's checks against the
+    served WFRun document, print a summary.
+
+    With `--api` it drives an already-running server (whose executor
+    or workers must serve the harness TaskDefs — bind
+    `...harness.executor:execute`).  Without it, a self-contained
+    server is booted in-process on a temp state root, exercising the
+    exact serve path end-to-end (deploy → engine → HTTP reads), then
+    torn down.  Exit code = number of failed runs."""
+    import shutil
+    import tempfile
+
+    from .harness.cases import all_cases
+    from .harness.runner import run_all
+
+    cases = all_cases()
+    unknown = [n for n in (args.cases or []) if n not in cases]
+    if unknown:
+        print(f"error: unknown case(s) {unknown}; have {sorted(cases)}",
+              file=sys.stderr)
+        return 2
+
+    if args.api:
+        results = run_all(args.api, cases, names=args.cases or None,
+                          requests=args.requests)
+        return sum(r.failed for r in results)
+
+    from .api.engines import SparkEngineManager
+    from .api.http_server import LittleHorseAPI, LittleHorseHTTPServer
+    from .api.metadata import MetadataStore
+    from .harness.executor import execute
+
+    spark = _spark()
+    workdir = Path(tempfile.mkdtemp(prefix="lh-harness-"))
+    mgr = SparkEngineManager(spark, str(workdir / "engines"),
+                             executor=execute, trigger_seconds=0.2)
+    api = LittleHorseAPI(spark, metadata=MetadataStore(str(workdir / "meta")),
+                         engines=mgr)
+    srv = LittleHorseHTTPServer(api).start()
+    try:
+        results = run_all(f"http://127.0.0.1:{srv.port}", cases,
+                          names=args.cases or None, requests=args.requests)
+        return sum(r.failed for r in results)
+    finally:
+        srv.stop()
+        mgr.stop_all()
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="lhctl-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -576,6 +629,16 @@ def main(argv: list[str] | None = None) -> int:
                          "state store; per-spec serving stores)")
     sv.add_argument("--smoke", action="store_true", help=argparse.SUPPRESS)
     sv.set_defaults(fn=cmd_serve)
+
+    ts = sub.add_parser("test", help="run the built-in integration cases "
+                                     "(the reference's `lhctl test`)")
+    ts.add_argument("cases", nargs="*",
+                    help="case names (default: all)")
+    ts.add_argument("--requests", "-r", type=int, default=1,
+                    help="runs per case launch")
+    ts.add_argument("--api", help="drive an already-running API "
+                                  "(default: boot an embedded one)")
+    ts.set_defaults(fn=cmd_test)
 
     args = p.parse_args(argv)
     try:

@@ -1,0 +1,123 @@
+"""HTTP driver for the harness cases — `lh_test_harness/harness/
+logic.py`'s launch/check loop over our API routes.
+
+Everything goes through plain HTTP (the same routes a user hits):
+POST taskDef/externalEventDef/wfSpec to deploy, POST /wfrun per
+request, POST /externalEvent/{id}/{name} for the case's events, poll
+GET /wfrun/{id} to a terminal status, then run the case's check
+against the served document.  The reference records per-test rows in
+a Postgres harness DB; here the summary is the return value (and the
+CLI's exit code)."""
+
+from __future__ import annotations
+
+import json
+import time
+import urllib.error
+import urllib.request
+from dataclasses import dataclass, field
+
+from .cases import Case
+
+TERMINAL = ("COMPLETED", "HALTED")
+
+
+def _req(api: str, method: str, path: str, body=None, timeout: int = 120):
+    data = None if body is None else json.dumps(body).encode()
+    req = urllib.request.Request(
+        api.rstrip("/") + path, data=data, method=method,
+        headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            raw = resp.read()
+            return resp.status, (json.loads(raw) if raw else None)
+    except urllib.error.HTTPError as e:
+        raw = e.read()
+        try:
+            return e.code, json.loads(raw)
+        except Exception:
+            return e.code, {"error": raw.decode(errors="replace")}
+
+
+@dataclass
+class CaseResult:
+    name: str
+    passed: int = 0
+    failed: int = 0
+    errors: list = field(default_factory=list)  # (run_id | None, message)
+
+
+def deploy_case(api: str, case: Case) -> None:
+    """taskDefs + externalEventDefs + the WFSpec (POST /wfSpec also
+    deploys the spec's engine, `K8sWorkflowDeployer`-equivalently)."""
+    for td in case.task_defs:
+        st, body = _req(api, "POST", "/taskDef", {"name": td})
+        if st not in (200, 201):
+            raise RuntimeError(f"taskDef {td}: HTTP {st} {body}")
+    for ev in case.event_defs:
+        st, body = _req(api, "POST", "/externalEventDef", {"name": ev})
+        if st not in (200, 201):
+            raise RuntimeError(f"externalEventDef {ev}: HTTP {st} {body}")
+    st, body = _req(api, "POST", "/wfSpec", case.spec)
+    if st not in (200, 201):
+        raise RuntimeError(f"wfSpec {case.spec['name']}: HTTP {st} {body}")
+
+
+def run_case(api: str, case: Case, requests: int = 1,
+             poll_timeout: float = 30.0, poll_every: float = 0.2,
+             log=print) -> CaseResult:
+    res = CaseResult(case.name)
+    deploy_case(api, case)
+    for launch in case.launches:
+        for i in range(requests):
+            run_id = None
+            try:
+                variables = (launch.variables(i)
+                             if callable(launch.variables)
+                             else dict(launch.variables))
+                st, run = _req(api, "POST", "/wfrun", {
+                    "wf_spec_name": case.spec["name"],
+                    "variables": variables})
+                assert st == 201, f"POST /wfrun: HTTP {st} {run}"
+                run_id = run["id"]
+                for ev_name, payload in launch.events:
+                    st, body = _req(
+                        api, "POST", f"/externalEvent/{run_id}/{ev_name}",
+                        payload)
+                    assert st in (200, 201), \
+                        f"POST event {ev_name}: HTTP {st} {body}"
+                doc = _poll(api, run_id, poll_timeout, poll_every)
+                launch.check(doc)
+                res.passed += 1
+            except Exception as e:  # noqa: BLE001 — a failed check IS the result
+                res.failed += 1
+                res.errors.append((run_id, f"{type(e).__name__}: {e}"))
+    status = "PASS" if not res.failed else "FAIL"
+    log(f"{status} {case.name}: {res.passed} ok, {res.failed} failed")
+    for run_id, msg in res.errors:
+        log(f"  {run_id}: {msg}")
+    return res
+
+
+def _poll(api: str, run_id: str, timeout: float, every: float) -> dict:
+    deadline = time.monotonic() + timeout
+    doc = None
+    while time.monotonic() < deadline:
+        st, doc = _req(api, "GET", f"/wfrun/{run_id}")
+        if st == 200 and doc.get("status") in TERMINAL:
+            return doc
+        time.sleep(every)
+    raise TimeoutError(
+        f"run {run_id} not terminal after {timeout}s "
+        f"(last: {None if doc is None else doc.get('status')})")
+
+
+def run_all(api: str, cases: dict[str, Case], names=None,
+            requests: int = 1, log=print) -> list[CaseResult]:
+    chosen = ([cases[n] for n in names] if names
+              else list(cases.values()))
+    results = [run_case(api, c, requests=requests, log=log) for c in chosen]
+    total_ok = sum(r.passed for r in results)
+    total_bad = sum(r.failed for r in results)
+    log(f"\n{len(results)} cases: {total_ok} runs ok, {total_bad} failed")
+    return results
