@@ -29,6 +29,13 @@ class Launch:
     check: Callable[[dict], None]
     variables: Callable[[int], dict] = field(default=lambda i: {})
     events: list = field(default_factory=list)  # [(event_name, payload)]
+    # Optional action script, run in order after the run POST (when
+    # set, `events` is ignored).  Verbs:
+    #   ("event", name, payload)  POST /externalEvent/{run}/{name}
+    #   ("stop", thread_id)       POST /wfrun/{run}/stop?thread=N
+    #   ("resume", thread_id)     POST /wfrun/{run}/resume?thread=N
+    #   ("await", status)         poll GET /wfrun/{run} until status
+    actions: list = field(default_factory=list)
 
 
 @dataclass
@@ -261,6 +268,36 @@ def _interrupts_with_payload() -> Case:
         task_defs=["hello_there"], event_defs=["hn-int-p", "hn-go-p"])
 
 
+# -- stop / resume through the serve path -----------------------------------
+#
+# Beyond the reference's harness cases: its `lhctl` has no stop verb
+# in the test set, but the engine's WF_RUN_STOP/RESUME_REQUEST
+# commands (ST3) deserve an HTTP-path proof — a run halted by an
+# operator must be resumable and then complete normally.
+
+def _stop_resume() -> Case:
+    wf = Workflow("hn-stop-resume")
+    t = wf.thread("entrypoint")
+    t.execute("echo", x=lit("before"))
+    t.wait_for_event("hn-release")
+    t.execute("echo", x=lit("after"))
+
+    def check(doc: dict) -> None:
+        _completed(doc)
+        th = _thread0(doc)
+        assert th["halt_reasons"] == []  # resume cleared MANUAL_STOP
+        assert [tr["stdout"] for tr in th["task_runs"]
+                if tr["node_name"].startswith("echo")] == ["before", "after"]
+
+    return Case(
+        "stop_resume", wf.build(),
+        [Launch(check, actions=[
+            ("stop", 0), ("await", "HALTED"),
+            ("resume", 0), ("await", "RUNNING"),
+            ("event", "hn-release", "go")])],
+        task_defs=["echo"], event_defs=["hn-release"])
+
+
 # -- sleep / native timer through the serve path ----------------------------
 
 def _sleep_basic() -> Case:
@@ -396,7 +433,7 @@ def all_cases() -> dict[str, Case]:
         _basic(), _conditionals_basic(), _conditionals_edge_1(),
         _external_event_basic(), _interrupts(), _interrupts_multiple(),
         _interrupts_with_payload(), _retries_task(), _sleep_basic(),
-        _threads_basic(), _var_adds(), _var_mutations(),
+        _stop_resume(), _threads_basic(), _var_adds(), _var_mutations(),
         _var_assign_jsonpath_happy(),
     ]
     return {c.name: c for c in built}

@@ -80,14 +80,14 @@ def run_case(api: str, case: Case, requests: int = 1,
                     "variables": variables})
                 assert st == 201, f"POST /wfrun: HTTP {st} {run}"
                 run_id = run["id"]
-                for ev_name, payload in launch.events:
-                    st, body = _req(
-                        api, "POST", f"/externalEvent/{run_id}/{ev_name}",
-                        payload)
-                    assert st in (200, 201), \
-                        f"POST event {ev_name}: HTTP {st} {body}"
+                actions = launch.actions or [
+                    ("event", n, p) for n, p in launch.events]
+                for act in actions:
+                    _apply_action(api, run_id, act,
+                                  poll_timeout, poll_every)
                 doc = _poll(api, run_id, poll_timeout, poll_every)
                 launch.check(doc)
+                _smoke_subresources(api, run_id, doc)
                 res.passed += 1
             except Exception as e:  # noqa: BLE001 — a failed check IS the result
                 res.failed += 1
@@ -97,6 +97,50 @@ def run_case(api: str, case: Case, requests: int = 1,
     for run_id, msg in res.errors:
         log(f"  {run_id}: {msg}")
     return res
+
+
+def _apply_action(api: str, run_id: str, act: tuple,
+                  timeout: float, every: float) -> None:
+    verb = act[0]
+    if verb == "event":
+        _, name, payload = act
+        st, body = _req(api, "POST",
+                        f"/externalEvent/{run_id}/{name}", payload)
+        assert st in (200, 201), f"POST event {name}: HTTP {st} {body}"
+    elif verb in ("stop", "resume"):
+        st, body = _req(api, "POST",
+                        f"/wfrun/{run_id}/{verb}?thread={act[1]}", {})
+        assert st == 200, f"POST {verb}: HTTP {st} {body}"
+    elif verb == "await":
+        want = act[1]
+        deadline = time.monotonic() + timeout
+        got = None
+        while time.monotonic() < deadline:
+            st, doc = _req(api, "GET", f"/wfrun/{run_id}")
+            got = doc.get("status") if st == 200 else None
+            if got == want:
+                return
+            time.sleep(every)
+        raise TimeoutError(f"run {run_id} never reached {want} "
+                           f"(last: {got})")
+    else:
+        raise ValueError(f"unknown harness action {act!r}")
+
+
+def _smoke_subresources(api: str, run_id: str, doc: dict) -> None:
+    """Every checked run also smokes the GET subresource routes the
+    reference's GETApi serves (threadRun / taskRun / variable) — the
+    answers must agree with the full document."""
+    st, th = _req(api, "GET", f"/wfrun/{run_id}/threadRun/0")
+    assert st == 200 and th["id"] == 0, (st, th)
+    trs = doc["thread_runs"][0]["task_runs"]
+    if trs:
+        st, tr = _req(api, "GET", f"/wfrun/{run_id}/taskRun/0/0")
+        assert st == 200 and tr["position"] == trs[0]["position"], (st, tr)
+    for name, value in (doc["thread_runs"][0].get("variables") or {}).items():
+        st, v = _req(api, "GET", f"/wfrun/{run_id}/variable/{name}")
+        assert st == 200 and v["value"] == value, (name, st, v)
+        break  # one variable is enough per run
 
 
 def _poll(api: str, run_id: str, timeout: float, every: float) -> dict:
