@@ -1199,11 +1199,13 @@ def new_run(spec: dict, event: dict) -> dict:
 # The fold entrypoint (SchedulerProcessor.java:63-237)
 # ---------------------------------------------------------------------------
 
-TaskExecutor = Callable[[str, dict], dict]
+TaskExecutor = Callable[[str, dict], dict | None]
 """Inline task executor: (task_def_name, variable_substitutions) ->
-TaskRunResult dict {"stdout", "stderr", "success", "returncode"}.
-Used in batch-oracle mode (SURVEY §2.11: inline tasks) so a run is a
-pure function of its WF_RUN_STARTED event."""
+TaskRunResult dict {"stdout", "stderr", "success", "returncode"},
+or ``None`` for a task that starts but never reports (its timeout
+timer terminates it — see `_drain_inline`).  Used in batch-oracle
+mode (SURVEY §2.11: inline tasks) so a run is a pure function of its
+WF_RUN_STARTED event."""
 
 
 def make_spec_registry(specs: list[dict]) -> dict:
@@ -1308,7 +1310,14 @@ def _advance_to_fixpoint(spec: dict, state: dict, event: dict, ctx: Ctx) -> None
 
 def _drain_inline(spec: dict, state: dict, event: dict, ctx: Ctx,
                   executor: TaskExecutor) -> None:
-    """Execute scheduled tasks inline until quiescence (batch mode)."""
+    """Execute scheduled tasks inline until quiescence (batch mode).
+
+    An executor may return ``None`` for a task it picks up but never
+    answers (the reference's `slow_task` out-waited by its timeout,
+    `shared_tasks.py:18-20`): only the started event is folded, the
+    task stays RUNNING, and the timeout timer armed at scheduling is
+    what terminates it — the TIMER_EVENT → `fail_task(TIMEOUT)` path,
+    exactly as with a detached worker."""
     guard = 0
     while ctx.to_schedule:
         guard += 1
@@ -1317,7 +1326,8 @@ def _drain_inline(spec: dict, state: dict, event: dict, ctx: Ctx,
         batch, ctx.to_schedule = ctx.to_schedule, []
         for tsr in batch:
             result = executor(tsr["task_def_name"], tsr["variable_substitutions"])
-            for sub in ("started", "ended"):
+            subs = ("started",) if result is None else ("started", "ended")
+            for sub in subs:
                 content = {
                     "thread_id": tsr["thread_id"],
                     "task_run_position": tsr["task_run_position"],

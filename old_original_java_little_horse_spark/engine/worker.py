@@ -103,17 +103,26 @@ class TaskWorker:
             except Exception as e:  # noqa: BLE001 — worker errors = task failure
                 result = {"stdout": None, "stderr": str(e),
                           "success": False, "returncode": 1}
-        ended = dict(base, timestamp=timestamp + 1, offset=base_offset + 1,
-                     content=json.dumps({
-                         "thread_id": tsr["thread_id"],
-                         "task_run_position": tsr["task_run_position"],
-                         "ended_event": {"result": {
-                             "stdout": result.get("stdout"),
-                             "stderr": result.get("stderr"),
-                             "success": bool(result.get("success", True)),
-                             "returncode": result.get("returncode", 0),
-                         }},
-                     }))
+        if result is None:
+            # Same contract as the inline drain (fold.TaskExecutor):
+            # None = picked up, never answers.  Only the started event
+            # is posted; the engine's timeout timer terminates the
+            # attempt.  Ledger still records the key — this attempt
+            # was handled, and a redelivery must not re-start it.
+            events = [started]
+        else:
+            events = [started, dict(
+                base, timestamp=timestamp + 1, offset=base_offset + 1,
+                content=json.dumps({
+                    "thread_id": tsr["thread_id"],
+                    "task_run_position": tsr["task_run_position"],
+                    "ended_event": {"result": {
+                        "stdout": result.get("stdout"),
+                        "stderr": result.get("stderr"),
+                        "success": bool(result.get("success", True)),
+                        "returncode": result.get("returncode", 0),
+                    }},
+                }))]
         # Ledger append comes AFTER the user function has returned and
         # the result events exist: a crash mid-function must leave the
         # key un-recorded so a restart RE-executes (at-least-once).
@@ -123,7 +132,7 @@ class TaskWorker:
         if self._seen_path:
             with open(self._seen_path, "a") as f:
                 f.write(json.dumps(list(key)) + "\n")
-        return [started, ended]
+        return events
 
     def drain(self, schedule_rows: list[dict], start_offset: int = 1000,
               timestamp: int = 2000) -> list[dict]:

@@ -8,11 +8,11 @@ WFRun document).  Checks assert on exactly what the reference's
 check_* functions assert on: thread/task counts, statuses, stdout
 values, final variable values.
 
-The reference's `retries_task_timeout.py` is intentionally absent:
-the embedded runner executes tasks inline (deterministic drain), so a
-task can never out-wait its timeout there; the timeout path is pinned
-by `tests/test_fold.py::test_retries_task_timeout` and the live-timer
-tws tests instead.
+`retries_task_timeout` runs against the inline drain via the
+executor's None contract (`engine/fold.py::_drain_inline`): the
+executor reports `slow_task` as started-but-never-answered, and the
+engine's own live timeout timers do the failing — the same
+TIMER_EVENT path a detached worker's silence would trigger.
 """
 
 from __future__ import annotations
@@ -342,6 +342,33 @@ def _retries_task() -> Case:
         task_defs=["fail_once"])
 
 
+# -- retries_task_timeout.py ------------------------------------------------
+
+def _retries_task_timeout() -> Case:
+    """`slow_task.with_timeout(1).with_retries(1)`
+    (retries_task_timeout.py:10-34): the task never answers inside
+    its window, so the LIVE timeout timer fails attempt 0, the retry
+    is a real reschedule, and the second timeout halts the run.  Both
+    timers fire on the engine's own wall clock — nothing in the
+    harness injects TIMER_EVENTs."""
+    wf = Workflow("hn-retries-timeout")
+    t = wf.thread("entrypoint")
+    t.execute("slow_task").with_timeout(1).with_retries(1)
+
+    def check(doc: dict) -> None:
+        assert doc["status"] == "HALTED", doc["status"]
+        trs = _thread0(doc)["task_runs"]
+        assert len(trs) == 2, "should have retried exactly once"
+        for tr in trs:
+            assert tr["status"] == "HALTED", tr["status"]
+            assert tr["failure_reason"] == "TIMEOUT", tr["failure_reason"]
+        assert [tr["attempt_number"] for tr in trs] == [0, 1]
+        assert len({tr["number"] for tr in trs}) == 1
+
+    return Case("retries_task_timeout", wf.build(), [Launch(check)],
+                task_defs=["slow_task"])
+
+
 # -- threads_basic.py -------------------------------------------------------
 
 def _threads_basic() -> Case:
@@ -432,8 +459,9 @@ def all_cases() -> dict[str, Case]:
     built = [
         _basic(), _conditionals_basic(), _conditionals_edge_1(),
         _external_event_basic(), _interrupts(), _interrupts_multiple(),
-        _interrupts_with_payload(), _retries_task(), _sleep_basic(),
-        _stop_resume(), _threads_basic(), _var_adds(), _var_mutations(),
+        _interrupts_with_payload(), _retries_task(),
+        _retries_task_timeout(), _sleep_basic(), _stop_resume(),
+        _threads_basic(), _var_adds(), _var_mutations(),
         _var_assign_jsonpath_happy(),
     ]
     return {c.name: c for c in built}

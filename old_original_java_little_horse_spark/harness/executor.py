@@ -48,6 +48,12 @@ def execute(task_def_name: str, subs: dict) -> dict:
         return _ok(json.dumps(int(subs.get("x", 0)) * 2))
     if task_def_name == "make_json":
         return _ok({"x": int(subs.get("seed", 0)) + 40, "label": "made"})
+    if task_def_name == "slow_task":
+        # shared_tasks.slow_task: sleeps 5s — always out-waited by the
+        # 1s timeout the case declares.  Inline contract: None = "the
+        # worker picked this up and never answered", so the engine's
+        # own timeout timer (not the executor) terminates the attempt.
+        return None
     if task_def_name == "fail_once":
         marker = str(subs.get("marker", ""))
         if marker not in _FAIL_ONCE_SEEN:

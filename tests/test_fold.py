@@ -803,6 +803,39 @@ def test_retry_after_timeout_can_succeed():
     assert state["status"] == "COMPLETED"
 
 
+def test_inline_executor_none_means_started_never_answered():
+    """An inline executor returning None folds ONLY the started event:
+    the task goes RUNNING (worker_id recorded), no result arrives, and
+    the timeout timer armed at scheduling later TIMEOUTs it — the
+    contract the harness's retries_task_timeout case runs on."""
+    wf = Workflow("inline-none")
+    t = wf.thread("entrypoint")
+    t.execute("slow").with_timeout(1).with_retries(0)
+    spec = wf.build()
+
+    calls = []
+
+    def hung(name, subs):
+        calls.append(name)
+        return None
+
+    state, ctx = E.process_event(spec, None, start_ev("r1"), executor=hung)
+    assert calls == ["slow"]
+    tr = state["thread_runs"][0]["task_runs"][0]
+    assert tr["status"] == "RUNNING" and tr["worker_id"] == "inline"
+    assert state["status"] == "RUNNING"
+    assert len(ctx.timers) == 1  # the timeout timer survives the drain
+
+    state, ctx = E.process_event(spec, state, {
+        "wf_run_id": "r1", "event_type": "TIMER_EVENT", "thread_id": 0,
+        "timestamp": 2000, "offset": 1, "content": ctx.timers[0]},
+        executor=hung)
+    assert calls == ["slow"]  # no retries -> no second attempt
+    tr = state["thread_runs"][0]["task_runs"][0]
+    assert tr["status"] == "HALTED" and tr["failure_reason"] == "TIMEOUT"
+    assert state["status"] == "HALTED"
+
+
 # ---------------------------------------------------------------------------
 # conditionals_edge_1.py:24-90 — single-branch if + merge task; bad input
 # ---------------------------------------------------------------------------

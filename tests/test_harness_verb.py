@@ -1,7 +1,7 @@
 """`cli test` (the reference's `lhctl test` verb) — smoke a subset of
 the harness cases end-to-end through the embedded server path.
 
-The full 13-case sweep (~10 min: each case deploys its own spec
+The full 15-case sweep (~10 min: each case deploys its own spec
 engine) is the CLI verb's job; this pins the verb's plumbing —
 case registry, HTTP deploy/launch/poll/check loop, exit code — on
 three representative cases: a plain task chain, an interrupt mid-run,

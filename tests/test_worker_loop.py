@@ -114,3 +114,25 @@ def test_durable_seen_ledger_survives_restart():
         assert len(w3.handle(tsr, 1004, 18)) == 2
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_worker_none_result_posts_started_only():
+    """A task function returning None (started, never answers — the
+    timeout-case contract shared with the inline drain) posts ONLY the
+    started event, and the attempt key is still deduped so a
+    redelivery cannot re-start the hung task."""
+    calls = []
+
+    def hung(subs):
+        calls.append(subs)
+        return None
+
+    tsr = {"wf_run_id": "wf-1", "thread_id": 0, "task_run_position": 0,
+           "attempt_number": 0, "task_def_name": "slow",
+           "variable_substitutions": {}}
+    w = TaskWorker({"slow": hung})
+    evs = w.handle(tsr, 1000, 10)
+    assert len(evs) == 1 and len(calls) == 1
+    content = json.loads(evs[0]["content"])
+    assert "started_event" in content and "ended_event" not in content
+    assert w.handle(tsr, 1001, 12) == []  # duplicate delivery skipped
