@@ -86,7 +86,15 @@ HEADLINE = [
 ]
 
 N_TIMED_RUNS = 3  # median-of-3: one timed run was observed to mis-read
-                  # the first query by 4x (warm-up/page-cache noise)
+                  # the first query by 4x (warm-up/page-cache noise).
+                  # The rounds are INTERLEAVED (every query once, then
+                  # repeat) rather than back-to-back: the sandbox shows
+                  # minutes-long host stalls (same-commit totals read
+                  # 39-51 s across one morning), and three consecutive
+                  # samples all land inside such a window — tripling a
+                  # query's median — while interleaved samples sit
+                  # minutes apart, so a stall poisons at most one of
+                  # the three and the median holds.
 
 
 def main() -> None:
@@ -113,15 +121,15 @@ def main() -> None:
         except Exception:
             pass  # a query that only works at larger SF still times below
 
-    timings: dict[str, float] = {}
-    for name in names:
-        runs = []
-        for _ in range(N_TIMED_RUNS):
+    samples: dict[str, list[float]] = {name: [] for name in names}
+    for _ in range(N_TIMED_RUNS):
+        for name in names:
             t0 = time.perf_counter()
             df = specs[name].fn(spark, sf_dir)
             df.collect() if name == "q1_pricing_summary" else df.count()
-            runs.append(time.perf_counter() - t0)
-        timings[name] = round(sorted(runs)[len(runs) // 2], 3)
+            samples[name].append(time.perf_counter() - t0)
+    timings = {name: round(sorted(runs)[len(runs) // 2], 3)
+               for name, runs in samples.items()}
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total_sec",

@@ -1011,9 +1011,12 @@ def exact_global_rank(df: DataFrame, order_cols, rank_name: str = "_grank",
                .agg(F.coalesce(F.sum("_bpn"), F.lit(0)).alias("_off")))
     total = offsets.groupBy().agg(
         F.sum("_pn").cast("long").alias("_ntotal"))
+    # offset + total fold into ONE ≤#partitions-row broadcast frame:
+    # the big ranked side pays a single BroadcastHashJoin instead of
+    # a hash join plus a cross join (one fewer broadcast exchange).
+    meta = offsets.select("_pid", "_off").crossJoin(total)
     return (rp.withColumn("_lrank", F.row_number().over(lw))
-            .join(F.broadcast(offsets.select("_pid", "_off")), "_pid")
-            .crossJoin(F.broadcast(total))
+            .join(F.broadcast(meta), "_pid")
             .withColumn(rank_name,
                         (F.col("_off") + F.col("_lrank")).cast("long"))
             .drop("_pid", "_lrank", "_off"))
@@ -1088,9 +1091,11 @@ def exact_ntile_stacked(df: DataFrame, k: int, dims, key: str,
     totals = counts.groupBy("dim").agg(
         F.sum("_pn").cast("long").alias("_ntotal"))
     bucket = _ntile_bucket(k)
+    # One ≤#partitions×|dims|-row broadcast carrying offset AND total:
+    # a single BroadcastHashJoin on the ranked side instead of two.
+    meta = offsets.join(totals, "dim")
     ranked = (rp.withColumn("_lrank", F.row_number().over(lw))
-              .join(F.broadcast(offsets), ["_pid", "dim"])
-              .join(F.broadcast(totals), "dim")
+              .join(F.broadcast(meta), ["_pid", "dim"])
               .withColumn("_grank",
                           (F.col("_off") + F.col("_lrank")).cast("long")))
     return ranked.groupBy(key).agg(*[
