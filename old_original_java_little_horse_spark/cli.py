@@ -459,7 +459,8 @@ def cmd_serve(args) -> int:
     spark = _spark()
     base = Path(args.base_dir)
     mgr = SparkEngineManager(spark, str(base / "engines"), executor=executor,
-                             shared=bool(getattr(args, "shared", False)))
+                             shared=bool(getattr(args, "shared", False)),
+                             use_tws=bool(getattr(args, "tws", False)))
     api = LittleHorseAPI(spark, metadata=MetadataStore(str(base / "meta")),
                          engines=mgr)
     srv = LittleHorseHTTPServer(api, host=args.host, port=args.port).start()
@@ -515,14 +516,26 @@ def cmd_test(args) -> int:
 
     spark = _spark()
     workdir = Path(tempfile.mkdtemp(prefix="lh-harness-"))
+    use_tws = bool(getattr(args, "tws", False))
     mgr = SparkEngineManager(spark, str(workdir / "engines"),
-                             executor=execute, trigger_seconds=0.2)
+                             executor=execute, trigger_seconds=0.2,
+                             use_tws=use_tws)
     api = LittleHorseAPI(spark, metadata=MetadataStore(str(workdir / "meta")),
                          engines=mgr)
     srv = LittleHorseHTTPServer(api).start()
+    # tws: each micro-batch commits one RocksDB store PER state
+    # partition; the harness keyspace is 1-2 runs per case, so the
+    # session's analytic partition count (32) is pure commit overhead
+    # — size the engines' state stores down (fixed at query start
+    # from this conf, see session.scoped_conf).
+    from .session import scoped_conf
+
     try:
-        results = run_all(f"http://127.0.0.1:{srv.port}", cases,
-                          names=args.cases or None, requests=args.requests)
+        with scoped_conf(spark, {"spark.sql.shuffle.partitions": "8"}
+                         if use_tws else {}):
+            results = run_all(f"http://127.0.0.1:{srv.port}", cases,
+                              names=args.cases or None,
+                              requests=args.requests)
         return sum(r.failed for r in results)
     finally:
         srv.stop()
@@ -627,6 +640,9 @@ def main(argv: list[str] | None = None) -> int:
     sv.add_argument("--shared", action="store_true",
                     help="one shared engine for all specs (one checkpoint/"
                          "state store; per-spec serving stores)")
+    sv.add_argument("--tws", action="store_true",
+                    help="run spec engines on the transformWithState"
+                         "InPandas runtime (needs protobuf)")
     sv.add_argument("--smoke", action="store_true", help=argparse.SUPPRESS)
     sv.set_defaults(fn=cmd_serve)
 
@@ -638,6 +654,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="runs per case launch")
     ts.add_argument("--api", help="drive an already-running API "
                                   "(default: boot an embedded one)")
+    ts.add_argument("--tws", action="store_true",
+                    help="run the embedded server's engines on the "
+                         "transformWithStateInPandas runtime")
     ts.set_defaults(fn=cmd_test)
 
     args = p.parse_args(argv)

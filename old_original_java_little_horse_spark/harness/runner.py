@@ -47,9 +47,10 @@ class CaseResult:
     errors: list = field(default_factory=list)  # (run_id | None, message)
 
 
-def deploy_case(api: str, case: Case) -> None:
+def deploy_case(api: str, case: Case) -> str:
     """taskDefs + externalEventDefs + the WFSpec (POST /wfSpec also
-    deploys the spec's engine, `K8sWorkflowDeployer`-equivalently)."""
+    deploys the spec's engine, `K8sWorkflowDeployer`-equivalently).
+    Returns the stored spec's id for teardown."""
     for td in case.task_defs:
         st, body = _req(api, "POST", "/taskDef", {"name": td})
         if st not in (200, 201):
@@ -61,37 +62,49 @@ def deploy_case(api: str, case: Case) -> None:
     st, body = _req(api, "POST", "/wfSpec", case.spec)
     if st not in (200, 201):
         raise RuntimeError(f"wfSpec {case.spec['name']}: HTTP {st} {body}")
+    return (body or {}).get("id") or case.spec["name"]
 
 
 def run_case(api: str, case: Case, requests: int = 1,
              poll_timeout: float = 30.0, poll_every: float = 0.2,
-             log=print) -> CaseResult:
+             log=print, cleanup: bool = True) -> CaseResult:
     res = CaseResult(case.name)
-    deploy_case(api, case)
-    for launch in case.launches:
-        for i in range(requests):
-            run_id = None
-            try:
-                variables = (launch.variables(i)
-                             if callable(launch.variables)
-                             else dict(launch.variables))
-                st, run = _req(api, "POST", "/wfrun", {
-                    "wf_spec_name": case.spec["name"],
-                    "variables": variables})
-                assert st == 201, f"POST /wfrun: HTTP {st} {run}"
-                run_id = run["id"]
-                actions = launch.actions or [
-                    ("event", n, p) for n, p in launch.events]
-                for act in actions:
-                    _apply_action(api, run_id, act,
-                                  poll_timeout, poll_every)
-                doc = _poll(api, run_id, poll_timeout, poll_every)
-                launch.check(doc)
-                _smoke_subresources(api, run_id, doc)
-                res.passed += 1
-            except Exception as e:  # noqa: BLE001 — a failed check IS the result
-                res.failed += 1
-                res.errors.append((run_id, f"{type(e).__name__}: {e}"))
+    spec_id = deploy_case(api, case)
+    try:
+        for launch in case.launches:
+            for i in range(requests):
+                run_id = None
+                try:
+                    variables = (launch.variables(i)
+                                 if callable(launch.variables)
+                                 else dict(launch.variables))
+                    st, run = _req(api, "POST", "/wfrun", {
+                        "wf_spec_name": case.spec["name"],
+                        "variables": variables})
+                    assert st == 201, f"POST /wfrun: HTTP {st} {run}"
+                    run_id = run["id"]
+                    actions = launch.actions or [
+                        ("event", n, p) for n, p in launch.events]
+                    for act in actions:
+                        _apply_action(api, run_id, act,
+                                      poll_timeout, poll_every)
+                    doc = _poll(api, run_id, poll_timeout, poll_every)
+                    launch.check(doc)
+                    _smoke_subresources(api, run_id, doc)
+                    res.passed += 1
+                except Exception as e:  # noqa: BLE001 — a failed check IS the result
+                    res.failed += 1
+                    res.errors.append((run_id, f"{type(e).__name__}: {e}"))
+    finally:
+        if cleanup:
+            # DELETE /wfSpec undeploys the case's engine through the
+            # metadata change hook (the reference's WFSpec.remove() →
+            # deployer.undeploy, WFSpec.java:275-278).  Without this
+            # every finished case leaves a live continuous query
+            # behind, and by the Nth case the accumulated micro-batch
+            # load starves the active engine's read-your-writes
+            # barrier (observed: tws sweep failing from case 11 on).
+            _req(api, "DELETE", f"/wfSpec/{spec_id}")
     status = "PASS" if not res.failed else "FAIL"
     log(f"{status} {case.name}: {res.passed} ok, {res.failed} failed")
     for run_id, msg in res.errors:
