@@ -85,7 +85,7 @@ class LittleHorseAPI:
                  snapshots_dir: str | None = None,
                  query=None, barrier_timeout: float = 60.0,
                  serving_dir: str | None = None,
-                 metadata=None, engines=None):
+                 metadata=None, engines=None, task_deployer=None):
         self.spark = spark
         self.events_dir = events_dir
         self.snapshots_dir = snapshots_dir
@@ -94,10 +94,16 @@ class LittleHorseAPI:
         self.serving_dir = serving_dir
         self.metadata = metadata
         self.engines = engines
+        # TaskDef lifecycle plugin (the reference's TaskDeployer,
+        # TaskDef.java:95-129): deploy_task_def(doc) on POST,
+        # undeploy_task_def(doc) on DELETE/replace.
+        self.task_deployer = task_deployer
         self._run_engine: dict[str, object] = {}  # run_id → EngineHandle
-        if metadata is not None and engines is not None:
+        if metadata is not None and (engines is not None
+                                     or task_deployer is not None):
             if metadata.on_change is None:
                 metadata.on_change = self._meta_change
+        if metadata is not None and engines is not None:
             # Boot-time recovery: redeploy every stored WFSpec whose
             # engine is not running (the reference restarts each spec's
             # topology from its store on startup) — their checkpoints
@@ -106,10 +112,28 @@ class LittleHorseAPI:
             # for all stored specs, not N stop/recover/start cycles.
             engines.deploy_many([doc for doc in metadata.get_all("wfSpec")
                                  if engines.get(doc["name"]) is None])
+        if metadata is not None and task_deployer is not None:
+            # Same recovery for TaskDef worker deployments: stored
+            # TaskDefs get their workers back on boot (deploy is
+            # idempotent for an unchanged doc with a live process).
+            for doc in metadata.get_all("taskDef"):
+                task_deployer.deploy_task_def(doc)
 
     # -- metadata lifecycle hooks (POSTable.processChange) -----------------
 
     def _meta_change(self, kind: str, new: dict | None, old: dict | None):
+        if kind == "taskDef" and self.task_deployer is not None:
+            # TaskDef.processChange/remove (TaskDef.java:95-129):
+            # first POST deploys the worker; a re-POST redeploys only
+            # if the doc actually changed; DELETE undeploys.
+            if new is not None:
+                if old is not None and old != new:
+                    self.task_deployer.undeploy_task_def(old)
+                if old is None or old != new:
+                    self.task_deployer.deploy_task_def(new)
+            elif old is not None:
+                self.task_deployer.undeploy_task_def(old)
+            return
         if kind != "wfSpec" or self.engines is None:
             return
         name = (new or old or {}).get("name")
