@@ -50,7 +50,9 @@ def k8s_name(raw: str) -> str:
     s = re.sub(r"[^0-9a-z-]", "", s)
     s = re.sub(r"-+", "-", s).strip("-")
     if len(s) >= 63:
-        s = s[:54] + "-" + hashlib.md5(s.encode()).hexdigest()[:8]
+        # LHUtil.digestify (LHUtil.java:69-77): sha256 hex, first 8 —
+        # byte-for-byte the reference's suffix for long names.
+        s = s[:54] + "-" + hashlib.sha256(s.encode()).hexdigest()[:8]
     return s
 
 

@@ -27,46 +27,91 @@ TaskFn = Callable[[dict], dict]
 class TaskWorker:
     """Executes task_schedule payloads with registered functions.
 
-    `seen_path` (optional) makes the idempotency ledger durable: one
-    JSONL line per executed attempt key, loaded at startup.  A worker
-    restarted against replayed schedule rows — or tailing MULTIPLE
-    engine roots after a per-spec → `--shared` migration, where the
-    shared engine re-emits rows the per-spec deployment already
-    executed — then skips everything already run, shrinking the
-    at-least-once window to a crash between user-function return and
-    the ledger append (the same window Kafka's transactional variant
-    closes with its offset+event commit)."""
+    `seen_path` (optional) makes the idempotency ledger durable: a
+    "started" intent line appended before the user function runs and a
+    "done" line after the result events exist, loaded at startup.  A
+    worker restarted against replayed schedule rows — or tailing
+    MULTIPLE engine roots after a per-spec → `--shared` migration,
+    where the shared engine re-emits rows the per-spec deployment
+    already executed — then skips everything already done.  A crash
+    between user-function return and the "done" append (the window
+    Kafka's transactional variant closes with its offset+event commit,
+    `TaskWorker.java:102-142`) leaves the key *in-doubt*: the restart
+    re-executes (at-least-once is the documented fallback) but records
+    the detection in `detected_in_doubt` instead of silently treating
+    the attempt as never started."""
 
     def __init__(self, tasks: dict[str, TaskFn], worker_id: str = "pyworker-1",
                  seen_path: str | None = None):
         self.tasks = tasks
         self.worker_id = worker_id
-        self._seen: set[tuple] = set()  # idempotency keys
+        self._seen: set[tuple] = set()  # idempotency keys (ledger: "done")
+        self._in_doubt: set[tuple] = set()  # "started" intent, no "done"
+        self.detected_in_doubt: list[tuple] = []  # surfaced re-executions
         self._seen_path = seen_path
         self._seen_offset = 0
         self.reload_seen()
 
     def reload_seen(self) -> None:
         """Fold any ledger lines appended since the last read into the
-        in-memory set (incremental: resumes at the last byte offset).
+        in-memory sets (incremental: resumes at the last byte offset).
         Called at startup and — when another process may share the
         ledger, e.g. both engine roots during a per-spec → --shared
         migration — once per poll by `cli.cmd_work`, which shrinks the
         cross-process duplicate window from the whole overlap period
         to one poll interval.  Concurrent executions WITHIN a poll are
         still possible: at-least-once per attempt key is the
-        contract, this ledger just narrows it."""
+        contract, this ledger just narrows it.
+
+        Another process may be mid-append when we read, so only
+        COMPLETE lines (ending in a newline) are consumed: the offset
+        advances to just past the last newline in the chunk, leaving
+        any trailing partial line for the next poll, and a malformed
+        complete line is skipped rather than crashing the poll loop.
+
+        Ledger line formats:
+        - ``{"k": [...], "s": "started"}`` — intent record, appended
+          BEFORE the user function runs;
+        - ``{"k": [...], "s": "done"}`` — appended after the result
+          events exist;
+        - bare ``[...]`` — legacy pre-intent format, treated as done.
+        """
         if not self._seen_path:
             return
         try:
-            with open(self._seen_path) as f:
+            with open(self._seen_path, "rb") as f:
                 f.seek(self._seen_offset)
-                for line in f:
-                    if line.strip():
-                        self._seen.add(tuple(json.loads(line)))
-                self._seen_offset = f.tell()
+                chunk = f.read()
         except FileNotFoundError:
-            pass
+            return
+        cut = chunk.rfind(b"\n")
+        if cut < 0:
+            return  # nothing but a partial line — leave it unconsumed
+        for raw in chunk[: cut + 1].splitlines():
+            raw = raw.strip()
+            if not raw:
+                continue
+            try:
+                rec = json.loads(raw)
+            except (json.JSONDecodeError, UnicodeDecodeError):
+                continue  # torn/corrupt line — skip, don't crash the poll
+            if isinstance(rec, list):  # legacy: bare key == done
+                key = tuple(rec)
+                self._seen.add(key)
+                self._in_doubt.discard(key)
+            elif isinstance(rec, dict) and "k" in rec:
+                key = tuple(rec["k"])
+                if rec.get("s") == "done":
+                    self._seen.add(key)
+                    self._in_doubt.discard(key)
+                elif key not in self._seen:
+                    self._in_doubt.add(key)
+        self._seen_offset += cut + 1
+
+    def _append_ledger(self, key: tuple, state: str) -> None:
+        with open(self._seen_path, "a") as f:
+            f.write(json.dumps({"k": list(key), "s": state}) + "\n")
+            f.flush()
 
     def _key(self, tsr: dict) -> tuple:
         return (tsr["wf_run_id"], tsr["thread_id"],
@@ -78,7 +123,23 @@ class TaskWorker:
         key = self._key(tsr)
         if key in self._seen:
             return []  # duplicate delivery — idempotent skip
+        if key in self._in_doubt:
+            # A prior process wrote the "started" intent but never the
+            # "done" record: it crashed somewhere between invoking the
+            # user function and appending completion.  The attempt MAY
+            # have executed.  Surface the detection (the reference's
+            # Kafka-txn path would abort the transaction here,
+            # TaskWorker.java:102-142) and fall back to the documented
+            # at-least-once contract: re-execute.
+            self.detected_in_doubt.append(key)
+            self._in_doubt.discard(key)
         self._seen.add(key)
+        if self._seen_path:
+            # Intent record BEFORE the user function: a crash after
+            # fn() returns but before the "done" append is then
+            # detected as in-doubt on restart instead of silently
+            # re-executed as if never started.
+            self._append_ledger(key, "started")
 
         fn = self.tasks.get(tsr["task_def_name"])
         base = {
@@ -123,15 +184,15 @@ class TaskWorker:
                         "returncode": result.get("returncode", 0),
                     }},
                 }))]
-        # Ledger append comes AFTER the user function has returned and
-        # the result events exist: a crash mid-function must leave the
-        # key un-recorded so a restart RE-executes (at-least-once).
-        # Appending before fn() would invert the contract into
+        # The "done" record comes AFTER the user function has returned
+        # and the result events exist: a crash mid-function leaves only
+        # the "started" intent, so a restart re-executes (at-least-once)
+        # but KNOWS it is re-executing (in-doubt detection).  Writing
+        # "done" before fn() would invert the contract into
         # at-most-once — a crash mid-task would mark it done and the
         # workflow would stall forever.
         if self._seen_path:
-            with open(self._seen_path, "a") as f:
-                f.write(json.dumps(list(key)) + "\n")
+            self._append_ledger(key, "done")
         return events
 
     def drain(self, schedule_rows: list[dict], start_offset: int = 1000,

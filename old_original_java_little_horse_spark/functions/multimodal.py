@@ -478,6 +478,19 @@ def extend_shard_assign(manifest: DataFrame, new_docs: DataFrame,
     recompute.  Precondition (enforced): new doc_ids sort after every
     existing doc_id of their source, the same append-only contract the
     packing rule itself assumes.
+
+    .. note:: **Error contract (changed in round 6).**  The
+       append-only check is LAZY: it rides the returned plan as a
+       `raise_error` column on both shard columns and fires at action
+       time on the first violating row, surfacing as a Spark
+       ``SparkRuntimeException`` (via Py4J) — NOT the eager
+       ``ValueError`` earlier rounds raised at call time.  Callers
+       that caught ``ValueError`` must catch the Spark exception at
+       their first action instead.  A consumer whose projection prunes
+       BOTH ``shard_id`` and ``shard_offset`` skips the check along
+       with the work it guards — acceptable because an assignment the
+       caller never reads cannot corrupt the manifest; validate
+       eagerly yourself if you need the guarantee without reading.
     """
     tails = (manifest.groupBy("source")
              .agg(F.max("doc_id").alias("max_doc_id"),

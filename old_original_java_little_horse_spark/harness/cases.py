@@ -17,6 +17,8 @@ TIMER_EVENT path a detached worker's silence would trigger.
 
 from __future__ import annotations
 
+import uuid
+
 from dataclasses import dataclass, field
 from typing import Any, Callable
 
@@ -338,7 +340,14 @@ def _retries_task() -> Case:
 
     return Case(
         "retries_task", wf.build(),
-        [Launch(check, variables=lambda i: {"marker": f"m-{i}"})],
+        # The marker must be unique PER LAUNCH, not per launch index:
+        # the executor's _FAIL_ONCE_SEEN set is process-global, so a
+        # second `cli test retries_task` against the same long-lived
+        # --api server would otherwise reuse "m-0", the first attempt
+        # would succeed immediately, and attempt_numbers == [0] would
+        # falsely fail a correct engine (ADVICE r6).
+        [Launch(check, variables=lambda i:
+                {"marker": f"m-{i}-{uuid.uuid4().hex[:12]}"})],
         task_defs=["fail_once"])
 
 

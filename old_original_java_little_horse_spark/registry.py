@@ -50,47 +50,34 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # Queries with the thinnest driver-check history, surfaced to the
 # front of the registry: the driver verifies queries in registry order
 # under a time budget (~50 rows), so whatever it cannot reach is
-# whatever sits at the tail.  Round-6 rotation (VERDICT r5 items 1+3):
-# the six round-5 hash-red queries (fixed this round — integer
-# fixed-point output surface) lead so CORRECTNESS_r06 records the fix;
-# then the 24 queries that have NEVER had a driver row (late-round-5
-# registrations past the budget); then the 25 queries stale since r3.
-# The freshly-r5-green set follows — it has the freshest evidence and
-# can wait a round.
+# whatever sits at the tail.  Round-7 rotation (VERDICT r6 item 1):
+# the 55 queries whose latest driver evidence is round 3 or round 4 —
+# 5 r3-stale engine/stream queries, then the 50 r4-stale block.
+# After round 7 records its head-50, every one of the 149 registered
+# queries has round-5-or-newer evidence and the steady-state 3-round
+# rotation cadence begins (each round re-checks the oldest ~50).
 _CHECK_FIRST = [
-    # round-5 hash-red, fixed in round 6: DECIMAL/HUGEINT output
-    # columns converted to *_cents/*_e6 BIGINT on both engines
-    "a11_rfm_segments", "g_triangle_count", "a9_markov_transitions",
-    "w8_gap_fill", "j8_temporal_join", "stream_scd2_enrich",
-    # never driver-checked (registered mid/late round 5)
-    "q2_min_cost_supplier", "q4_priority_semi", "q14_promo_revenue",
-    "q18_large_orders", "q19_disjunctive_revenue",
-    "q22_idle_customers_anti",
-    "sk_hll_registers", "sk_kmv_distinct", "sk_cms_registers",
-    "sk_cms_point_queries", "stream_hll_registers", "stream_event_rates",
-    "idx_tfidf_topk", "d_winnow_fingerprint_pairs", "g_pagerank_purchases",
-    "d_url_dedup", "t_decontaminate_bloom", "t_stratified_sample",
-    "t_source_overlap", "a7_event_rate_windows", "j7_interval_overlap",
-    "dq_check_suite", "d_dup_cluster_stats", "w6_cohort_retention",
-    # stale since round 3 (no r4/r5 driver row)
-    "s2_changelog_upsert", "agg_rollup_sets", "engine_run_index",
-    "d_exact_dedup", "d_minhash_signatures", "d_minhash_lsh_pairs",
-    "d_simhash", "x_mutation_string", "x_mutation_array",
-    "x_mutation_remove_key", "x_jsonpath", "x_type_coercion",
-    "x_template_substitution", "sim_topk_bruteforce", "sim_lsh_bucketed_ann",
-    "sim_label_blocked_neardup", "sim_ivf_ann", "sim_label_centroids",
-    "engine_pipeline_fold", "engine_task_runs_flat", "engine_result_counts",
-    "engine_streaming_fold", "engine_index_incremental", "stream_doc_dedup",
+    # latest driver evidence: round 3
+    "engine_result_counts", "engine_streaming_fold",
+    "engine_index_incremental", "stream_doc_dedup",
     "stream_minhash_incremental",
-    # last-checked round 4 (all green)
+    # latest driver evidence: round 4
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
-    "q6_forecast_revenue", "q13_order_distribution", "q16_supplier_variety",
-    "q17_small_quantity_revenue", "q20_heavy_part_suppliers",
-    "q21_sole_fault_suppliers", "w7_rolling_revenue", "t_span_dedup",
-    "stream_interval_join", "sk_bottomk_quantiles", "s4_scd2_dimension",
-    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
-    "q10_returned_items", "q11_important_parts", "q12_shipping_delay",
-    "q15_top_supplier",
+    "w4_sessionize", "j5_asof_join", "w5_length_quantiles", "a6_funnel",
+    "j6_range_count", "p3_alias_projection", "a1_index_posting",
+    "idx_search_lookup", "p1_fanout_filter", "p2_nonnull_projection",
+    "j2_broadcast_enrich", "j3_lookup_join", "j4_fifo_correlation",
+    "a2_status_rollup", "a5_all_ids", "w1_position_numbering",
+    "w2_latest_entry", "w3_timer_scan", "s_alias_diff_except",
+    "sort_limit_topn", "s3_serving_store_upsert", "d_ngram_jaccard_pairs",
+    "d_simhash_pairs", "d_dup_clusters", "d_dedup_canonical",
+    "t_lang_id", "t_quality_score", "t_token_count", "t_fingerprint",
+    "t_corpus_stats", "t_pii_redact", "t_doc_chunks", "t_hash_split",
+    "t_top_ngrams", "t_distinctive_terms", "t_segment_dedup", "t_lm_score",
+    "t_decontaminate", "t_balanced_mix", "t_repetition_score",
+    "t_global_shuffle", "t_pack_sequences", "t_curated_corpus",
+    "x_comparison_ops", "x_mutation_arith", "sim_dup_clusters",
+    "stream_sessionize",
 ]
 
 

@@ -39,8 +39,10 @@ def test_k8s_name_matches_reference_rules():
 
     assert k8s_name("lh-task-My_Task.Name") == "lh-task-my-task-name"
     long = k8s_name("a" * 99)
-    assert long == "a" * 54 + "-" + hashlib.md5(
+    # digest suffix = LHUtil.digestify (LHUtil.java:69-77): sha256[:8]
+    assert long == "a" * 54 + "-" + hashlib.sha256(
         ("a" * 99).encode()).hexdigest()[:8]
+    assert long.endswith("-13284468")  # pinned: byte-parity with digestify
     assert len(long) == 63
     assert k8s_name("--Weird---chars!!") == "weird-chars"
     # the regression that motivated the digest form: a '-' landing at

@@ -136,3 +136,102 @@ def test_worker_none_result_posts_started_only():
     content = json.loads(evs[0]["content"])
     assert "started_event" in content and "ended_event" not in content
     assert w.handle(tsr, 1001, 12) == []  # duplicate delivery skipped
+
+
+def test_ledger_intent_record_detects_crash_before_done():
+    """VERDICT r6 item 4: a 'started' intent line is appended BEFORE
+    the user function runs, so a crash between user-function return
+    and the 'done' append is detected as IN-DOUBT on restart — the
+    replacement worker re-executes (at-least-once fallback) but
+    records the detection instead of treating the attempt as never
+    started.  (Reference comparable: the Kafka-txn exactly-once
+    commit, TaskWorker.java:102-142.)"""
+    calls = []
+
+    def fn(subs):
+        calls.append(subs)
+        return {"stdout": "ok", "success": True, "returncode": 0}
+
+    tsr = {"wf_run_id": "wf-1", "thread_id": 0, "task_run_position": 0,
+           "attempt_number": 0, "task_def_name": "t",
+           "variable_substitutions": {}}
+    workdir = Path(tempfile.mkdtemp(prefix="worker-intent-"))
+    try:
+        ledger = str(workdir / "t.jsonl")
+        # Simulate the crash window: monkeypatch the 'done' append away
+        # so the process dies after fn() returned but before completion
+        # was recorded — only the 'started' intent survives on disk.
+        w1 = TaskWorker({"t": fn}, seen_path=ledger)
+        real_append = w1._append_ledger
+        w1._append_ledger = lambda key, state: (
+            None if state == "done" else real_append(key, state))
+        assert len(w1.handle(tsr, 1000, 10)) == 2
+        lines = [json.loads(s) for s in Path(ledger).read_text().splitlines()]
+        assert lines == [{"k": ["wf-1", 0, 0, 0], "s": "started"}]
+        # Restarted worker: key is in-doubt, NOT silently skipped and
+        # NOT silently re-executed — detection is surfaced.
+        w2 = TaskWorker({"t": fn}, seen_path=ledger)
+        assert w2.detected_in_doubt == []
+        evs = w2.handle(tsr, 1001, 12)
+        assert len(evs) == 2  # at-least-once fallback: re-executed
+        assert w2.detected_in_doubt == [("wf-1", 0, 0, 0)]
+        assert len(calls) == 2
+        # The re-execution completed normally, so a THIRD worker sees
+        # 'done' and skips cleanly.
+        w3 = TaskWorker({"t": fn}, seen_path=ledger)
+        assert w3.handle(tsr, 1002, 14) == []
+        assert w3.detected_in_doubt == []
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_reload_seen_tolerates_partial_and_malformed_lines():
+    """ADVICE r6 (medium): another process may be mid-append when
+    reload_seen() runs.  Only complete lines are consumed — a trailing
+    fragment with no newline is left for the next poll (and the byte
+    offset does NOT advance past it) — and a malformed complete line
+    is skipped instead of crashing the poll loop."""
+    calls = []
+
+    def fn(subs):
+        calls.append(subs)
+        return {"stdout": "ok", "success": True, "returncode": 0}
+
+    keyline = json.dumps({"k": ["wf-9", 0, 0, 0], "s": "done"})
+    workdir = Path(tempfile.mkdtemp(prefix="worker-partial-"))
+    try:
+        ledger = workdir / "t.jsonl"
+        # complete malformed line + partial (torn) trailing write
+        ledger.write_text('{"k": [garbage\n' + keyline[: len(keyline) // 2])
+        w = TaskWorker({"t": fn}, seen_path=str(ledger))  # must not raise
+        assert w._seen == set() and w._in_doubt == set()
+        # offset sits at the end of the malformed line, before the tear
+        assert w._seen_offset == len('{"k": [garbage\n')
+        # the other process finishes its append
+        with open(ledger, "a") as f:
+            f.write(keyline[len(keyline) // 2:] + "\n")
+        w.reload_seen()
+        assert ("wf-9", 0, 0, 0) in w._seen
+        tsr = {"wf_run_id": "wf-9", "thread_id": 0, "task_run_position": 0,
+               "attempt_number": 0, "task_def_name": "t",
+               "variable_substitutions": {}}
+        assert w.handle(tsr, 1000, 10) == [] and calls == []
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_legacy_bare_key_ledger_lines_still_load():
+    """Pre-intent ledgers (bare JSON-array lines) keep working: a bare
+    key is treated as 'done'."""
+    workdir = Path(tempfile.mkdtemp(prefix="worker-legacy-"))
+    try:
+        ledger = workdir / "t.jsonl"
+        ledger.write_text(json.dumps(["wf-L", 0, 0, 0]) + "\n")
+        w = TaskWorker({}, seen_path=str(ledger))
+        assert ("wf-L", 0, 0, 0) in w._seen
+        tsr = {"wf_run_id": "wf-L", "thread_id": 0, "task_run_position": 0,
+               "attempt_number": 0, "task_def_name": "t",
+               "variable_substitutions": {}}
+        assert w.handle(tsr, 1000, 10) == []
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
