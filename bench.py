@@ -2,7 +2,26 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
 ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec, ...}, "sf": ...}.
+"queries": {name: sec, ...}, "samples": {name: [sec, ...]},
+"replay_prev": {...}, "sf": ...}.
+
+Self-calibration (VERDICT r6 item 2): this sandbox shows minutes-long
+host stalls — the same commit read 39-51 s across one morning, and the
+recorded BENCH_r06 total (54.1 s) was re-measured by the judge at ~2/3
+of that minutes later.  Two keys make each round's artifact separable
+from host weather WITHOUT judge-side re-runs:
+
+- ``samples``: all N_TIMED_RUNS per-query wall times (the published
+  ``queries`` value is their median) — a stall poisons one interleaved
+  sample, and the spread exposes it;
+- ``replay_prev``: the previous round's end-of-round snapshot commit,
+  checked out into a throwaway ``git worktree`` and benched by ITS OWN
+  bench.py in the same window, right after the current measurements on
+  the same host.  Round-over-round delta = current vs ``replay_prev``,
+  both taken under the same weather; comparing against a prior round's
+  *recorded* file only measures the weather.  Skipped when
+  $SPARK_GRAFT_NO_REPLAY is set (the replay child sets it, so the
+  recursion is exactly one level).
 
 Timing counts full execution (collect) but not session startup.
 """
@@ -11,7 +30,9 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
+import tempfile
 import time
 from pathlib import Path
 
@@ -131,15 +152,78 @@ def main() -> None:
     timings = {name: round(sorted(runs)[len(runs) // 2], 3)
                for name, runs in samples.items()}
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    spark.stop()  # free the JVM/cores BEFORE the replay child runs
+    replay = replay_previous_round(sf_dir)
+    out = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "samples": {n: [round(s, 3) for s in runs]
+                    for n, runs in samples.items()},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "engine_fold_events_per_sec": fold_eps,
-    }))
-    spark.stop()
+    }
+    if replay is not None:
+        out["replay_prev"] = replay
+    print(json.dumps(out))
+
+
+def replay_previous_round(sf_dir: str) -> dict | None:
+    """Bench the previous round's snapshot commit in the same window.
+
+    Checks out the most recent ``round N: end-of-round snapshot``
+    commit into a temporary git worktree and runs ITS bench.py as a
+    subprocess with the same SF/CPU env — a same-host, same-minutes
+    control measurement.  Returns a summary dict, an ``{"error": ...}``
+    dict (a missing/failed replay must not sink the round's artifact),
+    or None when suppressed via $SPARK_GRAFT_NO_REPLAY."""
+    if os.environ.get("SPARK_GRAFT_NO_REPLAY"):
+        return None
+    repo = Path(__file__).resolve().parent
+    wt: Path | None = None
+    try:
+        head = subprocess.run(
+            ["git", "rev-parse", "HEAD"], cwd=repo,
+            capture_output=True, text=True, timeout=60).stdout.strip()
+        log = subprocess.run(
+            ["git", "log", "--grep", "end-of-round snapshot",
+             "-n", "5", "--format=%H %s"],
+            cwd=repo, capture_output=True, text=True, timeout=60)
+        # The driver may run this AT a fresh end-of-round snapshot
+        # commit — skip HEAD itself so the replay is the PREVIOUS
+        # round's code, not a re-run of the current one.
+        lines = [ln for ln in log.stdout.splitlines()
+                 if ln.strip() and not ln.startswith(head)]
+        if not lines:
+            return {"error": "no prior end-of-round snapshot commit"}
+        commit, _, subject = lines[0].partition(" ")
+        wt = Path(tempfile.mkdtemp(prefix="bench-replay-")) / "wt"
+        subprocess.run(
+            ["git", "worktree", "add", "--detach", str(wt), commit],
+            cwd=repo, check=True, capture_output=True, timeout=300)
+        env = dict(os.environ,
+                   SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_NO_REPLAY="1")
+        res = subprocess.run(
+            [sys.executable, str(wt / "bench.py")], cwd=wt, env=env,
+            capture_output=True, text=True, timeout=2700)
+        json_lines = [ln for ln in res.stdout.splitlines()
+                      if ln.startswith("{")]
+        if not json_lines:
+            return {"error": f"replay produced no JSON (rc={res.returncode}): "
+                             f"{res.stderr[-300:]}"}
+        data = json.loads(json_lines[-1])
+        return {"commit": commit[:9], "subject": subject,
+                "value": data.get("value"),
+                "queries": data.get("queries"),
+                "engine_fold_events_per_sec":
+                    data.get("engine_fold_events_per_sec")}
+    except Exception as e:  # noqa: BLE001 — replay is best-effort calibration
+        return {"error": f"{type(e).__name__}: {e}"}
+    finally:
+        if wt is not None:
+            subprocess.run(["git", "worktree", "remove", "--force", str(wt)],
+                           cwd=repo, capture_output=True, timeout=120)
 
 
 def fold_throughput(min_seconds: float = 2.0) -> int:
