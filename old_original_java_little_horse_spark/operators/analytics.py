@@ -1044,7 +1044,8 @@ def _ntile_bucket(k: int, rank_col: str = "_grank",
 
 def exact_ntile_stacked(df: DataFrame, k: int, dims, key: str,
                         n_parts: int = 0,
-                        scope: str = "exact_ntile_stacked") -> DataFrame:
+                        scope: str = "exact_ntile_stacked",
+                        carry=()) -> DataFrame:
     """NTILE(k)-exact scores for SEVERAL numeric dimensions over ONE
     shared range exchange — the amortized form of `exact_ntile` for
     multi-score rollups like RFM.
@@ -1059,22 +1060,43 @@ def exact_ntile_stacked(df: DataFrame, k: int, dims, key: str,
     rank simultaneously.  Scores reassemble with one conditional-max
     rollup on `key` — no per-dimension join.
 
+    `carry` (column names of `df`) rides each stacked row through the
+    range exchange and re-emerges in the output via max() (the copies
+    are identical per key) — callers needing the input columns next
+    to the scores then skip a join back to `df` AND the persist that
+    second consumer of `df` would force.  The trade: the range
+    shuffle carries |dims|× the carry bytes, so carry slim columns
+    (scores-next-to-measures), never wide payloads — at rollup scale
+    (already 1000×-reduced at 100 TB) a few carried longs are noise
+    next to the avoided shuffle join.
+
     Against the one-dimension-at-a-time form this is 1 boundary-
     sampling job, 1 shuffle, and 1 persisted frame instead of |dims|
     of each; the tie-broken total order makes it skew-proof the same
     way (equal values split across partitions by key, never pile
-    up).  The exploded frame is |dims|× the rollup — at 100 TB the
-    rollup is already the 1000×-reduced table, so the constant is
-    noise next to the avoided jobs."""
+    up).  The boundary sampling is load-bearing for that skew-
+    proofing: only a sampler over the composite (dim, v, key) key can
+    split a heavily-repeated value across partitions at its key
+    boundaries, so it cannot be replaced by precomputed per-dim value
+    quantiles without re-creating the pile-up it exists to prevent
+    (measured in round 7 — see COVERAGE.md)."""
     spark = df.sparkSession
     if not n_parts:
         n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    reserved = {"dim", "v", "dv", "_pid", "_lrank", "_grank", "_off",
+                "_pn", "_ntotal", key}
+    clash = reserved.intersection(carry)
+    if clash:
+        raise ValueError(
+            f"carry columns {sorted(clash)} collide with the stacked "
+            f"rank machinery's internal names ({sorted(reserved)}); "
+            "rename them before stacking")
     stacked = df.select(
-        key,
+        key, *carry,
         F.explode(F.array(*[
             F.struct(F.lit(i).alias("dim"), c.cast("long").alias("v"))
             for i, (_, c) in enumerate(dims)])).alias("dv")
-    ).select(key, "dv.dim", "dv.v")
+    ).select(key, *carry, "dv.dim", "dv.v")
     _evict_scope(scope)
     rp = _pin(stacked.repartitionByRange(n_parts, "dim", "v", key)
               .withColumn("_pid", F.spark_partition_id()), scope)
@@ -1098,9 +1120,10 @@ def exact_ntile_stacked(df: DataFrame, k: int, dims, key: str,
               .join(F.broadcast(meta), ["_pid", "dim"])
               .withColumn("_grank",
                           (F.col("_off") + F.col("_lrank")).cast("long")))
-    return ranked.groupBy(key).agg(*[
-        F.max(F.when(F.col("dim") == i, bucket)).cast("long").alias(out)
-        for i, (out, _) in enumerate(dims)])
+    return ranked.groupBy(key).agg(
+        *[F.max(F.when(F.col("dim") == i, bucket)).cast("long").alias(out)
+          for i, (out, _) in enumerate(dims)],
+        *[F.max(c).alias(c) for c in carry])
 
 
 def exact_ntile(df: DataFrame, k: int, order_cols, out_name: str,
@@ -1178,9 +1201,13 @@ def a11_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned rollup."""
     o = load_table(spark, sf_dir, "orders")
     ref = o.agg(F.max("o_orderdate").alias("max_date"))
-    # Pinned: the rollup feeds the stacked rank exchange AND the
-    # final join spine; without the cache each branch would replay
-    # the orders scan + rollup exchange.
+    # The measures ride the stacked rank exchange as `carry` columns
+    # (3 longs × 3 dims at rollup scale): no join back to the rollup,
+    # one fewer shuffle.  The rollup STAYS pinned even with a single
+    # consumer — repartitionByRange's boundary sampler is a separate
+    # pass over the child lineage, so an unpinned rollup would execute
+    # the orders scan + aggregate twice (measured: the pin + carry
+    # combination is the fastest of the four arrangements).
     _evict_scope("a11:rfm")
     rfm = _pin(o.crossJoin(F.broadcast(ref))
                .groupBy(F.col("o_custkey").alias("c_custkey"))
@@ -1194,8 +1221,9 @@ def a11_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("r_score", F.col("recency_days")),       # asc
         ("f_score", -F.col("frequency")),         # desc via negation
         ("m_score", -F.col("monetary_cents")),    # desc via negation
-    ], key="c_custkey", scope="a11:ntile")
-    return (rfm.join(scores, "c_custkey")
+    ], key="c_custkey", scope="a11:ntile",
+        carry=("recency_days", "frequency", "monetary_cents"))
+    return (scores
             .select("c_custkey", "recency_days", "frequency",
                     "monetary_cents", "r_score", "f_score", "m_score")
             .withColumn("rfm_code", F.expr("r_score * 100 + f_score * 10"

@@ -123,3 +123,38 @@ def test_a11_plans_no_single_partition_window(spark):
     assert not re.search(
         r"Window[^\n]*\n[^\n]*Sort[^\n]*\n[^\n]*Exchange SinglePartition",
         plan), plan
+
+
+def test_stacked_carry_columns_ride_the_exchange(spark):
+    """`carry` columns re-emerge next to the scores — same values as
+    the join-back form, no join needed (the round-7 a11 shave) — and
+    a carry name colliding with the internal stacked columns is
+    rejected eagerly instead of failing deep in analysis."""
+    import pytest as _pytest
+
+    from old_original_java_little_horse_spark.operators.analytics import (
+        exact_ntile_stacked,
+    )
+
+    df = (_frame(spark, 101, 5)
+          .withColumn("payload", F.col("c_custkey") * 1000 + 7)
+          .withColumn("val", F.col("v")))
+    got = exact_ntile_stacked(
+        df, 5, [("s", F.col("v"))], key="c_custkey",
+        scope="t:carry", carry=("payload", "val"))
+    rows = {r["c_custkey"]: r for r in got.collect()}
+    base = {r["c_custkey"]: r for r in df.collect()}
+    assert set(rows) == set(base)
+    for ck, r in rows.items():
+        assert r["payload"] == base[ck]["payload"]
+        assert r["val"] == base[ck]["val"]
+    want = {r["c_custkey"]: r["b"] for r in df.select(
+        "c_custkey",
+        F.ntile(5).over(Window.orderBy("v", "c_custkey"))
+        .cast("long").alias("b")).collect()}
+    assert {ck: r["s"] for ck, r in rows.items()} == want
+    # reserved-name collision: eager ValueError, not an opaque
+    # AMBIGUOUS_REFERENCE at analysis time
+    with _pytest.raises(ValueError, match="collide"):
+        exact_ntile_stacked(df, 5, [("s", F.col("v"))],
+                            key="c_custkey", carry=("v",))
