@@ -204,9 +204,13 @@ def replay_previous_round(sf_dir: str) -> dict | None:
             cwd=repo, check=True, capture_output=True, timeout=300)
         env = dict(os.environ,
                    SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_NO_REPLAY="1")
+        # Bounded well under any plausible driver budget: losing the
+        # replay costs calibration, but a replay that overstays could
+        # cost the round's entire bench artifact.
         res = subprocess.run(
             [sys.executable, str(wt / "bench.py")], cwd=wt, env=env,
-            capture_output=True, text=True, timeout=2700)
+            capture_output=True, text=True,
+            timeout=int(os.environ.get("SPARK_GRAFT_REPLAY_TIMEOUT", "1500")))
         json_lines = [ln for ln in res.stdout.splitlines()
                       if ln.startswith("{")]
         if not json_lines:
