@@ -188,13 +188,18 @@ def replay_previous_round(sf_dir: str) -> dict | None:
             capture_output=True, text=True, timeout=60).stdout.strip()
         log = subprocess.run(
             ["git", "log", "--grep", "end-of-round snapshot",
-             "-n", "5", "--format=%H %s"],
+             "-n", "20", "--format=%H %s"],
             cwd=repo, capture_output=True, text=True, timeout=60)
-        # The driver may run this AT a fresh end-of-round snapshot
-        # commit — skip HEAD itself so the replay is the PREVIOUS
-        # round's code, not a re-run of the current one.
+        # Two filters: (1) the SUBJECT must be the driver's snapshot
+        # shape ("round N: end-of-round snapshot ..."), not merely a
+        # commit whose message mentions the phrase (this file's own
+        # commit message does); (2) skip HEAD itself — the driver may
+        # run bench AT a fresh snapshot commit, and the replay must be
+        # the PREVIOUS round's code, not a re-run of the current one.
+        import re
+        pat = re.compile(r"^[0-9a-f]{40} round \d+: end-of-round snapshot")
         lines = [ln for ln in log.stdout.splitlines()
-                 if ln.strip() and not ln.startswith(head)]
+                 if pat.match(ln) and not ln.startswith(head)]
         if not lines:
             return {"error": "no prior end-of-round snapshot commit"}
         commit, _, subject = lines[0].partition(" ")
