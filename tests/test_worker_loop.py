@@ -235,3 +235,49 @@ def test_legacy_bare_key_ledger_lines_still_load():
         assert w.handle(tsr, 1000, 10) == []
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_reload_seen_concurrent_appender_fuzz():
+    """Live version of the torn-append contract: a writer thread
+    appends ledger entries in deliberately split chunks (every byte
+    boundary a slow filesystem could expose) while the reader polls
+    reload_seen() between chunks.  The reader must never crash, never
+    mis-parse, and must converge to exactly the writer's key set."""
+    import threading
+
+    workdir = Path(tempfile.mkdtemp(prefix="worker-fuzz-"))
+    try:
+        ledger = workdir / "t.jsonl"
+        ledger.touch()
+        keys = [("wf-%d" % i, 0, i, 0) for i in range(200)]
+        step = threading.Event()   # reader turn
+        wrote = threading.Event()  # writer progressed
+
+        def writer():
+            with open(ledger, "a") as f:
+                for i, k in enumerate(keys):
+                    line = json.dumps({"k": list(k), "s": "done"}) + "\n"
+                    # split each line at a position that walks through
+                    # every byte offset across the run
+                    cut = (i * 7) % (len(line) - 1) + 1
+                    f.write(line[:cut]); f.flush()
+                    wrote.set(); step.wait(); step.clear()
+                    f.write(line[cut:]); f.flush()
+                    if i % 3 == 0:  # sometimes let the reader see
+                        wrote.set(); step.wait(); step.clear()
+            wrote.set()
+
+        w = TaskWorker({}, seen_path=str(ledger))
+        t = threading.Thread(target=writer)
+        t.start()
+        while t.is_alive():
+            wrote.wait(timeout=5)
+            wrote.clear()
+            w.reload_seen()  # must tolerate whatever is on disk now
+            step.set()
+        t.join()
+        w.reload_seen()
+        assert w._seen == set(keys)
+        assert w._in_doubt == set()
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
