@@ -233,6 +233,8 @@ def replay_previous_round(sf_dir: str) -> dict | None:
         if wt is not None:
             subprocess.run(["git", "worktree", "remove", "--force", str(wt)],
                            cwd=repo, capture_output=True, timeout=120)
+            import shutil
+            shutil.rmtree(wt.parent, ignore_errors=True)
 
 
 def fold_throughput(min_seconds: float = 2.0) -> int:
