@@ -152,7 +152,12 @@ def main() -> None:
     timings = {name: round(sorted(runs)[len(runs) // 2], 3)
                for name, runs in samples.items()}
     total = round(sum(timings.values()), 3)
-    spark.stop()  # free the JVM/cores BEFORE the replay child runs
+    # From here on, NOTHING may prevent the JSON line: a dying JVM or
+    # a failed replay costs its own feature, never the measurements.
+    try:
+        spark.stop()  # free the JVM/cores BEFORE the replay child runs
+    except Exception:
+        pass
     replay = replay_previous_round(sf_dir)
     out = {
         "metric": "headline_queries_total_sec",
@@ -186,6 +191,11 @@ def replay_previous_round(sf_dir: str) -> dict | None:
         head = subprocess.run(
             ["git", "rev-parse", "HEAD"], cwd=repo,
             capture_output=True, text=True, timeout=60).stdout.strip()
+        if not head:
+            # rev-parse failed: an empty prefix would startswith-match
+            # EVERY candidate line and reject all snapshots.  Use an
+            # impossible prefix so the HEAD-skip filter is a no-op.
+            head = "<unknown-head>"
         log = subprocess.run(
             ["git", "log", "--grep", "end-of-round snapshot",
              "-n", "20", "--format=%H %s"],
@@ -230,11 +240,19 @@ def replay_previous_round(sf_dir: str) -> dict | None:
     except Exception as e:  # noqa: BLE001 — replay is best-effort calibration
         return {"error": f"{type(e).__name__}: {e}"}
     finally:
+        # Best-effort only: a cleanup failure (timeout during a host
+        # stall, fs error) must not escape — it would propagate out of
+        # this function (finally runs after the except) and sink the
+        # whole bench artifact for a throwaway directory.
         if wt is not None:
-            subprocess.run(["git", "worktree", "remove", "--force", str(wt)],
-                           cwd=repo, capture_output=True, timeout=120)
-            import shutil
-            shutil.rmtree(wt.parent, ignore_errors=True)
+            try:
+                subprocess.run(
+                    ["git", "worktree", "remove", "--force", str(wt)],
+                    cwd=repo, capture_output=True, timeout=120)
+                import shutil
+                shutil.rmtree(wt.parent, ignore_errors=True)
+            except Exception:
+                pass
 
 
 def fold_throughput(min_seconds: float = 2.0) -> int:

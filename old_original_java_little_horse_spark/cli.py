@@ -419,6 +419,16 @@ def cmd_work(args) -> int:
         # our last poll (migration overlap, multi-root tailing) —
         # narrows the cross-process duplicate window to one poll.
         worker.reload_seen()
+        if worker.detected_in_doubt:
+            # Surface possible double-executions (a predecessor wrote
+            # the "started" intent, crashed before "done", and this
+            # process re-ran the attempt) — the operator's signal to
+            # check idempotency of the affected task's side effects.
+            for key in worker.detected_in_doubt:
+                print(f"WARNING: re-executed in-doubt attempt {key} "
+                      "(predecessor crashed mid-attempt; at-least-once "
+                      "fallback)", file=sys.stderr)
+            worker.detected_in_doubt.clear()
         for root in candidate_roots:
             out_dir = root / "out"
             if not any(out_dir.rglob("*.parquet")):

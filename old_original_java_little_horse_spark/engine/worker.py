@@ -95,18 +95,37 @@ class TaskWorker:
                 rec = json.loads(raw)
             except (json.JSONDecodeError, UnicodeDecodeError):
                 continue  # torn/corrupt line — skip, don't crash the poll
+            # Shape-validate before touching the sets: a line that is
+            # valid JSON but the wrong shape (scalar "k", nested lists,
+            # a bare string) must be SKIPPED like any other corruption,
+            # not crash the poll with TypeError or — worse — silently
+            # load tuple("wf-1") == ('w','f','-','1') as a key.
             if isinstance(rec, list):  # legacy: bare key == done
-                key = tuple(rec)
+                key = self._valid_key(rec)
+                if key is None:
+                    continue
                 self._seen.add(key)
                 self._in_doubt.discard(key)
-            elif isinstance(rec, dict) and "k" in rec:
-                key = tuple(rec["k"])
+            elif isinstance(rec, dict):
+                key = self._valid_key(rec.get("k"))
+                if key is None:
+                    continue
                 if rec.get("s") == "done":
                     self._seen.add(key)
                     self._in_doubt.discard(key)
                 elif key not in self._seen:
                     self._in_doubt.add(key)
         self._seen_offset += cut + 1
+
+    @staticmethod
+    def _valid_key(rec) -> tuple | None:
+        """A well-formed ledger key is a flat list of JSON scalars
+        (what `_key` produces); anything else is corruption."""
+        if (isinstance(rec, list) and rec
+                and all(isinstance(x, (str, int, float, bool)) or x is None
+                        for x in rec)):
+            return tuple(rec)
+        return None
 
     def _append_ledger(self, key: tuple, state: str) -> None:
         with open(self._seen_path, "a") as f:

@@ -1084,13 +1084,16 @@ def exact_ntile_stacked(df: DataFrame, k: int, dims, key: str,
     if not n_parts:
         n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     reserved = {"dim", "v", "dv", "_pid", "_lrank", "_grank", "_off",
-                "_pn", "_ntotal", key}
+                "_pn", "_ntotal", key} | {out for out, _ in dims}
+    carry = tuple(carry)
     clash = reserved.intersection(carry)
-    if clash:
+    if clash or len(set(carry)) != len(carry):
+        dupes = sorted({c for c in carry if carry.count(c) > 1})
         raise ValueError(
-            f"carry columns {sorted(clash)} collide with the stacked "
-            f"rank machinery's internal names ({sorted(reserved)}); "
-            "rename them before stacking")
+            f"carry columns {sorted(clash) or dupes} collide with the "
+            "stacked rank machinery's internal names, the key, a dims "
+            f"out_name, or each other ({sorted(reserved)}); rename "
+            "them before stacking")
     stacked = df.select(
         key, *carry,
         F.explode(F.array(*[

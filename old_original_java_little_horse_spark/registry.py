@@ -52,10 +52,11 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # under a time budget (~50 rows), so whatever it cannot reach is
 # whatever sits at the tail.  Round-7 rotation (VERDICT r6 item 1):
 # the 55 queries whose latest driver evidence is round 3 or round 4 —
-# 5 r3-stale engine/stream queries, then the 50 r4-stale block.
-# After round 7 records its head-50, every one of the 149 registered
-# queries has round-5-or-newer evidence and the steady-state 3-round
-# rotation cadence begins (each round re-checks the oldest ~50).
+# 5 r3-stale engine/stream queries, then the 50 r4-stale block,
+# ordered oldest-evidence-first.  A ~50-row driver budget covers the
+# head-50; whatever tail (≤5) it cannot reach stays r4-stale and
+# must LEAD the round-8 rotation before the steady-state ~3-round
+# re-check cadence begins.
 _CHECK_FIRST = [
     # latest driver evidence: round 3
     "engine_result_counts", "engine_streaming_fold",

@@ -158,3 +158,21 @@ def test_stacked_carry_columns_ride_the_exchange(spark):
     with _pytest.raises(ValueError, match="collide"):
         exact_ntile_stacked(df, 5, [("s", F.col("v"))],
                             key="c_custkey", carry=("v",))
+
+
+def test_stacked_carry_rejects_out_name_and_duplicate_collisions(spark):
+    """A carry name that matches a dims out_name (or another carry
+    entry) would emit duplicate output columns — rejected eagerly."""
+    import pytest as _pytest
+
+    from old_original_java_little_horse_spark.operators.analytics import (
+        exact_ntile_stacked,
+    )
+
+    df = _frame(spark, 11, 3).withColumn("score", F.col("v") + 1)
+    with _pytest.raises(ValueError, match="collide"):
+        exact_ntile_stacked(df, 3, [("score", F.col("v"))],
+                            key="c_custkey", carry=("score",))
+    with _pytest.raises(ValueError, match="collide"):
+        exact_ntile_stacked(df, 3, [("s", F.col("v"))],
+                            key="c_custkey", carry=("score", "score"))

@@ -281,3 +281,29 @@ def test_reload_seen_concurrent_appender_fuzz():
         assert w._in_doubt == set()
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_reload_seen_skips_wrong_shape_json_lines():
+    """Valid JSON of the wrong SHAPE is corruption too: a scalar 'k',
+    a string 'k' (tuple('wf-1') would silently become a per-character
+    key), nested lists, or a bare string line must be skipped, never
+    crash the poll or load a mangled key."""
+    workdir = Path(tempfile.mkdtemp(prefix="worker-shape-"))
+    try:
+        ledger = workdir / "t.jsonl"
+        good = json.dumps({"k": ["wf-ok", 0, 0, 0], "s": "done"})
+        ledger.write_text("\n".join([
+            '{"k": 5, "s": "done"}',            # scalar k
+            '{"k": "wf-1", "s": "done"}',       # string k -> would explode
+            '[["wf-1"]]',                        # nested list (unhashable)
+            '"just a string"',                  # bare scalar line
+            '{"s": "done"}',                    # no k at all
+            good,
+        ]) + "\n")
+        w = TaskWorker({}, seen_path=str(ledger))  # must not raise
+        assert w._seen == {("wf-ok", 0, 0, 0)}
+        assert w._in_doubt == set()
+        # in particular, no per-character key leaked in
+        assert ("w", "f", "-", "1") not in w._seen
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
