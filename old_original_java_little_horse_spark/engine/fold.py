@@ -1119,6 +1119,14 @@ def handle_timer_event(state: dict, spec: dict, event: dict) -> None:
     """WFRun.handleTimerEvent + ThreadRun.handleTimer
     (ThreadRun.java:1075-1140)."""
     timer = _content(event)
+    if (not isinstance(timer, dict)
+            or "thread_run_id" not in timer or "task_run_id" not in timer):
+        # Shape-invalid content (a poison record): there is no thread
+        # to attribute it to, so log-and-skip semantics — halting the
+        # run would let one corrupt event kill an innocent workflow.
+        # (A WELL-FORMED timer naming an unknown node still halts via
+        # the "Phantom timer." path below — that one is attributable.)
+        return
     thread = state["thread_runs"][timer["thread_run_id"]]
     trs = thread["task_runs"]
     task = trs[timer["task_run_id"]] if timer["task_run_id"] < len(trs) else None

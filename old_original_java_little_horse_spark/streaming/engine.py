@@ -110,6 +110,21 @@ def emit_ctx_rows(out_rows: list, wf_run_id: str, ctx, pending: list) -> None:
         })
 
 
+def _ival(x) -> int:
+    """None/NaN/garbage → 0, else int.  WF_EVENT_SCHEMA's offset and
+    timestamp are nullable LongType; ONE null in a batch makes
+    Arrow→pandas render the whole column float64 with NaN, and
+    ``nan or 0`` is nan (truthy) — which would poison the sort key,
+    make ``max()`` return nan, silently drop every later event at the
+    lateness gate, and write a float into the Long state column."""
+    try:
+        if x is None or x != x:  # NaN != NaN
+            return 0
+        return int(x)
+    except (TypeError, ValueError):
+        return 0
+
+
 def prepare_events(events: list[dict], max_offset: int, max_event_ts: int,
                    allowed_lateness_ms: int | None) -> tuple[list[dict], int, int]:
     """Order + bound a micro-batch group's events (shared by both
@@ -117,21 +132,26 @@ def prepare_events(events: list[dict], max_offset: int, max_event_ts: int,
     gives no intra-batch order), drop events beyond the lateness
     allowance, and advance the key's (max_offset, max_event_ts) —
     `seq` must STRICTLY increase whenever events fold, so an
-    out-of-order event with a stale offset still bumps it."""
-    events = sorted(events, key=lambda e: e.get("offset") or 0)
+    out-of-order event with a stale offset still bumps it.
+    Offsets/timestamps are normalized in place (None/NaN → 0) so the
+    fold downstream never sees a pandas-nullified float."""
+    for e in events:
+        e["offset"] = _ival(e.get("offset"))
+        e["timestamp"] = _ival(e.get("timestamp"))
+    events = sorted(events, key=lambda e: e["offset"])
     if allowed_lateness_ms is not None:
         max_seen = max_event_ts
         kept = []
         for e in events:
-            ts = e.get("timestamp") or 0
+            ts = e["timestamp"]
             max_seen = max(max_seen, ts)
             if ts >= max_seen - allowed_lateness_ms:
                 kept.append(e)
         events = kept
     max_event_ts = max(
-        [max_event_ts] + [e.get("timestamp") or 0 for e in events])
+        [max_event_ts] + [e["timestamp"] for e in events])
     prev_max_offset = max_offset
-    max_offset = max([max_offset] + [e.get("offset") or 0 for e in events])
+    max_offset = max([max_offset] + [e["offset"] for e in events])
     if events and max_offset <= prev_max_offset:
         max_offset = prev_max_offset + 1
     return events, max_offset, max_event_ts
@@ -217,7 +237,17 @@ def make_update_fn(spec: dict, executor: TaskExecutor | None = None,
                        if t["maturation_timestamp"] <= now_ms]
             if not matured:
                 break
-            for t in sorted(matured, key=_timer_key):
+            # Maturation order FIRST (thread/task ids only break ties):
+            # the reference punctuator range-scans [0, now] by
+            # maturation time (SchedulerProcessor), and the TimerPump
+            # replay path injects events whose offsets are the
+            # µs-scaled maturation timestamps — firing here in any
+            # other order could diverge from both when one timer's
+            # fold halts a thread whose own timer matured earlier.
+            for t in sorted(matured,
+                            key=lambda t: (t["maturation_timestamp"],
+                                           t["thread_run_id"],
+                                           t["task_run_id"])):
                 pending.remove(t)
                 max_offset += 1
                 ev = {
@@ -249,12 +279,29 @@ def make_update_fn(spec: dict, executor: TaskExecutor | None = None,
         if old_aliases is not None:
             index_diff_rows(out_rows, wf_run_id, old_aliases, state, max_offset)
         out_rows.append(snapshot_row(wf_run_id, state, max_offset))
+        if evict_completed and state["status"] == "COMPLETED" and pending:
+            # Terminal run: stored timers can no longer change anything
+            # (the fold's stale guards no-op a timer against a terminal
+            # run, same as the reference punctuator firing late).  Drop
+            # them rather than block eviction — in replay mode (no
+            # wheel tick) an unmatured task-timeout timer would
+            # otherwise pin the full document forever.
+            pending = []
         if evict_completed and state["status"] == "COMPLETED" and not pending:
             group_state.update((_TOMB_STATE, max_offset, max_event_ts,
                                 "[]", 1))
             if native_timers and tombstone_ttl_ms is not None:
                 group_state.setTimeoutDuration(tombstone_ttl_ms)
             return
+        _persist_and_arm(group_state, state, max_offset, max_event_ts,
+                         pending)
+
+    def _persist_and_arm(group_state: GroupState, state, max_offset: int,
+                         max_event_ts: int, pending: list) -> None:
+        """Persist live (non-tombstone) state and re-arm the timer
+        wheel — the ONE place the state tuple shape and the
+        earliest-immature-timer arming live (shared by _store and the
+        spurious-wake path, which must not diverge)."""
         group_state.update((json.dumps(state, separators=(",", ":")),
                             max_offset, max_event_ts,
                             json.dumps(pending, separators=(",", ":")), 0))
@@ -307,14 +354,11 @@ def make_update_fn(spec: dict, executor: TaskExecutor | None = None,
                 _store(group_state, state, max_offset, max_event_ts,
                        pending, out_rows, wf_run_id, old_aliases)
             elif pending:
-                # Spurious/early wake: just re-arm.
-                group_state.update((json.dumps(state, separators=(",", ":")),
-                                    max_offset, max_event_ts,
-                                    json.dumps(pending, separators=(",", ":")),
-                                    0))
-                next_mat = min(t["maturation_timestamp"] for t in pending)
-                group_state.setTimeoutDuration(
-                    max(1, next_mat - int(_time.time() * 1000)))
+                # Spurious/early wake: just re-persist and re-arm
+                # (shared helper — the state tuple shape must never
+                # fork between this path and _store).
+                _persist_and_arm(group_state, state, max_offset,
+                                 max_event_ts, pending)
             yield pd.DataFrame(out_rows, columns=cols)
             return
 
@@ -343,7 +387,11 @@ def make_update_fn(spec: dict, executor: TaskExecutor | None = None,
                     fired_key = _timer_key(json.loads(ev.get("content") or "{}"))
                     pending = [t for t in pending
                                if _timer_key(t) != fired_key]
-                except (KeyError, ValueError):
+                except (KeyError, ValueError, TypeError):
+                    # TypeError: content that is valid JSON but not an
+                    # object ('123', '[1]', 'null') — a poison pill
+                    # must be tolerated, not crash the micro-batch
+                    # (which would replay and crash forever).
                     pass
             state, ctx = process_event(spec, state, ev, executor=executor)
             _emit(out_rows, wf_run_id, ctx, pending)
@@ -484,9 +532,14 @@ def start_continuous(spark: SparkSession, events_dir: str, spec: dict,
             from ..sinks.serving import upsert_serving_stores
 
             batch_df.persist()
-            batch_df.write.mode("append").parquet(output_dir)
-            upsert_serving_stores(batch_df, serving_dir)
-            batch_df.unpersist()
+            try:
+                batch_df.write.mode("append").parquet(output_dir)
+                upsert_serving_stores(batch_df, serving_dir)
+            finally:
+                # foreachBatch retries re-enter this function; without
+                # the finally, a failed upsert would leak one cached
+                # copy per attempt into executor storage memory.
+                batch_df.unpersist()
         else:
             batch_df.write.mode("append").parquet(output_dir)
 
@@ -541,27 +594,33 @@ def start_continuous_shared(spark: SparkSession, events_dir: str,
         from ..sinks.serving import upsert_serving_stores
 
         batch_df.persist()
-        batch_df.write.mode("append").parquet(output_dir)
-        run_spec = (
-            batch_df.where(F.col("kind") == "snapshot")
-            .select("wf_run_id",
-                    F.get_json_object("payload", "$.wf_spec_name")
-                    .alias("_spec"))
-            .distinct())
-        attributed = (batch_df
-                      .join(F.broadcast(run_spec), "wf_run_id", "left")
-                      .persist())
-        present = [r["_spec"] for r in
-                   attributed.select("_spec").distinct().collect()
-                   if r["_spec"] is not None]
-        for name in present:
-            sdir = serving_dirs.get(name)
-            if sdir is not None:
-                upsert_serving_stores(
-                    attributed.where(F.col("_spec") == name).drop("_spec"),
-                    sdir)
-        attributed.unpersist()
-        batch_df.unpersist()
+        attributed = None
+        try:
+            batch_df.write.mode("append").parquet(output_dir)
+            run_spec = (
+                batch_df.where(F.col("kind") == "snapshot")
+                .select("wf_run_id",
+                        F.get_json_object("payload", "$.wf_spec_name")
+                        .alias("_spec"))
+                .distinct())
+            attributed = (batch_df
+                          .join(F.broadcast(run_spec), "wf_run_id", "left")
+                          .persist())
+            present = [r["_spec"] for r in
+                       attributed.select("_spec").distinct().collect()
+                       if r["_spec"] is not None]
+            for name in present:
+                sdir = serving_dirs.get(name)
+                if sdir is not None:
+                    upsert_serving_stores(
+                        attributed.where(F.col("_spec") == name)
+                        .drop("_spec"), sdir)
+        finally:
+            # A failed upsert re-enters on retry; the finally keeps
+            # each attempt from leaking two cached copies of the batch.
+            if attributed is not None:
+                attributed.unpersist()
+            batch_df.unpersist()
 
     from ..session import scoped_conf
 
@@ -583,9 +642,14 @@ def await_read_your_writes(query, timeout: float = 60.0) -> None:
     the produce offset, 50 ms at a time
     (`APIStreamsContext.java:168-222`, poll at 200-203).  On a
     micro-batch engine the equivalent is: wait for a trigger that
-    *started* after this call and read zero input rows — its file
-    listing then post-dates the write, so all earlier input is
-    committed to the state store and sinks.  (Comparing batchIds
+    *started* after this call and provably consumed everything listed
+    before it started — either it read ZERO input rows, or its
+    endOffset caught up to the source's latestOffset (it drained the
+    full backlog its post-write listing saw).  The second clause
+    matters under sustained traffic: with producers writing faster
+    than the trigger interval, a zero-input batch may NEVER occur,
+    and a barrier demanding one would time out every request even
+    though each write folds one trigger later.  (Comparing batchIds
     alone races: a zero-input batch that began before the write can
     finish after the call and falsely satisfy the barrier.)
     """
@@ -596,12 +660,18 @@ def await_read_your_writes(query, timeout: float = 60.0) -> None:
     deadline = _time.monotonic() + timeout
     while _time.monotonic() < deadline:
         p = query.lastProgress
-        if p and p["numInputRows"] == 0:
+        if p:
             started = datetime.strptime(
                 p["timestamp"], "%Y-%m-%dT%H:%M:%S.%fZ"
             ).replace(tzinfo=timezone.utc)
             if started > t0:
-                return
+                if p["numInputRows"] == 0:
+                    return
+                src = (p.get("sources") or [{}])[0]
+                end = src.get("endOffset")
+                latest = src.get("latestOffset")
+                if end is not None and end == latest:
+                    return  # post-write listing, backlog fully drained
         _time.sleep(0.05)  # the reference's 50 ms poll
     raise TimeoutError("read-your-writes barrier timed out")
 
@@ -658,5 +728,11 @@ def run_streaming_availablenow(spark: SparkSession, events_dir: str, spec: dict,
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            # A truncated replay must be an ERROR, not a silently
+            # short output a parity gate would misread as data drift.
+            q.stop()
+            raise TimeoutError(
+                "availableNow replay did not finish within 300s; "
+                "output would be truncated")
     return spark.read.parquet(output_dir)

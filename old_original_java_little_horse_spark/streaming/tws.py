@@ -143,6 +143,12 @@ class WFRunFoldProcessor(StatefulProcessor):
             index_diff_rows(out_rows, wf_run_id, old_aliases, state, max_offset)
         out_rows.append(snapshot_row(wf_run_id, state, max_offset))
         if self.evict_completed and state["status"] == "COMPLETED" \
+                and pending:
+            # Terminal run: stored timers are dead (stale-guarded
+            # no-ops) — drop them so eviction isn't blocked forever
+            # by an unmatured task-timeout (see engine._store).
+            pending = []
+        if self.evict_completed and state["status"] == "COMPLETED" \
                 and not pending:
             self._run.update(("", max_offset, max_event_ts, 1))
             self._timers.clear()
@@ -177,7 +183,14 @@ class WFRunFoldProcessor(StatefulProcessor):
                        if t["maturation_timestamp"] <= now_ms]
             if not matured:
                 break
-            for t in sorted(matured, key=_timer_key):
+            # Maturation order first — matches the reference
+            # punctuator's time-ordered range scan and the TimerPump
+            # replay (whose event offsets are µs-scaled maturation
+            # times); see engine._fire_matured.
+            for t in sorted(matured,
+                            key=lambda t: (t["maturation_timestamp"],
+                                           t["thread_run_id"],
+                                           t["task_run_id"])):
                 pending.remove(t)
                 max_offset += 1
                 ev = {
@@ -222,7 +235,9 @@ class WFRunFoldProcessor(StatefulProcessor):
                     fired_key = _timer_key(json.loads(ev.get("content") or "{}"))
                     pending = [t for t in pending
                                if _timer_key(t) != fired_key]
-                except (KeyError, ValueError):
+                except (KeyError, ValueError, TypeError):
+                    # TypeError: valid JSON that is not an object — a
+                    # poison pill must be skipped, not crash the batch.
                     pass
             state, ctx = process_event(self.spec, state, ev,
                                        executor=self.executor)
