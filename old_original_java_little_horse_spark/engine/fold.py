@@ -84,10 +84,19 @@ def json_path(data: Any, path: str) -> Any:
                 cur = cur[key]
             i = j
         elif path[i] == "[":
-            j = path.index("]", i)
+            try:
+                j = path.index("]", i)
+            except ValueError as e:
+                raise VarSubError(
+                    f"jsonpath {path}: unterminated '[' at {i}") from e
             token = path[i + 1:j].strip("'\"")
             if isinstance(cur, list):
-                idx = int(token)
+                try:
+                    idx = int(token)
+                except ValueError as e:
+                    raise VarSubError(
+                        f"jsonpath {path}: non-integer index {token!r} "
+                        "on a list") from e
                 if idx >= len(cur) or idx < -len(cur):
                     raise VarSubError(f"jsonpath {path}: index {idx} out of range")
                 cur = cur[idx]
@@ -124,7 +133,14 @@ def to_int(o: Any) -> int:
     if isinstance(o, float):
         return int(o)  # Double.intValue() truncation
     if isinstance(o, str):
-        return int(o)
+        try:
+            return int(o)
+        except ValueError as e:
+            # Mutation.java:40-54 wraps ANY coercion failure in
+            # VarSubOrzDash so fail_task can route it (retry/handler);
+            # a raw ValueError would escape to the blanket handler and
+            # halt the whole run with INTERNAL_ERROR instead.
+            raise VarSubError(f"cannot parse {o!r} as INT: {e}") from e
     if isinstance(o, int):
         return o
     raise VarSubError(f"cannot coerce {type(o).__name__} to INT")
@@ -136,7 +152,10 @@ def to_double(o: Any) -> float:
     if isinstance(o, (int, float)):
         return float(o)
     if isinstance(o, str):
-        return float(o)
+        try:
+            return float(o)
+        except ValueError as e:
+            raise VarSubError(f"cannot parse {o!r} as FLOAT: {e}") from e
     raise VarSubError(f"cannot coerce {type(o).__name__} to FLOAT")
 
 
@@ -162,7 +181,10 @@ def to_array(o: Any) -> list:
     if isinstance(o, list):
         return o
     if isinstance(o, str):
-        v = json.loads(o)
+        try:
+            v = json.loads(o)
+        except (json.JSONDecodeError, ValueError) as e:
+            raise VarSubError(f"cannot parse string as ARRAY: {e}") from e
         if not isinstance(v, list):
             raise VarSubError("string did not parse to a list")
         return v
@@ -173,7 +195,10 @@ def to_map(o: Any) -> dict:
     if isinstance(o, dict):
         return o
     if isinstance(o, str):
-        v = json.loads(o)
+        try:
+            v = json.loads(o)
+        except (json.JSONDecodeError, ValueError) as e:
+            raise VarSubError(f"cannot parse string as OBJECT: {e}") from e
         if not isinstance(v, dict):
             raise VarSubError("string did not parse to a map")
         return v
@@ -236,14 +261,29 @@ def evaluate_condition(thread: dict, state: dict, spec: dict, cond: dict | None)
     if op == "GREATER_THAN_EQ":
         return compare(lhs, rhs) >= 0
     if op == "EQUALS":
-        return lhs is not None and lhs == rhs
+        return lhs is not None and _java_equals(lhs, rhs)
     if op == "NOT_EQUALS":
-        return lhs is not None and lhs != rhs
+        return lhs is not None and not _java_equals(lhs, rhs)
     if op == "IN":
         return contains(rhs, lhs)
     if op == "NOT_IN":
         return not contains(rhs, lhs)
     raise VarSubError(f"invalid comparator {op}")
+
+
+def _java_equals(lhs: Any, rhs: Any) -> bool:
+    """Object.equals over Jackson-typed JSON scalars
+    (ThreadRun.java:497-498): type-strict — Integer(1).equals(
+    Double(1.0)) and Boolean.TRUE.equals(Integer(1)) are both false,
+    where Python's ``==`` would say True for 1 == 1.0 and True == 1.
+    Containers still compare by Python equality (the harness never
+    exercises cross-typed nesting)."""
+    if isinstance(lhs, bool) != isinstance(rhs, bool):
+        return False
+    if isinstance(lhs, float) != isinstance(rhs, float):
+        if isinstance(lhs, (int, float)) and isinstance(rhs, (int, float)):
+            return False
+    return lhs == rhs
 
 
 # ---------------------------------------------------------------------------
@@ -432,9 +472,16 @@ def apply_mutation(op: str, lhs: Any, rhs: Any, var_type: str) -> Any:
         out = [x for x in to_array(lhs) if x != rhs]
     elif op == "REMOVE_KEY":
         m = dict(to_map(lhs))
-        m.pop(rhs, None)
-        # JSON object keys are strings; a numeric rhs addresses its
-        # string form (Jackson Map keys behave the same way).
+        if isinstance(rhs, (str, int, float, bool)):  # hashable scalar
+            m.pop(rhs, None)  # an unhashable rhs (list/dict) is a no-op
+        # DELIBERATE divergence from the reference's literal bytes: a
+        # numeric rhs also removes its string form.  The reference's
+        # `Map.remove(Integer)` (Mutation.java:288-293) no-ops on the
+        # Jackson string-keyed map, but its own harness intends
+        # deletion — `remove_key(1234)` with the check "deleted 1234"
+        # (var_mutations.py:34,66) — and only passes because Python's
+        # `1234 not in {"1234": ...}` is vacuously true.  We implement
+        # the intent (the check's comment), not the accident.
         m.pop(to_str(rhs), None)
         out = m
     elif op == "REMOVE_INDEX":
@@ -706,7 +753,16 @@ def _unsplat(content: Any) -> dict:
 def handle_interrupt(state: dict, spec: dict, thread: dict, payload: dict) -> None:
     """handleInterrupt (ThreadRun.java:1219-1228)."""
     idefs = thread_spec(spec, thread["thread_spec_name"]).get("interrupt_defs") or {}
-    handler_name = idefs[payload["external_event_def_name"]]
+    handler_name = idefs.get(payload["external_event_def_name"])
+    if handler_name is None:
+        # Targeted at a thread whose spec does not declare this
+        # interrupt (e.g. a producer that encodes "unspecified" as
+        # thread 0 instead of the -1 sentinel, FIXTURES.md): fall back
+        # to propagation from the root so the listening thread still
+        # gets it — a KeyError here would escape to the blanket
+        # handler and halt the run with INTERNAL_ERROR.
+        propagate_interrupt(state, spec, state["thread_runs"][0], payload)
+        return
     _start_interrupt_thread(
         state, spec, thread, handler_name, _unsplat(payload.get("content")), False
     )
@@ -830,8 +886,12 @@ def _activate_external_event(state, spec, thread, node, event, ctx: Ctx,
     match = None
     for cand in correls:
         if cand.get("event") is not None and cand.get("assigned_node_name") is None:
-            match = cand
-            break
+            match = cand  # NO break: the reference's candidate loop
+            # keeps overwriting (ThreadRun.java:950-957), so the LAST
+            # unassigned buffered event is the one consumed — matching
+            # first-buffered here would hand a different payload to the
+            # wait node than the reference whenever several events of
+            # one def are pending.
     if match is None:
         return False  # still waiting, nothing changed
 
@@ -1071,6 +1131,19 @@ def handle_task_event(state: dict, spec: dict, event: dict) -> None:
     content = _content(event)
     tr = thread["task_runs"][content["task_run_position"]]
     if content.get("started_event") is not None:
+        if task_terminated(tr):
+            # A late/redelivered started event must NOT resurrect a
+            # terminated attempt: flipping COMPLETED→RUNNING would let
+            # a redelivered ended event slip past the idempotency
+            # guard below and re-apply its mutations (double ADD), and
+            # a slow worker's start arriving after a TIMEOUT would
+            # revive the attempt the retry already replaced.  The
+            # reference sets RUNNING unconditionally
+            # (ThreadRun.java:292-301) — safe only under its Kafka
+            # exactly-once transactions; this engine documents
+            # at-least-once delivery, so the guard must cover BOTH
+            # halves of the task lifecycle.
+            return
         se = content["started_event"]
         tr["status"] = RUNNING
         tr["start_time"] = event["timestamp"]
@@ -1132,17 +1205,33 @@ def handle_timer_event(state: dict, spec: dict, event: dict) -> None:
     task = trs[timer["task_run_id"]] if timer["task_run_id"] < len(trs) else None
 
     if task is None:
-        # An EXTERNAL_EVENT node that never fired: fail the waiting edge.
-        timed_out = None
-        for p in thread["up_next"]:
-            if p["sink_node_name"] == timer.get("node_name"):
-                node = node_of(spec, thread, p["sink_node_name"])
-                timed_out = new_task_run(thread, node)
-                thread["task_runs"].append(timed_out)
-                fail_task(state, spec, thread, timed_out, TIMEOUT,
-                          "External event didn't come in time.")
-        if timed_out is not None:
-            thread["up_next"] = []
+        # An EXTERNAL_EVENT node that never fired: fail the waiting
+        # edge(s).  Iterate a SNAPSHOT — fail_task appends the retry
+        # pair to the same up_next list, and iterating the live list
+        # would visit the fresh pair, fail it, append another, and so
+        # on without bound (the reference has the same live-iteration,
+        # ThreadRun.java:1095-1106, where Java's for-each would throw
+        # ConcurrentModificationException instead; there is no working
+        # reference behavior for timeout+retries, so we define the
+        # sane one: each matched WAIT fails once per timer firing).
+        # The timed-out task carries the pair's attempt number so the
+        # retry cap (`attempt < num_retries`) actually binds.
+        matched = [p for p in list(thread["up_next"])
+                   if p["sink_node_name"] == timer.get("node_name")]
+        for p in matched:
+            node = node_of(spec, thread, p["sink_node_name"])
+            timed_out = new_task_run(thread, node, p.get("attempt") or 0)
+            thread["task_runs"].append(timed_out)
+            fail_task(state, spec, thread, timed_out, TIMEOUT,
+                      "External event didn't come in time.")
+        if matched:
+            # Drop ONLY the pairs this timer consumed: fail_task's
+            # retry pair (a fresh WAIT that re-arms its own timer on
+            # activation) and any unrelated waiting edges survive —
+            # clearing the whole list here would wipe the retry it
+            # just scheduled and any exception-handler resume edges.
+            thread["up_next"] = [p for p in thread["up_next"]
+                                 if p not in matched]
         else:
             halt_thread(state, thread, FAILED, "Phantom timer.")
         return

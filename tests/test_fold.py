@@ -885,3 +885,149 @@ def test_conditionals_edge_bad_input_halts():
     thr = state["thread_runs"][0]
     assert any(tr["failure_reason"] == "VARIABLE_LOOKUP_ERROR"
                for tr in thr["task_runs"])
+
+
+# ---------------------------------------------------------------------------
+# Round-7 review hardening: reference-parity and containment edges
+# ---------------------------------------------------------------------------
+
+def test_external_event_timeout_with_retries_terminates():
+    """An EXTERNAL_EVENT timeout on a node with retries must fail ONE
+    attempt per timer firing, arm a fresh wait (new timer), and stop
+    at the retry cap — not livelock appending retry pairs while
+    iterating up_next (measured pre-fix: millions of task_runs from a
+    single timer event)."""
+    wf = Workflow("ext-retry")
+    t = wf.thread("entrypoint")
+    t.wait_for_event("evt").with_timeout(1).with_retries(2)
+    spec = wf.build()
+    state, ctx = E.process_event(spec, None, start_ev("r1"))
+    rounds = 0
+    off = 1
+    while ctx.timers and rounds < 10:
+        timer = ctx.timers[0]
+        tev = {"wf_run_id": "r1", "event_type": "TIMER_EVENT",
+               "thread_id": 0, "offset": off,
+               "timestamp": timer["maturation_timestamp"] + 1,
+               "content": timer}
+        state, ctx = E.process_event(spec, state, tev)
+        rounds += 1
+        off += 1
+    trs = state["thread_runs"][0]["task_runs"]
+    assert [tr["attempt_number"] for tr in trs] == [0, 1, 2]
+    assert all(tr["failure_reason"] == "TIMEOUT" for tr in trs)
+    assert state["status"] == "HALTED"
+    assert rounds == 3  # one attempt per firing, then the cap halts
+
+
+def test_started_event_does_not_resurrect_terminated_task():
+    """At-least-once redelivery: a late started event for a COMPLETED
+    task must not flip it back to RUNNING — that would let the
+    redelivered ended event past the idempotency guard and re-apply
+    mutations (double ADD)."""
+    wf = Workflow("resurrect")
+    t = wf.thread("entrypoint")
+    t.add_variable("n", "INT", default=0)
+    n1 = t.execute("echo_int", x=5)
+    t.mutate(n1, "n", "ADD")
+    spec = wf.build()
+    state, ctx = E.process_event(spec, None, start_ev("r1"))
+    started = {"wf_run_id": "r1", "event_type": "TASK_EVENT", "thread_id": 0,
+               "timestamp": 1001, "offset": 1,
+               "content": {"thread_id": 0, "task_run_position": 0,
+                           "started_event": {"worker_id": "w"}}}
+    ended = {"wf_run_id": "r1", "event_type": "TASK_EVENT", "thread_id": 0,
+             "timestamp": 1002, "offset": 2,
+             "content": {"thread_id": 0, "task_run_position": 0,
+                         "ended_event": {"result": {
+                             "stdout": "5", "stderr": None,
+                             "success": True, "returncode": 0}}}}
+    state, _ = E.process_event(spec, state, started)
+    state, _ = E.process_event(spec, state, ended)
+    assert state["status"] == "COMPLETED"
+    assert state["thread_runs"][0]["variables"]["n"] == 5
+    # full redelivery of the started+ended pair
+    state, _ = E.process_event(spec, state, dict(started, offset=3))
+    tr = state["thread_runs"][0]["task_runs"][0]
+    assert tr["status"] == "COMPLETED"  # NOT resurrected to RUNNING
+    state, _ = E.process_event(spec, state, dict(ended, offset=4))
+    assert state["thread_runs"][0]["variables"]["n"] == 5  # no double ADD
+    assert len(state["thread_runs"][0]["task_runs"]) == 1
+
+
+def test_buffered_events_consume_last_unassigned():
+    """Reference parity (ThreadRun.java:950-957): when SEVERAL events
+    of one def are buffered before the wait node activates, the
+    candidate loop overwrites without break — the LAST unassigned
+    event is consumed."""
+    wf = Workflow("ext-last")
+    t = wf.thread("entrypoint")
+    t.add_variable("got", "STRING")
+    n1 = t.execute("echo", x="unblock")  # async: wait activates later
+    w = t.wait_for_event("evt")
+    t.mutate(w, "got", "ASSIGN")
+    spec = wf.build()
+    state, _ = E.process_event(spec, None, start_ev("r1"))  # no executor
+    # both events buffer while the TASK is still outstanding
+    state, _ = E.process_event(spec, state, ext_event("r1", "evt", "first", offset=1))
+    state, _ = E.process_event(spec, state, ext_event("r1", "evt", "second", offset=2))
+    # task completes -> wait activates with TWO unassigned candidates
+    ended = {"wf_run_id": "r1", "event_type": "TASK_EVENT", "thread_id": 0,
+             "timestamp": 1003, "offset": 3,
+             "content": {"thread_id": 0, "task_run_position": 0,
+                         "started_event": {"worker_id": "w"}}}
+    state, _ = E.process_event(spec, state, ended)
+    done = {"wf_run_id": "r1", "event_type": "TASK_EVENT", "thread_id": 0,
+            "timestamp": 1004, "offset": 4,
+            "content": {"thread_id": 0, "task_run_position": 0,
+                        "ended_event": {"result": {
+                            "stdout": "unblock", "stderr": None,
+                            "success": True, "returncode": 0}}}}
+    state, _ = E.process_event(spec, state, done)
+    assert state["status"] == "COMPLETED"
+    assert state["thread_runs"][0]["variables"]["got"] == "second"
+
+
+def test_equals_is_type_strict_like_object_equals():
+    """EQUALS uses Object.equals semantics (ThreadRun.java:497-498):
+    Integer(1) != Double(1.0), Boolean != Integer — where Python's ==
+    would say True."""
+    assert E._java_equals(1, 1) is True
+    assert E._java_equals(1, 1.0) is False
+    assert E._java_equals(1.0, 1.0) is True
+    assert E._java_equals(True, 1) is False
+    assert E._java_equals(True, True) is True
+    assert E._java_equals("1", 1) is False
+
+
+def test_coercion_and_jsonpath_errors_are_varsub_contained():
+    """Raw ValueError/JSONDecodeError from coercions or jsonpath must
+    surface as VarSubError so fail_task can route them (retry /
+    exception handler) instead of halting the run INTERNAL_ERROR."""
+    import pytest
+
+    for fn, arg in ((E.to_int, "abc"), (E.to_int, "3.5"),
+                    (E.to_double, "x"), (E.to_array, "{bad"),
+                    (E.to_map, "[bad")):
+        with pytest.raises(E.VarSubError):
+            fn(arg)
+    with pytest.raises(E.VarSubError):
+        E.json_path({"a": [1]}, "$.a[0")  # unterminated bracket
+    with pytest.raises(E.VarSubError):
+        E.json_path({"a": [1]}, "$.a[x]")  # non-integer list index
+
+
+def test_bad_mutation_rhs_fails_task_not_run():
+    """End-to-end containment: ADD of non-numeric task stdout onto an
+    INT variable fails the TASK (VARIABLE_LOOKUP_ERROR routing) —
+    the run document stays coherent instead of INTERNAL_ERROR."""
+    wf = Workflow("bad-add")
+    t = wf.thread("entrypoint")
+    t.add_variable("n", "INT", default=0)
+    n1 = t.execute("echo", x="notanint")
+    t.mutate(n1, "n", "ADD")
+    spec = wf.build()
+    state = run_inline(spec)
+    assert state["status"] == "HALTED"
+    assert state["error_message"] is None or \
+        "INTERNAL" not in (state["error_message"] or "")
