@@ -58,7 +58,7 @@ import threading
 import time
 import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from urllib.parse import parse_qs, urlparse
+from urllib.parse import parse_qs, unquote, urlparse
 
 
 class ApiError(Exception):
@@ -156,7 +156,10 @@ class LittleHorseAPI:
         for rid, h in list(self._run_engine.items()):
             h_name = (h.spec or {}).get("name")
             if h_name in affected and h is not self.engines.get(h_name):
-                del self._run_engine[rid]
+                # pop-with-default: handler threads evict concurrently
+                # (ThreadingHTTPServer), and a raced del would turn a
+                # valid POST /wfSpec into a KeyError 500.
+                self._run_engine.pop(rid, None)
 
     # -- command path (POSTApi.java:40-58) --------------------------------
 
@@ -169,10 +172,31 @@ class LittleHorseAPI:
 
             await_read_your_writes(query, timeout=self.barrier_timeout)
 
+    # Bound on the run->engine cache: completed runs are never evicted
+    # by the engine-replacement hook, so a long-lived server would
+    # otherwise grow one entry per run forever.  Insertion-ordered
+    # eviction (python dicts) approximates LRU well enough here — an
+    # evicted entry only costs one serving point-lookup to re-resolve.
+    _RUN_CACHE_MAX = 4096
+
+    def _cache_run_engine(self, run_id: str, handle) -> None:
+        while len(self._run_engine) >= self._RUN_CACHE_MAX:
+            oldest = next(iter(self._run_engine), None)
+            if oldest is None:
+                break
+            self._run_engine.pop(oldest, None)
+        self._run_engine[run_id] = handle
+
     def _engine_for_run(self, run_id: str):
-        """Owning engine of a run: the POST-time record, else a serving
-        point-lookup per engine (covers runs created before a server
-        restart)."""
+        handle, _ = self._resolve_run(run_id)
+        return handle
+
+    def _resolve_run(self, run_id: str):
+        """Owning engine of a run (and, when the resolution had to
+        probe serving stores, the snapshot rows it found — so the GET
+        path does not immediately re-run the same point lookup): the
+        POST-time record, else a serving point-lookup per engine
+        (covers runs created before a server restart)."""
         handle = self._run_engine.get(run_id)
         if handle is not None:
             # A spec re-POST (deploy() replaces the handle and stops
@@ -182,8 +206,8 @@ class LittleHorseAPI:
             # still the current handle for its spec.
             name = (handle.spec or {}).get("name")
             if self.engines.get(name) is handle:
-                return handle
-            del self._run_engine[run_id]
+                return handle, None
+            self._run_engine.pop(run_id, None)
         from ..sinks.serving import has_snapshots, read_snapshot
 
         for h in self.engines.handles():
@@ -192,9 +216,10 @@ class LittleHorseAPI:
             # surface as a 500, not masquerade as a 404.
             if not has_snapshots(h.serving_dir):
                 continue
-            if read_snapshot(self.spark, h.serving_dir, run_id).count():
-                self._run_engine[run_id] = h
-                return h
+            rows = read_snapshot(self.spark, h.serving_dir, run_id).collect()
+            if rows:
+                self._cache_run_engine(run_id, h)
+                return h, rows
         raise ApiError(404, f"WFRun {run_id} not found")
 
     def _produce(self, row: dict, run_id: str | None = None) -> None:
@@ -227,7 +252,7 @@ class LittleHorseAPI:
             handle = self.engines.get(name)
             if handle is None:
                 raise ApiError(404, f"WFSpec {name!r} is not deployed")
-            self._run_engine[run_id] = handle
+            self._cache_run_engine(run_id, handle)
             self._produce_to(handle.events_dir, handle.query, row)
         else:
             self._produce_to(self.events_dir, self.query, row)
@@ -310,9 +335,10 @@ class LittleHorseAPI:
         if self.engines is not None:
             from ..sinks.serving import read_snapshot
 
-            handle = self._engine_for_run(run_id)
-            rows = read_snapshot(
-                self.spark, handle.serving_dir, run_id).collect()
+            handle, rows = self._resolve_run(run_id)
+            if rows is None:  # cache hit: one point lookup, not two
+                rows = read_snapshot(
+                    self.spark, handle.serving_dir, run_id).collect()
         elif self.serving_dir is not None:
             from ..sinks.serving import read_snapshot
 
@@ -439,7 +465,12 @@ def _make_handler(api: LittleHorseAPI):
                         continue
                     match = pat.match(url.path)
                     if match:
-                        getattr(self, fn)(q, *match.groups())
+                        # Percent-decode path params the way the query
+                        # string already is (parse_qs): a run id or
+                        # alias value with an encoded space/slash must
+                        # compare equal to its stored form.
+                        getattr(self, fn)(
+                            q, *(unquote(g) for g in match.groups()))
                         return
                 raise ApiError(404, f"no route {method} {url.path}")
             except ApiError as e:
@@ -466,12 +497,23 @@ def _make_handler(api: LittleHorseAPI):
             except json.JSONDecodeError as e:
                 raise ApiError(400, f"invalid JSON body: {e}") from e
 
+        def _body_dict(self):
+            body = self._body()
+            if not isinstance(body, dict):
+                # valid JSON of the wrong shape is a CLIENT error; the
+                # AttributeError it would cause downstream is a 500
+                raise ApiError(400, "JSON body must be an object")
+            return body
+
         # -- route impls --------------------------------------------------
         def r_post_wfrun(self, _q):
-            self._respond(201, api.post_wfrun(self._body()))
+            self._respond(201, api.post_wfrun(self._body_dict()))
 
         def r_stop_resume(self, q, run_id, verb):
-            thread = int(q.get("thread", ["0"])[0])
+            try:
+                thread = int(q.get("thread", ["0"])[0])
+            except ValueError as e:
+                raise ApiError(400, f"bad thread param: {e}") from e
             self._respond(200, api.post_stop_resume(run_id, verb, thread))
 
         def r_external(self, _q, run_id, event_def):
@@ -497,7 +539,7 @@ def _make_handler(api: LittleHorseAPI):
             self._respond(200, api.search(key, value))
 
         def r_meta_post(self, _q, kind):
-            self._respond(201, api.post_metadata(kind, self._body()))
+            self._respond(201, api.post_metadata(kind, self._body_dict()))
 
         def r_meta_get(self, _q, kind, id_or_name):
             self._respond(200, api.get_metadata(kind, id_or_name))
@@ -540,7 +582,10 @@ class LittleHorseHTTPServer:
         return self
 
     def stop(self) -> None:
-        self._httpd.shutdown()
+        if self._thread is not None:
+            # shutdown() waits on an event only serve_forever() sets —
+            # calling it before start() would block forever.
+            self._httpd.shutdown()
         self._httpd.server_close()
         if self._thread:
             self._thread.join(timeout=5)

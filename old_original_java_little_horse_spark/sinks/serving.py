@@ -8,29 +8,45 @@ it per request (the previous `cli._snapshots` path) is O(history) per
 GET — fine for replay verification, wrong for a serving layer.
 
 This module is the RocksDB equivalent in Spark's storage idiom: a
-**bucket-partitioned, latest-wins compacted parquet store**, upserted
-incrementally from each micro-batch inside the continuous query's
-`foreachBatch`:
+**bucketed, latest-wins compacted parquet store with a manifest
+pointer**, upserted incrementally from each micro-batch inside the
+continuous query's `foreachBatch`:
 
-- The store is hive-partitioned on `bucket = pmod(xxhash64(key), N)`.
-  N is fixed at store creation (persisted in a `.nbuckets` marker so
-  readers and later writers keep hashing consistently) and should be
-  sized to key cardinality: per-batch write work is
+- Keys hash to `bucket = pmod(xxhash64(key), N)`.  N is fixed at
+  store creation (persisted in a `.nbuckets` marker so readers and
+  later writers keep hashing consistently) and should be sized to key
+  cardinality: per-batch write work is
   O(touched_buckets / N × store_size), so keep N well above the
   typical batch's distinct-key count and the touched fraction stays
-  small.  With N at or below batch key count every batch rewrites
-  ~the whole store — on a production cluster you would either raise N
-  (it only costs directories) or switch the same motion to Delta
-  MERGE / per-batch delta files + periodic compaction.  Plain parquet
-  + dynamic partition overwrite keeps the sandbox dependency-free and
-  is the identical physical motion Delta's MERGE performs under the
-  hood.
-- Per batch, only the buckets containing *changed* keys are rewritten:
-  read those partitions, merge latest-wins against the batch's rows,
-  overwrite those partitions (dynamic partition overwrite).
-- A point GET reads exactly one bucket directory (partition pruning on
-  the bucket literal), independent of run-count; an index search reads
+  small.
+- Each batch writes the merged (latest-wins) contents of only the
+  *touched* buckets into a FRESH, immutable generation directory
+  (`data/g<k>/bucket=<b>/`), then atomically commits by
+  `os.replace`-ing the store's `CURRENT` manifest — a JSON pointer
+  mapping every bucket to the generation directory that currently
+  holds it.  This is Iceberg's snapshot-pointer idea in miniature,
+  and it buys the two properties plain dynamic-partition-overwrite
+  cannot give (overwrite deletes the old partition before the new one
+  lands):
+
+  * **crash atomicity** — a crash anywhere before the manifest
+    replace leaves the previous manifest (and every directory it
+    references) fully intact; the orphaned generation directory is
+    simply overwritten when foreachBatch redelivers the batch;
+  * **reader isolation** — a GET plans against the immutable
+    directories its manifest snapshot references; superseded
+    directories are garbage-collected only at the NEXT commit (one
+    full batch interval of grace), so an in-flight read never has
+    files deleted under its scan.
+
+- A point GET resolves the key's bucket in the manifest and reads
+  exactly ONE generation directory, independent of run-count (the
+  manifest lookup IS the partition pruning); an index search reads
   one bucket of the alias store keyed by (key, value).
+- Pre-manifest stores (hive `bucket=N/` layout) stay readable: a
+  missing `CURRENT` over existing parquet synthesizes a manifest
+  whose entries point at the legacy partition directories, and the
+  first upsert migrates touched buckets into generation directories.
 
 Two stores, same motion:
 
@@ -45,7 +61,9 @@ Two stores, same motion:
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -102,6 +120,73 @@ def _bucket(col, n_buckets: int) -> F.Column:
     return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
 
 
+# XXH64 (public spec, xxhash.com) — driver-side twin of Spark's
+# `xxhash64` so a point GET can resolve its bucket WITHOUT launching a
+# Spark job for one hash.  Bit-parity with the column expression is
+# pinned by tests/test_serving_store.py against Spark's own output.
+_XP1, _XP2, _XP3 = 0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9
+_XP4, _XP5 = 0x85EBCA77C2B2AE63, 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _xxh_round(acc: int, inp: int) -> int:
+    acc = (acc + inp * _XP2) & _M64
+    return (_rotl(acc, 31) * _XP1) & _M64
+
+
+def _xxh64(data: bytes, seed: int = 42) -> int:
+    """XXH64 of `data`, signed-long semantics like Spark's xxhash64
+    (whose default seed is 42)."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _XP1 + _XP2) & _M64
+        v2 = (seed + _XP2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _XP1) & _M64
+        while i + 32 <= n:
+            v1 = _xxh_round(v1, int.from_bytes(data[i:i + 8], "little"))
+            v2 = _xxh_round(v2, int.from_bytes(data[i + 8:i + 16], "little"))
+            v3 = _xxh_round(v3, int.from_bytes(data[i + 16:i + 24], "little"))
+            v4 = _xxh_round(v4, int.from_bytes(data[i + 24:i + 32], "little"))
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h = ((h ^ _xxh_round(0, v)) * _XP1 + _XP4) & _M64
+    else:
+        h = (seed + _XP5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        h ^= _xxh_round(0, int.from_bytes(data[i:i + 8], "little"))
+        h = (_rotl(h, 27) * _XP1 + _XP4) & _M64
+        i += 8
+    if i + 4 <= n:
+        h ^= (int.from_bytes(data[i:i + 4], "little") * _XP1) & _M64
+        h = (_rotl(h, 23) * _XP2 + _XP3) & _M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _XP5) & _M64
+        h = (_rotl(h, 11) * _XP1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _XP2) & _M64
+    h ^= h >> 29
+    h = (h * _XP3) & _M64
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def _bucket_of(key: str, n_buckets: int) -> int:
+    """Driver-side pmod(xxhash64(key), n) — the write path's bucket
+    expression, without a Spark job.  Python's % already implements
+    pmod for a positive modulus."""
+    return _xxh64(key.encode("utf-8")) % n_buckets
+
+
 def _has_parquet(store_dir: str) -> bool:
     """True iff the store directory holds committed parquet data.
 
@@ -114,63 +199,114 @@ def _has_parquet(store_dir: str) -> bool:
     return False
 
 
+_CURRENT = "CURRENT"
+
+
+def _load_manifest(store_dir: str) -> dict | None:
+    """The store's committed state: {"gen": int, "buckets": {str(b):
+    relative dir}, "pending_delete": [relative dirs]}.  Returns None
+    for a store that has never committed (neither a CURRENT manifest
+    nor pre-manifest legacy parquet)."""
+    path = os.path.join(store_dir, _CURRENT)
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        pass
+    except (json.JSONDecodeError, ValueError):
+        raise RuntimeError(
+            f"corrupt {_CURRENT} manifest in {store_dir}: refusing to "
+            "guess the committed state of an existing store") from None
+    if _has_parquet(store_dir):
+        # Pre-manifest store (hive bucket=N layout): synthesize —
+        # but do NOT write — a manifest whose entries point at the
+        # legacy partition directories; the first upsert migrates
+        # touched buckets into generation directories and commits the
+        # real file.
+        buckets = {}
+        for name in os.listdir(store_dir):
+            if name.startswith("bucket="):
+                buckets[name.split("=", 1)[1]] = name
+        return {"gen": 0, "buckets": buckets, "pending_delete": []}
+    return None
+
+
+def _read_bucket_dir(spark: SparkSession, store_dir: str, rel: str,
+                     b: int) -> DataFrame:
+    """One immutable bucket directory as a DataFrame with its `bucket`
+    column intact.  Both layouts encode the bucket in the PATH
+    (hive-partition writes strip the column from the data files), so
+    it is re-attached as a literal — correct by construction because a
+    directory holds exactly one bucket."""
+    df = spark.read.parquet(os.path.join(store_dir, rel))
+    if "bucket" not in df.columns:
+        df = df.withColumn("bucket", F.lit(b).cast("int"))
+    return df
+
+
 def _upsert(batch: DataFrame, store_dir: str, key_cols: list[str],
             bucket_on: str, order_cols: list,
             n_buckets: int | None = None) -> None:
-    """Partition-pruned latest-wins merge of `batch` into `store_dir`.
+    """Latest-wins merge of `batch` into `store_dir`, committed by an
+    atomic manifest replace (see module docstring).
 
-    Reads ONLY the bucket partitions the batch touches, unions them
+    Reads ONLY the bucket directories the batch touches, unions them
     with the batch, keeps the first row per key under `order_cols`,
-    and overwrites just those partitions.  `foreachBatch` invocations
-    are serial per query, so there is no concurrent writer per store.
+    writes the result to a fresh generation directory, and commits by
+    `os.replace`-ing CURRENT.  `foreachBatch` invocations are serial
+    per query, so there is no concurrent writer per store; a crash
+    anywhere before the replace leaves the previous commit fully
+    readable, and the redelivered batch overwrites the orphaned
+    generation directory.  Any read failure on referenced data
+    (corrupt footer, FS hiccup, schema drift) propagates so
+    foreachBatch retries instead of committing a lossy batch-only
+    generation that would drop previously-stored keys.
     """
     spark = batch.sparkSession
     n = _store_nbuckets(store_dir, create_with=n_buckets or N_BUCKETS)
     batch = batch.withColumn("bucket", _bucket(F.col(bucket_on), n))
-    touched = [r["bucket"] for r in batch.select("bucket").distinct().collect()]
+    touched = sorted(
+        r["bucket"] for r in batch.select("bucket").distinct().collect())
     if not touched:
         return
+    manifest = _load_manifest(store_dir) or {
+        "gen": 0, "buckets": {}, "pending_delete": []}
     merged = batch
-    # Merge against existing data only when the store genuinely has
-    # committed parquet; any OTHER read failure (corrupt footer, FS
-    # hiccup, schema drift) must propagate so foreachBatch retries the
-    # micro-batch instead of committing a lossy batch-only overwrite
-    # that would silently drop every previously-stored key in the
-    # touched buckets.
-    if _has_parquet(store_dir):
-        existing = (spark.read.parquet(store_dir)
-                    .where(F.col("bucket").isin(touched)))
-        merged = batch.unionByName(existing)
+    for b in touched:
+        rel = manifest["buckets"].get(str(b))
+        if rel is not None:
+            merged = merged.unionByName(
+                _read_bucket_dir(spark, store_dir, rel, b))
     w = Window.partitionBy(*key_cols).orderBy(*order_cols)
     compacted = (merged.withColumn("_rn", F.row_number().over(w))
                  .where(F.col("_rn") == 1).drop("_rn"))
-    with _dynamic_overwrite(spark):
-        # One shuffle partition per bucket: each task owns whole bucket
-        # directories (one output file per bucket), and writes
-        # parallelize across buckets as the store grows.
-        (compacted.repartition(len(touched), "bucket")
-         .write.mode("overwrite").partitionBy("bucket")
-         .parquet(store_dir))
-
-
-class _dynamic_overwrite:
-    """Scoped `partitionOverwriteMode=dynamic`: overwrite replaces only
-    the partitions present in the written data, not the whole store."""
-
-    KEY = "spark.sql.sources.partitionOverwriteMode"
-
-    def __init__(self, spark: SparkSession):
-        self.spark = spark
-
-    def __enter__(self):
-        self.old = self.spark.conf.get(self.KEY, None)
-        self.spark.conf.set(self.KEY, "dynamic")
-
-    def __exit__(self, *exc):
-        if self.old is None:
-            self.spark.conf.unset(self.KEY)
-        else:
-            self.spark.conf.set(self.KEY, self.old)
+    gen = manifest["gen"] + 1
+    gen_rel = f"data/g{gen:06d}"
+    # One shuffle partition per bucket: each task owns whole bucket
+    # directories (one output file per bucket), and writes parallelize
+    # across buckets as the store grows.  mode=overwrite is safe: the
+    # directory is fresh unless a crashed attempt of THIS gen orphaned
+    # it, in which case the redelivery replaces the orphan.
+    (compacted.repartition(len(touched), "bucket")
+     .write.mode("overwrite").partitionBy("bucket")
+     .parquet(os.path.join(store_dir, gen_rel)))
+    # GC directories dereferenced by the PREVIOUS commit — committed
+    # readers got one full commit interval of grace on them.
+    for rel in manifest.get("pending_delete", []):
+        shutil.rmtree(os.path.join(store_dir, rel), ignore_errors=True)
+    replaced = [manifest["buckets"][str(b)] for b in touched
+                if str(b) in manifest["buckets"]]
+    buckets = dict(manifest["buckets"])
+    for b in touched:
+        buckets[str(b)] = f"{gen_rel}/bucket={b}"
+    new_manifest = {"gen": gen, "buckets": buckets,
+                    "pending_delete": replaced}
+    tmp = os.path.join(store_dir, f".{_CURRENT}.tmp")
+    with open(tmp, "w") as f:
+        f.write(json.dumps(new_manifest, separators=(",", ":")))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(store_dir, _CURRENT))  # THE commit
 
 
 # --------------------------------------------------------------------------
@@ -214,33 +350,58 @@ def upsert_serving_stores(batch_df: DataFrame, serving_dir: str,
 # --------------------------------------------------------------------------
 
 def has_snapshots(serving_dir: str) -> bool:
-    """True iff this engine has ever folded a run (store exists).
+    """True iff this engine has ever folded a run (store committed).
 
     Callers use this to distinguish 'no store yet' (skip quietly) from
     a real read failure on an existing store (must surface as an
     error, not an empty result)."""
-    return _has_parquet(snapshots_dir(serving_dir))
+    return _load_manifest(snapshots_dir(serving_dir)) is not None
 
 
 def has_aliases(serving_dir: str) -> bool:
-    return _has_parquet(aliases_dir(serving_dir))
+    return _load_manifest(aliases_dir(serving_dir)) is not None
+
+
+def _read_point(spark: SparkSession, store_dir: str,
+                key: str) -> DataFrame | None:
+    """Resolve `key`'s bucket in the committed manifest and return
+    that ONE immutable directory (the manifest lookup IS the partition
+    pruning), or None when the store/bucket has no data."""
+    manifest = _load_manifest(store_dir)
+    if manifest is None:
+        return None
+    b = _bucket_of(key, _store_nbuckets(store_dir))
+    rel = manifest["buckets"].get(str(b))
+    if rel is None:
+        return None
+    return _read_bucket_dir(spark, store_dir, rel, b)
 
 
 def read_snapshot(spark: SparkSession, serving_dir: str,
                   run_id: str) -> DataFrame:
-    """Point lookup: one bucket directory, then the exact key."""
+    """Point lookup: one immutable bucket directory, then the key."""
     sdir = snapshots_dir(serving_dir)
-    n = _store_nbuckets(sdir)
-    return (spark.read.parquet(sdir)
-            .where((F.col("bucket") == _bucket(F.lit(run_id), n))
-                   & (F.col("wf_run_id") == run_id))
+    df = _read_point(spark, sdir, run_id)
+    if df is None:
+        return spark.createDataFrame(
+            [], "wf_run_id string, status string, state_json string")
+    return (df.where(F.col("wf_run_id") == run_id)
             .select("wf_run_id", "status", "state_json"))
 
 
 def read_all_snapshots(spark: SparkSession, serving_dir: str) -> DataFrame:
     """Full compacted table — one row per run, no windowing needed."""
-    return (spark.read.parquet(snapshots_dir(serving_dir))
-            .select("wf_run_id", "status", "state_json"))
+    sdir = snapshots_dir(serving_dir)
+    manifest = _load_manifest(sdir)
+    if not manifest or not manifest["buckets"]:
+        return spark.createDataFrame(
+            [], "wf_run_id string, status string, state_json string")
+    out = None
+    for b, rel in sorted(manifest["buckets"].items(), key=lambda kv: int(kv[0])):
+        part = (_read_bucket_dir(spark, sdir, rel, int(b))
+                .select("wf_run_id", "status", "state_json"))
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
 def search_aliases(spark: SparkSession, serving_dir: str,
@@ -249,9 +410,9 @@ def search_aliases(spark: SparkSession, serving_dir: str,
     filtered."""
     kv = key + "\x1f" + value
     adir = aliases_dir(serving_dir)
-    n = _store_nbuckets(adir)
-    return (spark.read.parquet(adir)
-            .where((F.col("bucket") == _bucket(F.lit(kv), n))
-                   & (F.col("key") == key) & (F.col("value") == value)
-                   & (F.col("op") == "CREATE"))
+    df = _read_point(spark, adir, kv)
+    if df is None:
+        return spark.createDataFrame([], "wf_run_id string")
+    return (df.where((F.col("key") == key) & (F.col("value") == value)
+                     & (F.col("op") == "CREATE"))
             .select(F.col("object_id").alias("wf_run_id")))

@@ -592,3 +592,60 @@ def test_http_deploy_on_tws_engine(spark):
         srv.stop()
         mgr.stop_all()
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_http_client_error_edges(spark):
+    """Round-7 review: malformed client input must be 400s, path
+    params must be percent-decoded, and stop() before start() must not
+    deadlock."""
+    workdir = Path(tempfile.mkdtemp(prefix="http-edges-"))
+    try:
+        store = MetadataStore(str(workdir / "meta"))
+        mgr = SparkEngineManager(spark, str(workdir / "engines"),
+                                 executor=_executor, trigger_seconds=0.2)
+        api = LittleHorseAPI(spark, metadata=store, engines=mgr)
+        srv = LittleHorseHTTPServer(api).start()
+        try:
+            port = srv.port
+            # non-dict JSON bodies are client errors, not 500s
+            st, body = _req(port, "POST", "/wfSpec", [1, 2])
+            assert st == 400, body
+            st, body = _req(port, "POST", "/wfrun", [1, 2])
+            assert st == 400, body
+            # malformed int query param is a 400, not a 500
+            _req(port, "POST", "/taskDef", {"name": "greet"})
+            st, _ = _req(port, "POST", "/wfSpec", _greet_spec())
+            assert st == 201
+            st, r = _req(port, "POST", "/wfrun",
+                         {"wf_spec_name": "greeter",
+                          "variables": {"who": "ada"}})
+            assert st == 201
+            st, body = _req(port, "POST",
+                            f"/wfrun/{r['id']}/stop?thread=abc")
+            assert st == 400, body
+            # percent-encoded path params reach the API decoded: the
+            # metadata GET for the spec works with an encoded char
+            st, body = _req(port, "GET", "/wfSpec/gre%65ter")  # 'e'
+            assert st == 200 and body["name"] == "greeter", body
+        finally:
+            srv.stop()
+            mgr.stop_all()
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    # stop() before start(): must return, not deadlock on shutdown()
+    api2 = LittleHorseAPI(spark)
+    srv2 = LittleHorseHTTPServer(api2)
+    srv2.stop()  # no start() — a hang here fails the test by timeout
+
+
+def test_run_engine_cache_is_bounded(spark):
+    """The run->engine cache must not grow one entry per run forever:
+    older entries are evicted past the cap and re-resolve via the
+    serving store."""
+    api = LittleHorseAPI(spark)
+    api._RUN_CACHE_MAX = 8
+    api.engines = object()  # never consulted by _cache_run_engine
+    for i in range(50):
+        api._cache_run_engine(f"r{i}", handle=object())
+    assert len(api._run_engine) == 8
+    assert "r49" in api._run_engine and "r0" not in api._run_engine

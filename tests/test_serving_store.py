@@ -57,21 +57,23 @@ def test_latest_wins_across_batches(store):
     assert len(one) == 1 and json.loads(one[0]["state_json"])["seq"] == 5
 
 
-def test_point_read_is_partition_pruned(store):
-    """The 100 TB contract: a GET touches ONE bucket directory — the
-    bucket predicate must reach the scan as a partition filter, not a
-    post-scan filter."""
+def test_point_read_scans_one_bucket_directory(store):
+    """The 100 TB contract: a GET touches ONE immutable bucket
+    directory — the manifest lookup IS the partition pruning, so the
+    scan's input files must all live under a single bucket=N dir (and
+    the driver-side bucket hash must agree with the write path's)."""
     spark, d = store
     upsert_serving_stores(
         _batch(spark, [_snap(f"r{i}", 1) for i in range(40)]), d)
-    plan = (read_snapshot(spark, d, "r7")
-            ._jdf.queryExecution().explainString(
-                spark._jvm.org.apache.spark.sql.execution
-                .ExplainMode.fromString("formatted")))
-    assert "PartitionFilters" in plan
-    # the bucket literal appears inside the partition filter clause
-    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
-    assert "bucket" in pf and "dynamicpruning" not in pf
+    files = read_snapshot(spark, d, "r7").inputFiles()
+    assert files, "point read planned no input files"
+    dirs = {f.rsplit("/", 2)[-2] for f in files}
+    assert len(dirs) == 1 and next(iter(dirs)).startswith("bucket="), dirs
+    # and the other 15 buckets' files are NOT in the scan
+    from old_original_java_little_horse_spark.sinks import serving
+    n = serving._store_nbuckets(snapshots_dir(d))
+    b = serving._bucket_of("r7", n)
+    assert dirs == {f"bucket={b}"}
 
 
 def test_tombstoned_alias_not_resurrected_by_replay(store):
@@ -97,17 +99,24 @@ def test_upsert_rewrites_only_touched_buckets(store):
     upsert_serving_stores(
         _batch(spark, [_snap(f"r{i}", 1) for i in range(40)]), d)
     sd = Path(snapshots_dir(d))
-    before = {p: p.stat().st_mtime_ns for p in sd.glob("bucket=*/*.parquet")}
-    r7_bucket = (read_snapshot(spark, d, "r7")
-                 .sparkSession.read.parquet(str(sd))
-                 .where(F.col("wf_run_id") == "r7")
-                 .select("bucket").collect()[0]["bucket"])
+    before = {p: p.stat().st_mtime_ns
+              for p in sd.glob("data/*/bucket=*/*.parquet")}
+    from old_original_java_little_horse_spark.sinks import serving
+    r7_bucket = serving._bucket_of(
+        "r7", serving._store_nbuckets(str(sd)))
     upsert_serving_stores(_batch(spark, [_snap("r7", 9, "COMPLETED")]), d)
-    after = {p: p.stat().st_mtime_ns for p in sd.glob("bucket=*/*.parquet")}
+    after = {p: p.stat().st_mtime_ns
+             for p in sd.glob("data/*/bucket=*/*.parquet")}
+    # every untouched bucket's files still exist, byte-untouched
     untouched = {p for p in before
                  if not p.parent.name.endswith(f"={r7_bucket}")}
     for p in untouched:
         assert after.get(p) == before[p], f"{p} was rewritten"
+    # r7's old generation dir ALSO still exists (one commit of reader
+    # grace before GC), while the manifest already points at the new
+    touched_old = set(before) - untouched
+    for p in touched_old:
+        assert p.exists(), "grace period violated: old gen deleted at commit"
     assert json.loads(read_snapshot(spark, d, "r7")
                       .collect()[0]["state_json"])["seq"] == 9
 
@@ -143,7 +152,7 @@ def test_corrupt_store_read_raises_not_lossy(store):
     spark, d = store
     upsert_serving_stores(
         _batch(spark, [_snap(f"r{i}", 1) for i in range(20)]), d)
-    for p in Path(snapshots_dir(d)).glob("bucket=*/*.parquet"):
+    for p in Path(snapshots_dir(d)).glob("data/*/bucket=*/*.parquet"):
         p.write_bytes(b"not a parquet footer")
     with pytest.raises(Exception):
         upsert_serving_stores(_batch(spark, [_snap("r1", 2)]), d)
@@ -239,3 +248,118 @@ def test_upsert_retry_is_idempotent(store):
            for r in read_all_snapshots(spark, d).collect()}
     assert got == {"r1": (2, "COMPLETED"), "r2": (1, "RUNNING"),
                    "r3": (1, "RUNNING"), "r4": (2, "RUNNING")}
+
+
+def test_crash_before_manifest_commit_loses_nothing(store, monkeypatch):
+    """Round-7 review finding: dynamic partition overwrite deleted the
+    old bucket files before the new ones landed, so a crash mid-commit
+    permanently lost previously-stored keys.  The manifest store must
+    be crash-ATOMIC: a crash anywhere before the CURRENT replace
+    leaves the previous commit fully readable, and the redelivered
+    batch converges."""
+    from old_original_java_little_horse_spark.sinks import serving
+
+    spark, d = store
+    b1 = [_snap(f"r{i}", 1) for i in range(20)]
+    upsert_serving_stores(_batch(spark, b1), d)
+
+    real_replace = serving.os.replace
+
+    def crash(*a, **k):
+        raise OSError("simulated crash during manifest commit")
+
+    monkeypatch.setattr(serving.os, "replace", crash)
+    with pytest.raises(OSError):
+        upsert_serving_stores(
+            _batch(spark, [_snap("r7", 9, "COMPLETED")]), d)
+    monkeypatch.setattr(serving.os, "replace", real_replace)
+    # the store still serves the PRE-crash state for every key
+    got = {r["wf_run_id"]: json.loads(r["state_json"])["seq"]
+           for r in read_all_snapshots(spark, d).collect()}
+    assert got == {f"r{i}": 1 for i in range(20)}
+    # foreachBatch redelivery converges
+    upsert_serving_stores(_batch(spark, [_snap("r7", 9, "COMPLETED")]), d)
+    rows = read_snapshot(spark, d, "r7").collect()
+    assert len(rows) == 1 and rows[0]["status"] == "COMPLETED"
+    got = {r["wf_run_id"]: json.loads(r["state_json"])["seq"]
+           for r in read_all_snapshots(spark, d).collect()}
+    assert got == {**{f"r{i}": 1 for i in range(20)}, "r7": 9}
+
+
+def test_reader_isolation_one_commit_grace(store):
+    """A read planned against the current manifest must survive ONE
+    subsequent commit to the same bucket: superseded generation dirs
+    are GC'd only at the NEXT commit, never at the commit that
+    dereferences them."""
+    spark, d = store
+    upsert_serving_stores(_batch(spark, [_snap("r1", 1)]), d)
+    stale = read_snapshot(spark, d, "r1")  # plans against gen 1
+    stale_files = stale.inputFiles()       # force planning NOW
+    upsert_serving_stores(_batch(spark, [_snap("r1", 2, "COMPLETED")]), d)
+    # gen-1 files still on disk -> the stale plan still collects
+    assert json.loads(stale.collect()[0]["state_json"])["seq"] == 1
+    assert all(Path(f.replace("file:", "")).exists() for f in stale_files)
+    # a THIRD commit to the same bucket GCs gen 1
+    upsert_serving_stores(_batch(spark, [_snap("r1", 3)]), d)
+    assert not all(Path(f.replace("file:", "")).exists()
+                   for f in stale_files), "superseded gen never GC'd"
+    # fresh reads always see the latest commit
+    assert json.loads(read_snapshot(spark, d, "r1")
+                      .collect()[0]["state_json"])["seq"] == 3
+
+
+def test_legacy_hive_store_migrates_in_place(store):
+    """A pre-manifest store (hive bucket=N layout, no CURRENT) stays
+    readable, and the first upsert migrates touched buckets into
+    generation directories without losing untouched keys."""
+    import os as _os
+
+    from old_original_java_little_horse_spark.sinks import serving
+
+    spark, d = store
+    # build a store the OLD way: write hive-partitioned parquet + marker
+    sd = snapshots_dir(d)
+    rows = [("r%d" % i, "RUNNING", i,
+             json.dumps({"seq": 1, "status": "RUNNING"})) for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "wf_run_id string, status string, seq long, state_json string"
+    ).withColumn("bucket", serving._bucket(F.col("wf_run_id"), 16))
+    df.write.mode("overwrite").partitionBy("bucket").parquet(sd)
+    _os.makedirs(sd, exist_ok=True)
+    with open(_os.path.join(sd, ".nbuckets"), "w") as f:
+        f.write("16")
+    # no CURRENT manifest: reads fall back to the synthesized one
+    assert json.loads(read_snapshot(spark, d, "r3")
+                      .collect()[0]["state_json"])["seq"] == 1
+    # first post-upgrade upsert: touched bucket migrates, rest readable
+    upsert_serving_stores(_batch(spark, [_snap("r3", 9, "COMPLETED")]), d)
+    assert (Path(sd) / "CURRENT").exists()
+    got = {r["wf_run_id"]: json.loads(r["state_json"])["seq"]
+           for r in read_all_snapshots(spark, d).collect()}
+    assert got == {**{f"r{i}": 1 for i in range(10)}, "r3": 9}
+
+
+def test_driver_side_xxh64_matches_spark():
+    """The point-GET bucket hash is computed driver-side (no Spark job
+    per GET); it must be bit-identical to the write path's
+    pmod(xxhash64(key), n) column for any key."""
+    import random
+    import string
+
+    from old_original_java_little_horse_spark.session import get_spark
+    from old_original_java_little_horse_spark.sinks.serving import (
+        _bucket_of,
+        _xxh64,
+    )
+
+    spark = get_spark("xxh-pin")
+    rng = random.Random(11)
+    keys = ["", "a", "r7", "who\x1fada", "x" * 31, "y" * 32, "z" * 100] + [
+        "".join(rng.choices(string.printable, k=rng.randint(0, 120)))
+        for _ in range(80)]
+    df = spark.createDataFrame([(k,) for k in keys], "k string").select(
+        "k", F.xxhash64("k").alias("h"),
+        F.pmod(F.xxhash64("k"), F.lit(16)).cast("int").alias("b"))
+    for r in df.collect():
+        assert _xxh64(r["k"].encode()) == r["h"], repr(r["k"])
+        assert _bucket_of(r["k"], 16) == r["b"], repr(r["k"])
