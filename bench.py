@@ -172,6 +172,33 @@ def main() -> None:
     if replay is not None:
         out["replay_prev"] = replay
     print(json.dumps(out))
+    print(summary_line(out))
+
+
+def summary_line(out: dict) -> str:
+    """Compact FINAL stdout line (VERDICT r7 item 1): the driver
+    captures only a ~2000-char tail of stdout, and the full artifact
+    grew past it in round 7 (samples + replay_prev ≈ 7 KB), slicing
+    the headline `value` off the FRONT of the single line →
+    BENCH_r07 "parsed": null.  The last line printed must therefore
+    always be a self-contained summary well under the capture window
+    (<500 bytes); the full line above it stays for humans/the judge."""
+    summary = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "sf": out["sf"],
+        "engine_fold_events_per_sec": out["engine_fold_events_per_sec"],
+    }
+    replay = out.get("replay_prev")
+    if replay is not None:
+        if "error" in replay:
+            summary["replay_prev_error"] = str(replay["error"])[:120]
+        else:
+            summary["replay_prev_value"] = replay.get("value")
+    line = json.dumps(summary, separators=(",", ":"))
+    assert len(line) < 500, f"summary line grew to {len(line)} bytes"
+    return line
 
 
 def replay_previous_round(sf_dir: str) -> dict | None:
@@ -231,7 +258,18 @@ def replay_previous_round(sf_dir: str) -> dict | None:
         if not json_lines:
             return {"error": f"replay produced no JSON (rc={res.returncode}): "
                              f"{res.stderr[-300:]}"}
+        # A round-8+ snapshot prints TWO JSON lines (full artifact,
+        # then the compact driver summary).  Prefer the last line that
+        # carries per-query timings; fall back to the last line.
         data = json.loads(json_lines[-1])
+        for ln in reversed(json_lines):
+            try:
+                cand = json.loads(ln)
+            except ValueError:
+                continue
+            if isinstance(cand, dict) and "queries" in cand:
+                data = cand
+                break
         return {"commit": commit[:9], "subject": subject,
                 "value": data.get("value"),
                 "queries": data.get("queries"),

@@ -50,35 +50,36 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # Queries with the thinnest driver-check history, surfaced to the
 # front of the registry: the driver verifies queries in registry order
 # under a time budget (~50 rows), so whatever it cannot reach is
-# whatever sits at the tail.  Round-7 rotation (VERDICT r6 item 1):
-# the 55 queries whose latest driver evidence is round 3 or round 4 —
-# 5 r3-stale engine/stream queries, then the 50 r4-stale block,
-# ordered oldest-evidence-first.  A ~50-row driver budget covers the
-# head-50; whatever tail (≤5) it cannot reach stays r4-stale and
-# must LEAD the round-8 rotation before the steady-state ~3-round
-# re-check cadence begins.
+# whatever sits at the tail.  Round-8 rotation (VERDICT r7 item 2):
+# the round-7 rotation head oversized the ~50-row budget by 5, so the
+# 5 queries below whose latest driver evidence is still round 4 LEAD,
+# followed by the full 44-query block whose latest evidence is round
+# 5 — 49 names, inside the budget, after which nothing in the
+# registry has evidence older than round 6 and the steady ~3-round
+# re-check cadence is fully established.
 _CHECK_FIRST = [
-    # latest driver evidence: round 3
-    "engine_result_counts", "engine_streaming_fold",
-    "engine_index_incremental", "stream_doc_dedup",
-    "stream_minhash_incremental",
-    # latest driver evidence: round 4
-    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
-    "w4_sessionize", "j5_asof_join", "w5_length_quantiles", "a6_funnel",
-    "j6_range_count", "p3_alias_projection", "a1_index_posting",
-    "idx_search_lookup", "p1_fanout_filter", "p2_nonnull_projection",
-    "j2_broadcast_enrich", "j3_lookup_join", "j4_fifo_correlation",
-    "a2_status_rollup", "a5_all_ids", "w1_position_numbering",
-    "w2_latest_entry", "w3_timer_scan", "s_alias_diff_except",
-    "sort_limit_topn", "s3_serving_store_upsert", "d_ngram_jaccard_pairs",
-    "d_simhash_pairs", "d_dup_clusters", "d_dedup_canonical",
-    "t_lang_id", "t_quality_score", "t_token_count", "t_fingerprint",
-    "t_corpus_stats", "t_pii_redact", "t_doc_chunks", "t_hash_split",
-    "t_top_ngrams", "t_distinctive_terms", "t_segment_dedup", "t_lm_score",
-    "t_decontaminate", "t_balanced_mix", "t_repetition_score",
-    "t_global_shuffle", "t_pack_sequences", "t_curated_corpus",
-    "x_comparison_ops", "x_mutation_arith", "sim_dup_clusters",
-    "stream_sessionize",
+    # latest driver evidence: round 4 (the r7 rotation tail the
+    # driver's 50-row budget could not reach; judge-verified green at
+    # sf0.01 in the r7 session — now they buy fresh driver rows)
+    "sim_dup_clusters", "stream_sessionize", "t_curated_corpus",
+    "x_comparison_ops", "x_mutation_arith",
+    # latest driver evidence: round 5 (all 44 of them)
+    "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
+    "q9_product_profit", "q10_returned_items", "q11_important_parts",
+    "q12_shipping_delay", "q13_order_distribution", "q15_top_supplier",
+    "q16_supplier_variety", "q17_small_quantity_revenue",
+    "q20_heavy_part_suppliers", "q21_sole_fault_suppliers",
+    "engine_streaming_fold_tws", "s4_scd2_dimension",
+    "stream_dedup_watermark", "stream_interval_join",
+    "stream_sliding_rates", "j9_salted_skew_join", "agg_pivot_matrix",
+    "a8_anomaly_hours", "a10_top_paths", "w7_rolling_revenue",
+    "w9_sliding_windows", "g_cc_star_clusters", "d_edit_distance_pairs",
+    "t_span_dedup", "t_zorder_layout", "t_bpe_merges", "t_bpe_encode",
+    "t_dsir_weights", "t_dsir_resample", "idx_bm25_topk",
+    "sk_kmv_set_ops", "sk_bottomk_quantiles", "sim_kmeans_assign",
+    "sim_pq_adc_topk", "sim_semantic_decontaminate",
+    "mm_metadata_extract", "mm_frame_sample", "mm_resize_crop",
+    "mm_audio_windows", "mm_shard_assign", "mm_shard_extend",
 ]
 
 

@@ -1,0 +1,60 @@
+"""The bench artifact must stay driver-consumable.
+
+Round 7's BENCH artifact was unparseable: bench.py printed ONE giant
+JSON line and the driver captures only a ~2000-char stdout tail, so
+the headline `value` was sliced off the front (VERDICT r7, "What's
+wrong" #1).  The fix is a compact self-contained summary as the FINAL
+stdout line; these tests pin its contract without running Spark.
+"""
+
+import json
+
+import bench
+
+
+def _base(**kw):
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": 50.23,
+        "unit": "sec",
+        "sf": 0.1,
+        "engine_fold_events_per_sec": 27004,
+    }
+    out.update(kw)
+    return out
+
+
+def test_summary_line_is_compact_and_self_contained():
+    line = bench.summary_line(_base())
+    assert len(line) < 500
+    parsed = json.loads(line)
+    assert parsed["metric"] == "headline_queries_total_sec"
+    assert parsed["value"] == 50.23
+    assert parsed["unit"] == "sec"
+    assert parsed["sf"] == 0.1
+    assert parsed["engine_fold_events_per_sec"] == 27004
+    assert "\n" not in line
+
+
+def test_summary_line_carries_replay_value():
+    out = _base(replay_prev={"commit": "abc123def", "value": 52.49,
+                             "queries": {"q1": 1.0}})
+    parsed = json.loads(bench.summary_line(out))
+    assert parsed["replay_prev_value"] == 52.49
+    # The bulky per-query replay detail must NOT leak into the summary.
+    assert "queries" not in parsed
+
+
+def test_summary_line_replay_error_is_truncated():
+    out = _base(replay_prev={"error": "x" * 1000})
+    line = bench.summary_line(out)
+    assert len(line) < 500
+    parsed = json.loads(line)
+    assert parsed["replay_prev_error"] == "x" * 120
+    assert "replay_prev_value" not in parsed
+
+
+def test_summary_line_without_replay():
+    parsed = json.loads(bench.summary_line(_base()))
+    assert "replay_prev_value" not in parsed
+    assert "replay_prev_error" not in parsed
