@@ -89,11 +89,13 @@ def _store_nbuckets(store_dir: str, create_with: int | None = None) -> int:
     (old rows would land in the wrong partition for pruning), so the
     creation-time N is persisted in a marker file and always wins over
     the current default.  Two recovery rules keep that invariant under
-    upgrades: a POPULATED store with no marker predates the marker and
-    is stamped with the legacy constant its rows were hashed with (not
-    the env default, which may have changed); a marker that exists but
-    cannot be parsed is an integrity error and raises — silently
-    re-stamping it could re-bucket a live store.
+    upgrades: a store with legacy root `bucket=N/` data and no marker
+    predates the marker and is stamped with the legacy constant its
+    rows were hashed with (not the env default, which may have
+    changed); a marker that exists but cannot be parsed, or a
+    committed manifest with no marker beside it, is an integrity
+    error and raises — silently re-stamping could re-bucket a live
+    store.
     """
     marker = os.path.join(store_dir, _NBUCKETS_MARKER)
     try:
@@ -105,8 +107,17 @@ def _store_nbuckets(store_dir: str, create_with: int | None = None) -> int:
         raise RuntimeError(
             f"corrupt {_NBUCKETS_MARKER} in {store_dir}: refusing to "
             "guess the bucket fanout of an existing store") from None
-    if _has_parquet(store_dir):
+    if _legacy_bucket_dirs(store_dir):
         n = _LEGACY_N_BUCKETS
+    elif os.path.exists(os.path.join(store_dir, _CURRENT)):
+        # Manifest-era stores write their marker BEFORE their first
+        # data commit, so CURRENT-without-marker is external marker
+        # loss on a committed store — guessing a fanout here could
+        # re-bucket live rows.  Same stance as a corrupt marker.
+        raise RuntimeError(
+            f"missing {_NBUCKETS_MARKER} beside {_CURRENT} in "
+            f"{store_dir}: refusing to guess the bucket fanout of a "
+            "committed store")
     else:
         n = create_with if create_with is not None else N_BUCKETS
     if create_with is not None:
@@ -187,16 +198,34 @@ def _bucket_of(key: str, n_buckets: int) -> int:
     return _xxh64(key.encode("utf-8")) % n_buckets
 
 
-def _has_parquet(store_dir: str) -> bool:
-    """True iff the store directory holds committed parquet data.
+def _legacy_bucket_dirs(store_dir: str) -> dict[str, str]:
+    """Pre-manifest hive layout: root-level ``bucket=N/`` directories
+    holding parquet, keyed by bucket number.
 
-    Skips `_temporary`/hidden directories, so files left by an
-    interrupted write don't count as committed data."""
-    for root, dirs, files in os.walk(store_dir):
-        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
-        if any(f.endswith(".parquet") for f in files):
-            return True
-    return False
+    ONLY this layout counts as committed-without-manifest.  Parquet
+    under ``data/g*`` with no CURRENT is the orphan of a crashed
+    first commit — never-committed state that the redelivered batch
+    overwrites — so it must not make the store look populated
+    (ADVICE r7: a deep `_has_parquet` walk here made
+    ``has_snapshots()`` true for a store that never committed, and
+    synthesized an empty manifest for it)."""
+    out: dict[str, str] = {}
+    try:
+        names = os.listdir(store_dir)
+    except FileNotFoundError:
+        return out
+    for name in names:
+        if not name.startswith("bucket="):
+            continue
+        full = os.path.join(store_dir, name)
+        try:
+            has_data = os.path.isdir(full) and any(
+                f.endswith(".parquet") for f in os.listdir(full))
+        except OSError:
+            has_data = False
+        if has_data:
+            out[name.split("=", 1)[1]] = name
+    return out
 
 
 _CURRENT = "CURRENT"
@@ -217,17 +246,21 @@ def _load_manifest(store_dir: str) -> dict | None:
         raise RuntimeError(
             f"corrupt {_CURRENT} manifest in {store_dir}: refusing to "
             "guess the committed state of an existing store") from None
-    if _has_parquet(store_dir):
+    legacy = _legacy_bucket_dirs(store_dir)
+    if legacy:
         # Pre-manifest store (hive bucket=N layout): synthesize —
         # but do NOT write — a manifest whose entries point at the
         # legacy partition directories; the first upsert migrates
         # touched buckets into generation directories and commits the
         # real file.
-        buckets = {}
-        for name in os.listdir(store_dir):
-            if name.startswith("bucket="):
-                buckets[name.split("=", 1)[1]] = name
-        return {"gen": 0, "buckets": buckets, "pending_delete": []}
+        return {"gen": 0, "buckets": legacy, "pending_delete": []}
+    # No CURRENT and no legacy layout: never committed.  This covers
+    # both a brand-new store and the data/g* orphan of a crashed
+    # first commit (the redelivered batch overwrites it).  A
+    # manifest-era store whose CURRENT is destroyed externally lands
+    # here too and reverts to empty — the same contract as losing a
+    # table's catalog pointer; the committed generation data stays on
+    # disk for manual recovery, but we do not guess at it.
     return None
 
 
@@ -291,9 +324,21 @@ def _upsert(batch: DataFrame, store_dir: str, key_cols: list[str],
      .write.mode("overwrite").partitionBy("bucket")
      .parquet(os.path.join(store_dir, gen_rel)))
     # GC directories dereferenced by the PREVIOUS commit — committed
-    # readers got one full commit interval of grace on them.
+    # readers got one full commit interval of grace on them.  After
+    # clearing a bucket directory, also remove its data/gNNNNNN parent
+    # once no bucket= children remain (only the _SUCCESS marker):
+    # without this a long-lived continuous query accumulates one empty
+    # generation shell per batch per store, unbounded (ADVICE r7).
     for rel in manifest.get("pending_delete", []):
         shutil.rmtree(os.path.join(store_dir, rel), ignore_errors=True)
+        parent = os.path.dirname(rel)  # "" for legacy root bucket= dirs
+        if parent:
+            pdir = os.path.join(store_dir, parent)
+            try:
+                if not any(n.startswith("bucket=") for n in os.listdir(pdir)):
+                    shutil.rmtree(pdir, ignore_errors=True)
+            except FileNotFoundError:
+                pass
     replaced = [manifest["buckets"][str(b)] for b in touched
                 if str(b) in manifest["buckets"]]
     buckets = dict(manifest["buckets"])

@@ -198,15 +198,17 @@ def test_premarker_store_stamped_with_legacy_fanout(store, monkeypatch):
     from old_original_java_little_horse_spark.sinks import serving
 
     spark, d = store
-    upsert_serving_stores(
-        _batch(spark, [_snap(f"r{i}", 1) for i in range(20)]), d)
+    # A faithful pre-marker store: legacy hive layout (root-level
+    # bucket=N dirs, no CURRENT manifest) and no .nbuckets marker.
+    # (A manifest-era store can never legitimately lose only its
+    # marker — that case raises; see test_current_without_marker.)
     sd = Path(snapshots_dir(d))
-    assert (sd / ".nbuckets").read_text() == "16"
-    # Simulate the pre-marker store: marker absent, data present.
-    (sd / ".nbuckets").unlink()
-    ad = Path(serving.aliases_dir(d))
-    if (ad / ".nbuckets").exists():
-        (ad / ".nbuckets").unlink()
+    rows = [(f"r{i}", "RUNNING", 1,
+             json.dumps({"seq": 1, "status": "RUNNING"})) for i in range(20)]
+    (spark.createDataFrame(
+        rows, "wf_run_id string, status string, seq long, state_json string")
+     .withColumn("bucket", serving._bucket(F.col("wf_run_id"), 16))
+     .write.mode("overwrite").partitionBy("bucket").parquet(str(sd)))
     # Operator upgrades with a bigger configured fanout.
     monkeypatch.setattr(serving, "N_BUCKETS", 64)
     upsert_serving_stores(_batch(spark, [_snap("r3", 9, "COMPLETED")]), d)
@@ -363,3 +365,67 @@ def test_driver_side_xxh64_matches_spark():
     for r in df.collect():
         assert _xxh64(r["k"].encode()) == r["h"], repr(r["k"])
         assert _bucket_of(r["k"], 16) == r["b"], repr(r["k"])
+
+
+def test_orphaned_first_commit_is_not_committed_state(store):
+    """ADVICE r7: a crashed FIRST commit leaves parquet under
+    data/g000001 but no CURRENT.  That orphan must not make the store
+    look populated (`has_snapshots()` must stay False, reads must plan
+    empty without guessing), and the redelivered batch must converge
+    into a real first commit."""
+    from old_original_java_little_horse_spark.sinks import serving
+
+    spark, d = store
+    sd = Path(snapshots_dir(d))
+    gen = sd / "data" / "g000001" / "bucket=3"
+    gen.mkdir(parents=True)
+    # a real parquet file in the orphan dir (content is irrelevant —
+    # it must never be read)
+    spark.createDataFrame(
+        [("rX", "RUNNING", 1, "{}")],
+        "wf_run_id string, status string, seq long, state_json string"
+    ).coalesce(1).write.mode("overwrite").parquet(str(gen))
+    (sd / ".nbuckets").write_text("16")  # marker lands before data
+
+    assert serving.has_snapshots(d) is False
+    assert read_snapshot(spark, d, "rX").collect() == []
+    assert read_all_snapshots(spark, d).collect() == []
+
+    # foreachBatch redelivery: the orphan generation is overwritten
+    # and the store commits for real.
+    upsert_serving_stores(_batch(spark, [_snap("r1", 1)]), d)
+    assert serving.has_snapshots(d) is True
+    assert [r["wf_run_id"] for r in
+            read_all_snapshots(spark, d).collect()] == ["r1"]
+
+
+def test_generation_shells_are_garbage_collected(store):
+    """ADVICE r7: GC removed only the superseded bucket= dirs, leaving
+    one empty data/gNNNNNN shell (plus _SUCCESS) per batch per store,
+    unbounded for a long-lived continuous query.  A fully-superseded
+    generation's parent dir must disappear with its last bucket."""
+    spark, d = store
+    for seq in range(1, 7):
+        upsert_serving_stores(_batch(spark, [_snap("r1", seq)]), d)
+    sd = Path(snapshots_dir(d))
+    gens = sorted(p.name for p in sd.glob("data/g*"))
+    # current gen + one grace gen, never a trail of empty shells
+    assert len(gens) <= 2, gens
+    for g in sd.glob("data/g*"):
+        assert any(c.name.startswith("bucket=") for c in g.iterdir()), (
+            f"{g} is an empty generation shell")
+    assert json.loads(read_snapshot(spark, d, "r1")
+                      .collect()[0]["state_json"])["seq"] == 6
+
+
+def test_current_without_marker_raises(store):
+    """A committed manifest with no .nbuckets beside it means the
+    marker was lost externally (manifest-era stores stamp the marker
+    before their first data commit).  Guessing a fanout could
+    re-bucket live rows, so the write must refuse."""
+    spark, d = store
+    upsert_serving_stores(_batch(spark, [_snap("r1", 1)]), d)
+    sd = Path(snapshots_dir(d))
+    (sd / ".nbuckets").unlink()
+    with pytest.raises(Exception, match="refusing to guess"):
+        upsert_serving_stores(_batch(spark, [_snap("r1", 2)]), d)
