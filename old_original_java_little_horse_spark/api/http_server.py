@@ -99,6 +99,14 @@ class LittleHorseAPI:
         # undeploy_task_def(doc) on DELETE/replace.
         self.task_deployer = task_deployer
         self._run_engine: dict[str, object] = {}  # run_id → EngineHandle
+        # Guards every _run_engine mutation: handler threads
+        # insert/pop concurrently under ThreadingHTTPServer, and
+        # iterating a dict another thread is resizing raises
+        # RuntimeError — which would turn a valid POST into a 500.
+        # Plain get() stays lockless (atomic under the GIL); anything
+        # that pops, inserts, or iterates takes the lock so the
+        # eviction scan can never observe a mid-resize dict.
+        self._run_engine_lock = threading.Lock()
         if metadata is not None and (engines is not None
                                      or task_deployer is not None):
             if metadata.on_change is None:
@@ -153,13 +161,16 @@ class LittleHorseAPI:
         # (now stopped) handle; _engine_for_run re-resolves them
         # against the new deployment's serving store.
         affected = {name, (old or {}).get("name")} - {None}
-        for rid, h in list(self._run_engine.items()):
+        with self._run_engine_lock:
+            stale = list(self._run_engine.items())
+        for rid, h in stale:
             h_name = (h.spec or {}).get("name")
             if h_name in affected and h is not self.engines.get(h_name):
                 # pop-with-default: handler threads evict concurrently
                 # (ThreadingHTTPServer), and a raced del would turn a
                 # valid POST /wfSpec into a KeyError 500.
-                self._run_engine.pop(rid, None)
+                with self._run_engine_lock:
+                    self._run_engine.pop(rid, None)
 
     # -- command path (POSTApi.java:40-58) --------------------------------
 
@@ -180,12 +191,13 @@ class LittleHorseAPI:
     _RUN_CACHE_MAX = 4096
 
     def _cache_run_engine(self, run_id: str, handle) -> None:
-        while len(self._run_engine) >= self._RUN_CACHE_MAX:
-            oldest = next(iter(self._run_engine), None)
-            if oldest is None:
-                break
-            self._run_engine.pop(oldest, None)
-        self._run_engine[run_id] = handle
+        with self._run_engine_lock:
+            while len(self._run_engine) >= self._RUN_CACHE_MAX:
+                oldest = next(iter(self._run_engine), None)
+                if oldest is None:
+                    break
+                self._run_engine.pop(oldest, None)
+            self._run_engine[run_id] = handle
 
     def _engine_for_run(self, run_id: str):
         handle, _ = self._resolve_run(run_id)
@@ -207,7 +219,8 @@ class LittleHorseAPI:
             name = (handle.spec or {}).get("name")
             if self.engines.get(name) is handle:
                 return handle, None
-            self._run_engine.pop(run_id, None)
+            with self._run_engine_lock:
+                self._run_engine.pop(run_id, None)
         from ..sinks.serving import has_snapshots, read_snapshot
 
         for h in self.engines.handles():

@@ -1193,12 +1193,19 @@ def handle_timer_event(state: dict, spec: dict, event: dict) -> None:
     (ThreadRun.java:1075-1140)."""
     timer = _content(event)
     if (not isinstance(timer, dict)
-            or "thread_run_id" not in timer or "task_run_id" not in timer):
-        # Shape-invalid content (a poison record): there is no thread
-        # to attribute it to, so log-and-skip semantics — halting the
-        # run would let one corrupt event kill an innocent workflow.
-        # (A WELL-FORMED timer naming an unknown node still halts via
-        # the "Phantom timer." path below — that one is attributable.)
+            or not isinstance(timer.get("thread_run_id"), int)
+            or isinstance(timer.get("thread_run_id"), bool)
+            or not isinstance(timer.get("task_run_id"), int)
+            or isinstance(timer.get("task_run_id"), bool)
+            or not 0 <= timer["thread_run_id"] < len(state["thread_runs"])
+            or timer["task_run_id"] < 0):
+        # Shape-invalid content (a poison record): key missing, a
+        # non-int id, or a thread_run_id outside the run's threads —
+        # there is no thread to attribute it to, so log-and-skip
+        # semantics; halting the run would let one corrupt event kill
+        # an innocent workflow.  (A WELL-FORMED timer naming an
+        # unknown node still halts via the "Phantom timer." path
+        # below — that one is attributable.)
         return
     thread = state["thread_runs"][timer["thread_run_id"]]
     trs = thread["task_runs"]

@@ -97,6 +97,35 @@ def test_poison_timer_event_content_is_tolerated():
     assert json.loads(snap["payload"])["status"] == "COMPLETED"
 
 
+def test_out_of_range_timer_ids_are_tolerated():
+    """A well-SHAPED timer whose thread_run_id/task_run_id are out of
+    range or mistyped is just as unattributable as a shapeless one:
+    it must be skipped, not raise IndexError/TypeError into the
+    blanket handler and halt the run with INTERNAL_ERROR (ADVICE r7:
+    the shape guard validated key presence but not range)."""
+    update = make_update_fn(_spec())
+    gs = FakeGroupState()
+    events = _events()
+    bad_ids = [
+        {"thread_run_id": 7, "task_run_id": 0},     # no such thread
+        {"thread_run_id": -1, "task_run_id": 0},    # negative index
+        {"thread_run_id": 0, "task_run_id": -3},    # negative task
+        {"thread_run_id": "0", "task_run_id": 0},   # stringly typed
+        {"thread_run_id": 0, "task_run_id": "x"},   # would TypeError <
+        {"thread_run_id": True, "task_run_id": 0},  # bool is not an id
+    ]
+    for i, content in enumerate(bad_ids):
+        content["node_name"] = "nope"
+        events.append({
+            "wf_run_id": "r1", "wf_spec_id": "s", "wf_spec_name": "s",
+            "event_type": "TIMER_EVENT", "thread_id": 0,
+            "timestamp": 1003 + i, "offset": 3 + i,
+            "content": json.dumps(content)})
+    rows = _drive(update, gs, events)  # must not raise
+    snap = [r for r in rows if r["kind"] == "snapshot"][-1]
+    assert json.loads(snap["payload"])["status"] == "COMPLETED"
+
+
 def test_prepare_events_normalizes_nan_offsets_and_timestamps():
     """One null in a LongType column makes pandas deliver the WHOLE
     column as float64 with NaN; nan is truthy so `or 0` passes it
