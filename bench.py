@@ -155,6 +155,10 @@ def main() -> None:
     # From here on, NOTHING may prevent the JSON line: a dying JVM or
     # a failed replay costs its own feature, never the measurements.
     try:
+        roundtrip = task_roundtrip(spark)
+    except Exception as e:  # noqa: BLE001 — latency is additive evidence
+        roundtrip = {"error": f"{type(e).__name__}: {e}"[:200]}
+    try:
         spark.stop()  # free the JVM/cores BEFORE the replay child runs
     except Exception:
         pass
@@ -168,6 +172,7 @@ def main() -> None:
                     for n, runs in samples.items()},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "engine_fold_events_per_sec": fold_eps,
+        "task_roundtrip_ms": roundtrip,
     }
     if replay is not None:
         out["replay_prev"] = replay
@@ -190,6 +195,12 @@ def summary_line(out: dict) -> str:
         "sf": out["sf"],
         "engine_fold_events_per_sec": out["engine_fold_events_per_sec"],
     }
+    rt = out.get("task_roundtrip_ms") or {}
+    if "p50_ms" in rt:
+        summary["task_roundtrip_p50_ms"] = rt["p50_ms"]
+        summary["task_roundtrip_p95_ms"] = rt["p95_ms"]
+    elif "error" in rt:
+        summary["task_roundtrip_error"] = str(rt["error"])[:80]
     replay = out.get("replay_prev")
     if replay is not None:
         if "error" in replay:
@@ -291,6 +302,71 @@ def replay_previous_round(sf_dir: str) -> dict | None:
                 shutil.rmtree(wt.parent, ignore_errors=True)
             except Exception:
                 pass
+
+
+def task_roundtrip(spark, runs: int = 20) -> dict | None:
+    """End-to-end task round-trip latency, the last BASELINE.md part-B
+    row without a number (VERDICT r7 item 5): POST /wfrun of the
+    one-task harness `basic` case → COMPLETED folded document visible
+    over GET /wfrun, measured over `runs` sequential runs against the
+    in-process server.  This traverses the exact production path —
+    HTTP command → event append → read-your-writes barrier →
+    streaming fold → serving snapshot → HTTP read — with a 2 ms GET
+    poll so the measurement resolves the engine, not the poll.  The
+    reference envelope is its 10 ms worker poll + 50 ms barrier
+    granularity per hop (BASELINE.md part A rows 1-2); ours is
+    micro-batch-quantized by the 200 ms engine trigger, so the
+    comparable is p50 ≈ a small integer multiple of the trigger."""
+    import shutil
+
+    from old_original_java_little_horse_spark.api.engines import (
+        SparkEngineManager)
+    from old_original_java_little_horse_spark.api.http_server import (
+        LittleHorseAPI, LittleHorseHTTPServer)
+    from old_original_java_little_horse_spark.api.metadata import MetadataStore
+    from old_original_java_little_horse_spark.harness.cases import all_cases
+    from old_original_java_little_horse_spark.harness.executor import execute
+    from old_original_java_little_horse_spark.harness.runner import (
+        _req, deploy_case)
+
+    case = all_cases()["basic"]
+    workdir = tempfile.mkdtemp(prefix="lh-bench-lat-")
+    mgr = SparkEngineManager(spark, os.path.join(workdir, "engines"),
+                             executor=execute, trigger_seconds=0.2)
+    api_obj = LittleHorseAPI(
+        spark, metadata=MetadataStore(os.path.join(workdir, "meta")),
+        engines=mgr)
+    srv = LittleHorseHTTPServer(api_obj).start()
+    api = f"http://127.0.0.1:{srv.port}"
+    warmup = 2  # first runs pay codegen + Python-worker spawn
+    lat: list[float] = []
+    try:
+        spec_id = deploy_case(api, case)
+        for i in range(runs + warmup):
+            t0 = time.perf_counter()
+            st, run = _req(api, "POST", "/wfrun",
+                           {"wf_spec_name": case.spec["name"],
+                            "variables": {}})
+            assert st == 201, (st, run)
+            rid = run["id"]
+            deadline = time.monotonic() + 120
+            while time.monotonic() < deadline:
+                st, doc = _req(api, "GET", f"/wfrun/{rid}")
+                if st == 200 and doc.get("status") == "COMPLETED":
+                    break
+                time.sleep(0.002)
+            else:
+                raise TimeoutError(f"run {rid} never completed")
+            if i >= warmup:
+                lat.append((time.perf_counter() - t0) * 1000.0)
+        _req(api, "DELETE", f"/wfSpec/{spec_id}")
+    finally:
+        srv.stop()
+        shutil.rmtree(workdir, ignore_errors=True)
+    lat.sort()
+    return {"p50_ms": round(lat[len(lat) // 2], 1),
+            "p95_ms": round(lat[min(len(lat) - 1, int(len(lat) * 0.95))], 1),
+            "runs": len(lat), "trigger_ms": 200}
 
 
 def fold_throughput(min_seconds: float = 2.0) -> int:

@@ -63,7 +63,8 @@ class SparkEngineManager:
                  trigger_seconds: float = 0.2,
                  barrier_timeout: float = 60.0,
                  use_tws: bool = False,
-                 shared: bool = False):
+                 shared: bool = False,
+                 state_partitions: int | None = 8):
         self.spark = spark
         self.base_dir = Path(base_dir)
         self.executor = executor
@@ -71,6 +72,13 @@ class SparkEngineManager:
         self.barrier_timeout = barrier_timeout
         self.use_tws = use_tws  # transformWithState engine (needs protobuf)
         self.shared = shared
+        # Engine state-store fanout (see start_continuous docstring):
+        # every state partition costs a store commit + an Arrow
+        # round-trip per micro-batch even idle, and that batch
+        # duration floors command latency through the read-your-writes
+        # barrier.  Default 8 fits a serving deployment; pass the
+        # analytic default (None = session conf) for huge keyspaces.
+        self.state_partitions = state_partitions
         self._engines: dict[str, EngineHandle] = {}
         self._specs: dict[str, dict] = {}  # shared mode: deployed specs
 
@@ -99,6 +107,7 @@ class SparkEngineManager:
             executor=self.executor,
             trigger_seconds=self.trigger_seconds,
             use_tws=self.use_tws,
+            state_partitions=self.state_partitions,
         )
         for name, spec in self._specs.items():
             self._engines[name] = EngineHandle(
@@ -141,6 +150,7 @@ class SparkEngineManager:
                 executor=self.executor,
                 trigger_seconds=self.trigger_seconds,
                 use_tws=self.use_tws,
+                state_partitions=self.state_partitions,
             ),
         )
         self._engines[name] = handle

@@ -221,7 +221,7 @@ class LittleHorseAPI:
                 return handle, None
             with self._run_engine_lock:
                 self._run_engine.pop(run_id, None)
-        from ..sinks.serving import has_snapshots, read_snapshot
+        from ..sinks.serving import has_snapshots, read_snapshot_rows
 
         for h in self.engines.handles():
             # 'No store yet' (engine has folded nothing) is the only
@@ -229,7 +229,7 @@ class LittleHorseAPI:
             # surface as a 500, not masquerade as a 404.
             if not has_snapshots(h.serving_dir):
                 continue
-            rows = read_snapshot(self.spark, h.serving_dir, run_id).collect()
+            rows = read_snapshot_rows(h.serving_dir, run_id)
             if rows:
                 self._cache_run_engine(run_id, h)
                 return h, rows
@@ -345,18 +345,19 @@ class LittleHorseAPI:
         return _snapshots(self.spark, self.snapshots_dir)
 
     def _wfrun_doc(self, run_id: str) -> dict:
+        # Point GETs read the store driver-side (pyarrow over ONE
+        # immutable bucket dir) — the reference's store.get() is a
+        # local storage read, never a cluster job.
         if self.engines is not None:
-            from ..sinks.serving import read_snapshot
+            from ..sinks.serving import read_snapshot_rows
 
             handle, rows = self._resolve_run(run_id)
             if rows is None:  # cache hit: one point lookup, not two
-                rows = read_snapshot(
-                    self.spark, handle.serving_dir, run_id).collect()
+                rows = read_snapshot_rows(handle.serving_dir, run_id)
         elif self.serving_dir is not None:
-            from ..sinks.serving import read_snapshot
+            from ..sinks.serving import read_snapshot_rows
 
-            rows = read_snapshot(
-                self.spark, self.serving_dir, run_id).collect()
+            rows = read_snapshot_rows(self.serving_dir, run_id)
         else:
             snaps = self._latest()
             rows = snaps.where(snaps.wf_run_id == run_id).collect()
@@ -406,14 +407,11 @@ class LittleHorseAPI:
         if dirs is None:
             rows = self._latest().select("wf_run_id", "status").collect()
         else:
-            from ..sinks.serving import has_snapshots, read_all_snapshots
+            from ..sinks.serving import read_all_snapshot_rows
 
             rows = []
             for d in dirs:
-                if not has_snapshots(d):
-                    continue  # engine with no folded runs yet
-                rows.extend(read_all_snapshots(self.spark, d)
-                            .select("wf_run_id", "status").collect())
+                rows.extend(read_all_snapshot_rows(d))
         return [{"id": r["wf_run_id"], "status": r["status"]} for r in rows]
 
     def search(self, key: str, value: str) -> list[str]:
@@ -423,14 +421,11 @@ class LittleHorseAPI:
 
             return [r["wf_run_id"]
                     for r in search(self._latest(), key, value).collect()]
-        from ..sinks.serving import has_aliases, search_aliases
+        from ..sinks.serving import search_alias_ids
 
         out: list[str] = []
         for d in dirs:
-            if not has_aliases(d):
-                continue  # engine with no indexed runs yet
-            out.extend(r["wf_run_id"] for r in
-                       search_aliases(self.spark, d, key, value).collect())
+            out.extend(search_alias_ids(d, key, value))
         return sorted(out)
 
 

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 import uuid
@@ -60,23 +61,47 @@ def _api_call(api: str, method: str, path: str, body=None):
 
 
 def _write_event(spark, events_dir: str, row: dict) -> None:
-    from .engine.batch import WF_EVENT_SCHEMA
+    """Append one command event as its own parquet file.
 
-    # Offset = produce-time µs: the engine folds events in per-key
-    # offset order and snapshots version by max offset (`seq`), so the
-    # file-command producer must hand out monotone offsets exactly as
-    # a Kafka partition would — offset 0 for every command would leave
-    # later commands' snapshots tied with (not superseding) earlier
-    # ones in latest-wins selection.
-    df = spark.createDataFrame([(
-        row["wf_run_id"], row.get("wf_spec_id"), row.get("wf_spec_name"),
-        row["event_type"], row.get("thread_id", 0),
-        row.get("timestamp") or int(time.time() * 1000),
-        row.get("offset") or time.time_ns() // 1000, row["content"],
-    )], schema=WF_EVENT_SCHEMA)
-    df.coalesce(1).write.mode("append").parquet(
-        str(Path(events_dir) / f"cmd-{uuid.uuid4().hex[:12]}")
-    )
+    This is the file-backed stand-in for a Kafka produce, and a
+    produce is a ~1 ms client write — so the event is written
+    DRIVER-SIDE with pyarrow, never as a Spark job (a 1-row
+    createDataFrame().write was measured at 0.5-2 s under a live
+    engine's micro-batch job train, and it sits on the POST latency
+    path in front of the read-your-writes barrier).  The engine's
+    stream source reads with an explicit schema, so writer parity is
+    just type parity, pinned by tests/test_streaming.py
+    (test_driver_side_event_write_matches_engine_schema).
+
+    Offset = produce-time µs: the engine folds events in per-key
+    offset order and snapshots version by max offset (`seq`), so the
+    file-command producer must hand out monotone offsets exactly as
+    a Kafka partition would — offset 0 for every command would leave
+    later commands' snapshots tied with (not superseding) earlier
+    ones in latest-wins selection."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tid = row.get("thread_id", 0)
+    tbl = pa.table({
+        "wf_run_id": pa.array([row["wf_run_id"]], pa.string()),
+        "wf_spec_id": pa.array([row.get("wf_spec_id")], pa.string()),
+        "wf_spec_name": pa.array([row.get("wf_spec_name")], pa.string()),
+        "event_type": pa.array([row["event_type"]], pa.string()),
+        "thread_id": pa.array([0 if tid is None else int(tid)], pa.int32()),
+        "timestamp": pa.array(
+            [row.get("timestamp") or int(time.time() * 1000)], pa.int64()),
+        "offset": pa.array(
+            [row.get("offset") or time.time_ns() // 1000], pa.int64()),
+        "content": pa.array([row["content"]], pa.string()),
+    })
+    d = Path(events_dir) / f"cmd-{uuid.uuid4().hex[:12]}"
+    d.mkdir(parents=True, exist_ok=True)
+    # Write-then-rename: the stream source lists the directory between
+    # triggers, and a half-written file would poison the batch.
+    tmp = d / ".part-00000.parquet.tmp"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, d / "part-00000.parquet")
 
 
 def _snapshots(spark, snapshots_dir: str):

@@ -503,7 +503,8 @@ def start_continuous(spark: SparkSession, events_dir: str, spec: dict,
                      evict_completed: bool = True,
                      tombstone_ttl_ms: int | None = None,
                      serving_dir: str | None = None,
-                     use_tws: bool = False):
+                     use_tws: bool = False,
+                     state_partitions: int | None = None):
     """Start the engine as a continuously-running query (ProcessingTime
     trigger ~ the reference's 1 s punctuator cadence, Constants.java:36).
 
@@ -517,7 +518,19 @@ def start_continuous(spark: SparkSession, events_dir: str, spec: dict,
     (`sinks/serving.py` — the reference's materialized RocksDB serving
     layer, APIStreamsContext.java:62-83) from each micro-batch; GETs
     then read one bucket partition instead of re-windowing the raw
-    changelog."""
+    changelog.
+
+    `state_partitions`: right-size the engine's state-store fanout
+    (fixed at FIRST query start from `spark.sql.shuffle.partitions`;
+    an existing checkpoint keeps its own).  Every state partition
+    costs one store commit + one Arrow Python round-trip PER
+    MICRO-BATCH even when idle — at the session's analytic default
+    (32) an idle batch measured ~1.1 s, at 8 it is ~3x cheaper, which
+    directly bounds command latency (the read-your-writes barrier
+    waits out in-flight batches).  Size to the deployment's run-rate:
+    a keyspace of thousands of concurrent runs wants the default
+    analytic fanout or more; a serving-latency deployment wants few.
+    Scoped to this query's start — the session default is restored."""
     from ..engine.batch import WF_EVENT_SCHEMA
 
     events = spark.readStream.schema(WF_EVENT_SCHEMA).parquet(events_dir)
@@ -528,24 +541,38 @@ def start_continuous(spark: SparkSession, events_dir: str, spec: dict,
                               use_tws=use_tws)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        if serving_dir is not None:
-            from ..sinks.serving import upsert_serving_stores
-
-            batch_df.persist()
-            try:
-                batch_df.write.mode("append").parquet(output_dir)
-                upsert_serving_stores(batch_df, serving_dir)
-            finally:
-                # foreachBatch retries re-enter this function; without
-                # the finally, a failed upsert would leak one cached
-                # copy per attempt into executor storage memory.
-                batch_df.unpersist()
-        else:
+        # ONE count materializes the batch into the cache and gates
+        # everything: with native timers armed, Spark triggers
+        # continuously even while idle, and the previous
+        # unconditional write + upsert probes cost ~3 empty jobs
+        # (~1 s) per idle trigger — which floors command latency,
+        # since the read-your-writes barrier waits out in-flight
+        # batches.  Batch 0 always writes so the output dir carries a
+        # readable schema from deploy time (downstream
+        # spark.read.parquet of an empty-but-created dir would fail
+        # schema inference).
+        batch_df.persist()
+        try:
+            if batch_df.count() == 0 and batch_id > 0:
+                return
             batch_df.write.mode("append").parquet(output_dir)
+            if serving_dir is not None:
+                from ..sinks.serving import upsert_serving_stores
+
+                upsert_serving_stores(batch_df, serving_dir)
+        finally:
+            # foreachBatch retries re-enter this function; without
+            # the finally, a failed upsert would leak one cached
+            # copy per attempt into executor storage memory.
+            batch_df.unpersist()
 
     from ..session import scoped_conf
 
-    with scoped_conf(spark, _tws_confs(use_tws)):
+    confs = _tws_confs(use_tws)
+    if state_partitions is not None:
+        confs = {**confs,
+                 "spark.sql.shuffle.partitions": str(state_partitions)}
+    with scoped_conf(spark, confs):
         return (
             tagged.writeStream.foreachBatch(sink)
             .outputMode("update")
@@ -560,7 +587,8 @@ def start_continuous_shared(spark: SparkSession, events_dir: str,
                             output_dir: str, serving_dirs: dict[str, str],
                             executor: TaskExecutor | None = None,
                             trigger_seconds: float = 0.5,
-                            use_tws: bool = False):
+                            use_tws: bool = False,
+                            state_partitions: int | None = None):
     """ONE engine for ALL deployed specs (SURVEY §7 ops profile: 100
     specs should not need 100 checkpoints/state stores).
 
@@ -596,6 +624,10 @@ def start_continuous_shared(spark: SparkSession, events_dir: str,
         batch_df.persist()
         attributed = None
         try:
+            # Idle-trigger short-circuit — same rationale as the
+            # per-spec sink above (batch 0 stamps the output schema).
+            if batch_df.count() == 0 and batch_id > 0:
+                return
             batch_df.write.mode("append").parquet(output_dir)
             run_spec = (
                 batch_df.where(F.col("kind") == "snapshot")
@@ -624,7 +656,11 @@ def start_continuous_shared(spark: SparkSession, events_dir: str,
 
     from ..session import scoped_conf
 
-    with scoped_conf(spark, _tws_confs(use_tws)):
+    confs = _tws_confs(use_tws)
+    if state_partitions is not None:
+        confs = {**confs,
+                 "spark.sql.shuffle.partitions": str(state_partitions)}
+    with scoped_conf(spark, confs):
         return (
             tagged.writeStream.foreachBatch(sink)
             .outputMode("update")
@@ -641,17 +677,29 @@ def await_read_your_writes(query, timeout: float = 60.0) -> None:
     The reference polls the consumer's stored offset until it passes
     the produce offset, 50 ms at a time
     (`APIStreamsContext.java:168-222`, poll at 200-203).  On a
-    micro-batch engine the equivalent is: wait for a trigger that
-    *started* after this call and provably consumed everything listed
-    before it started — either it read ZERO input rows, or its
-    endOffset caught up to the source's latestOffset (it drained the
-    full backlog its post-write listing saw).  The second clause
-    matters under sustained traffic: with producers writing faster
-    than the trigger interval, a zero-input batch may NEVER occur,
-    and a barrier demanding one would time out every request even
-    though each write folds one trigger later.  (Comparing batchIds
-    alone races: a zero-input batch that began before the write can
-    finish after the call and falsely satisfy the barrier.)
+    micro-batch engine the equivalent is: wait for a completed trigger
+    that *started* after this call and *listed the source fresh*.  The
+    engine's continuous queries never cap maxFilesPerTrigger, so such
+    a trigger consumed every file visible at its start — including
+    this call's write — whether it read zero rows (someone else's
+    batch already drained it) or many (it carried the write itself).
+
+    Two progress entries must NOT satisfy the barrier:
+
+    - a batch that began BEFORE the write and finished after the call
+      (its listing predates the file) — excluded by `started > t0`;
+    - the FIRST batch of a query run, which may be a WAL-recovery
+      replay: on restart Structured Streaming re-executes the last
+      planned-but-uncommitted batch with the file list it WROTE TO
+      THE OFFSET LOG before the restart, so its progress timestamp is
+      post-restart while its contents predate this write.  (Observed
+      deterministically: POST against a just-restarted engine saw the
+      recovery batch report 0 rows 30 ms after the write and served a
+      404 for a run whose event hadn't been folded.)  Excluded by
+      requiring `batchId > the first batchId this run reported` —
+      each StreamingQuery object's progress buffer belongs to its own
+      run, so the buffer's head is at or before the recovery batch,
+      and only the recovery batch can carry a stale listing.
     """
     import time as _time
     from datetime import datetime, timezone
@@ -659,19 +707,14 @@ def await_read_your_writes(query, timeout: float = 60.0) -> None:
     t0 = datetime.now(timezone.utc)
     deadline = _time.monotonic() + timeout
     while _time.monotonic() < deadline:
-        p = query.lastProgress
+        recent = query.recentProgress
+        p = recent[-1] if recent else None
         if p:
             started = datetime.strptime(
                 p["timestamp"], "%Y-%m-%dT%H:%M:%S.%fZ"
             ).replace(tzinfo=timezone.utc)
-            if started > t0:
-                if p["numInputRows"] == 0:
-                    return
-                src = (p.get("sources") or [{}])[0]
-                end = src.get("endOffset")
-                latest = src.get("latestOffset")
-                if end is not None and end == latest:
-                    return  # post-write listing, backlog fully drained
+            if started > t0 and p["batchId"] > recent[0]["batchId"]:
+                return
         _time.sleep(0.05)  # the reference's 50 ms poll
     raise TimeoutError("read-your-writes barrier timed out")
 

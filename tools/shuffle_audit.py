@@ -40,46 +40,33 @@ def _get(url: str):
         return json.load(r)
 
 
-def main() -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--sf", default=os.environ.get(
-        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
-    ap.add_argument("--only", action="append", default=[])
-    ap.add_argument("--json", action="store_true")
-    args = ap.parse_args()
+def open_status_api(spark):
+    """(base_url, app_id) of the live session's status REST API.
 
-    from bench import HEADLINE
-    from old_original_java_little_horse_spark.registry import all_queries
-    from old_original_java_little_horse_spark.session import get_spark
+    The UI may bind UI_PORT+n when the port is taken
+    (port.maxRetries) — always read the port actually bound."""
+    base = f"{spark.sparkContext.uiWebUrl}/api/v1"
+    return base, _get(f"{base}/applications")[0]["id"]
 
-    spark = get_spark("shuffle-audit", extra_conf={
-        "spark.ui.enabled": "true",
-        "spark.ui.port": str(UI_PORT),
-        # Keep every stage in the status store for the whole audit.
-        "spark.ui.retainedStages": "100000",
-    })
-    # The UI may bind UI_PORT+n when the port is taken (port.maxRetries)
-    # — always read the port actually bound, never assume.
-    ui = spark.sparkContext.uiWebUrl
-    base = f"{ui}/api/v1"
-    app_id = _get(f"{base}/applications")[0]["id"]
 
-    def completed_stages() -> dict[int, dict]:
+def measure(spark, base: str, app_id: str, specs, names, sf_dir: str,
+            verbose: bool = True) -> list[dict]:
+    """Run each named registry query at sf_dir through a noop sink and
+    attribute its completed stages (input/shuffle/spill bytes) via the
+    status API.  Queries run serially, so stages between two marks
+    belong to the query between them."""
+
+    def completed_stages() -> dict[tuple, dict]:
         out = {}
         for s in _get(f"{base}/applications/{app_id}/stages?status=COMPLETE"):
             out[(s["stageId"], s["attemptId"])] = s
         return out
 
-    specs = all_queries()
-    names = [n for n in HEADLINE if n in specs]
-    if args.only:
-        names = [n for n in names if any(n.startswith(p) for p in args.only)]
-
     rows = []
     for name in names:
         before = set(completed_stages())
         t0 = time.perf_counter()
-        df = specs[name].fn(spark, args.sf)
+        df = specs[name].fn(spark, sf_dir)
         # noop sink: materializes EVERY column through the full plan.
         # A count() here would let Catalyst prune windows/sorts/columns
         # and the audit would measure a thinner plan than the query.
@@ -104,12 +91,42 @@ def main() -> int:
         rows.append({"query": name, "sec": round(wall, 2),
                      "n_stages": len(mine), **agg,
                      "shuffle_amplification": round(amp, 3)})
-        if not args.json:
+        if verbose:
             print(f"{name:28s} src={src_bytes/2**20:7.1f}MB "
                   f"shufW={agg['shuffleWriteBytes']/2**20:8.1f}MB "
                   f"amp={amp:6.3f} "
                   f"spill={(agg['memoryBytesSpilled']+agg['diskBytesSpilled'])/2**20:6.1f}MB "
                   f"stages={len(mine):3d} {wall:5.1f}s", flush=True)
+    return rows
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--only", action="append", default=[])
+    ap.add_argument("--json", action="store_true")
+    args = ap.parse_args()
+
+    from bench import HEADLINE
+    from old_original_java_little_horse_spark.registry import all_queries
+    from old_original_java_little_horse_spark.session import get_spark
+
+    spark = get_spark("shuffle-audit", extra_conf={
+        "spark.ui.enabled": "true",
+        "spark.ui.port": str(UI_PORT),
+        # Keep every stage in the status store for the whole audit.
+        "spark.ui.retainedStages": "100000",
+    })
+    base, app_id = open_status_api(spark)
+
+    specs = all_queries()
+    names = [n for n in HEADLINE if n in specs]
+    if args.only:
+        names = [n for n in names if any(n.startswith(p) for p in args.only)]
+
+    rows = measure(spark, base, app_id, specs, names, args.sf,
+                   verbose=not args.json)
 
     if args.json:
         print(json.dumps({"sf_dir": args.sf, "rows": rows}))
