@@ -229,14 +229,17 @@ def cmd_get(args) -> int:
         print(json.dumps(resp, indent=2))
         return 0 if st < 400 else 1
     _require_store(args)
-    spark = _spark()
     if getattr(args, "serving_dir", None):
-        # Compacted point lookup: one bucket partition, O(1) in run
-        # count (sinks/serving.py — APIStreamsContext.java:62-83).
-        from .sinks.serving import read_snapshot
+        # Compacted point lookup, driver-side: one pyarrow bucket-dir
+        # read, O(1) in run count and NO Spark session at all — the
+        # reference's `lhctl get` is a point read against the API's
+        # RocksDB (APIStreamsContext.java:62-83), not a cluster job,
+        # and booting a JVM to read one row cost ~8 s per CLI call.
+        from .sinks.serving import read_snapshot_rows
 
-        rows = read_snapshot(spark, args.serving_dir, args.run_id).collect()
+        rows = read_snapshot_rows(args.serving_dir, args.run_id)
     else:
+        spark = _spark()
         snaps = _snapshots(spark, args.snapshots_dir)
         rows = snaps.where(snaps.wf_run_id == args.run_id).collect()
     # (No name-resolution fallback: the `name` alias IS the run id, so
@@ -259,16 +262,19 @@ def cmd_search(args) -> int:
             print(rid)
         return 0 if st < 400 else 1
     _require_store(args)
-    spark = _spark()
     if getattr(args, "serving_dir", None):
-        from .sinks.serving import search_aliases
+        # Driver-side alias-bucket read — no Spark session (see
+        # cmd_get).
+        from .sinks.serving import search_alias_ids
 
-        hits = search_aliases(spark, args.serving_dir, args.key, args.value)
-    else:
-        from .operators.run_index import search
+        for rid in search_alias_ids(args.serving_dir, args.key, args.value):
+            print(rid)
+        return 0
+    spark = _spark()
+    from .operators.run_index import search
 
-        hits = search(_snapshots(spark, args.snapshots_dir),
-                      args.key, args.value)
+    hits = search(_snapshots(spark, args.snapshots_dir),
+                  args.key, args.value)
     for r in hits.collect():
         print(r["wf_run_id"])
     return 0
@@ -281,13 +287,16 @@ def cmd_list(args) -> int:
             print(f"{r['id']}\t{r['status']}")
         return 0 if st < 400 else 1
     _require_store(args)
-    spark = _spark()
     if getattr(args, "serving_dir", None):
-        from .sinks.serving import read_all_snapshots
+        # Driver-side full-store read — no Spark session (see
+        # cmd_get); the command prints every row anyway.
+        from .sinks.serving import read_all_snapshot_rows
 
-        snaps = read_all_snapshots(spark, args.serving_dir)
-    else:
-        snaps = _snapshots(spark, args.snapshots_dir)
+        for r in read_all_snapshot_rows(args.serving_dir):
+            print(f"{r['wf_run_id']}\t{r['status']}")
+        return 0
+    spark = _spark()
+    snaps = _snapshots(spark, args.snapshots_dir)
     for r in snaps.select("wf_run_id", "status").collect():
         print(f"{r['wf_run_id']}\t{r['status']}")
     return 0

@@ -517,3 +517,34 @@ def test_fast_and_slow_paths_interoperate_on_one_store(spark, monkeypatch):
         assert read_snapshot_rows(d, "r2")[0]["status"] == "COMPLETED"
     finally:
         shutil.rmtree(Path(d).parent, ignore_errors=True)
+
+
+def test_cli_point_commands_run_sparkless(spark, capsys, monkeypatch):
+    """`lhctl get/search/list --serving-dir` are driver-side pyarrow
+    reads — they must never boot a Spark session (the reference's
+    lhctl point reads hit the API's RocksDB, not a cluster; a JVM
+    boot per CLI call cost ~8 s)."""
+    from old_original_java_little_horse_spark import cli as climod
+
+    d = str(Path(tempfile.mkdtemp(prefix="serving-cli-")) / "store")
+    try:
+        upsert_serving_stores(_batch(spark, [
+            _snap("r1", 1), _snap("r2", 3, "COMPLETED"),
+            _idx("r2", 3, "CREATE", "status", "COMPLETED")]), d)
+
+        def boom():
+            raise AssertionError("CLI point command booted Spark")
+        monkeypatch.setattr(climod, "_spark", boom)
+
+        assert climod.main(["get", "r2", "--serving-dir", d]) == 0
+        assert json.loads(capsys.readouterr().out)["seq"] == 3
+        assert climod.main(["search", "status", "COMPLETED",
+                            "--serving-dir", d]) == 0
+        assert capsys.readouterr().out.split() == ["r2"]
+        assert climod.main(["list", "--serving-dir", d]) == 0
+        assert sorted(capsys.readouterr().out.splitlines()) == [
+            "r1\tRUNNING", "r2\tCOMPLETED"]
+        assert climod.main(["get", "missing", "--serving-dir", d]) == 1
+        capsys.readouterr()
+    finally:
+        shutil.rmtree(Path(d).parent, ignore_errors=True)
