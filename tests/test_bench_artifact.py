@@ -58,3 +58,29 @@ def test_summary_line_without_replay():
     parsed = json.loads(bench.summary_line(_base()))
     assert "replay_prev_value" not in parsed
     assert "replay_prev_error" not in parsed
+
+
+def test_summary_line_carries_task_roundtrip():
+    out = _base(task_roundtrip_ms={"p50_ms": 1780.3, "p95_ms": 2108.0,
+                                   "runs": 15, "trigger_ms": 200})
+    line = bench.summary_line(out)
+    assert len(line) < 500
+    parsed = json.loads(line)
+    assert parsed["task_roundtrip_p50_ms"] == 1780.3
+    assert parsed["task_roundtrip_p95_ms"] == 2108.0
+
+
+def test_summary_line_roundtrip_error_is_truncated():
+    out = _base(task_roundtrip_ms={"error": "y" * 400},
+                replay_prev={"error": "x" * 1000})
+    line = bench.summary_line(out)
+    assert len(line) < 500
+    parsed = json.loads(line)
+    assert parsed["task_roundtrip_error"] == "y" * 80
+
+
+def test_summary_line_all_features_stay_under_capture_window():
+    out = _base(task_roundtrip_ms={"p50_ms": 99999.9, "p95_ms": 99999.9,
+                                   "runs": 20, "trigger_ms": 200},
+                replay_prev={"commit": "a" * 40, "value": 12345.678})
+    assert len(bench.summary_line(out)) < 500
