@@ -362,6 +362,11 @@ def task_roundtrip(spark, runs: int = 20) -> dict | None:
         _req(api, "DELETE", f"/wfSpec/{spec_id}")
     finally:
         srv.stop()
+        # DELETE /wfSpec already undeployed the engine on the happy
+        # path; stop_all() covers a probe that died mid-loop, so no
+        # orphaned continuous query keeps triggering against the
+        # removed workdir for the rest of the bench.
+        mgr.stop_all()
         shutil.rmtree(workdir, ignore_errors=True)
     lat.sort()
     return {"p50_ms": round(lat[len(lat) // 2], 1),

@@ -870,3 +870,65 @@ def test_driver_side_event_write_matches_engine_schema(spark):
         assert not list(workdir.glob("*/.*.tmp"))  # rename completed
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_barrier_ignores_wal_recovery_batch():
+    """The read-your-writes barrier must not trust the FIRST batch a
+    query run reports: on restart it can be a WAL-recovery replay
+    whose file list was committed to the offset log before the
+    restart (observed: post-restart POST served 404 for a run whose
+    event had not been folded).  Any LATER batch that started after
+    the call releases it."""
+    import threading
+    import time as _time
+    from datetime import datetime, timezone
+
+    import pytest as _pytest
+
+    from old_original_java_little_horse_spark.streaming.engine import (
+        await_read_your_writes)
+
+    def stamp(dt):
+        return dt.strftime("%Y-%m-%dT%H:%M:%S.%f")[:-3] + "Z"
+
+    class FakeQuery:
+        def __init__(self, entries):
+            self.recentProgress = entries
+
+    # Case 1: only the run's first batch, even post-call with 0 rows
+    # (the exact recovery shape) → must time out, never release.
+    def first_only():
+        _time.sleep(0.2)
+        return [{"batchId": 7, "numInputRows": 0,
+                 "timestamp": stamp(datetime.now(timezone.utc))}]
+    entries = first_only()
+    with _pytest.raises(TimeoutError):
+        await_read_your_writes(FakeQuery(entries), timeout=1.0)
+
+    # Case 2: a later batch of the same run, started post-call →
+    # releases regardless of row count.
+    q = FakeQuery([])
+    done = {}
+
+    def run():
+        await_read_your_writes(q, timeout=10.0)
+        done["ok"] = True
+
+    t = threading.Thread(target=run)
+    t.start()
+    _time.sleep(0.3)
+    now = datetime.now(timezone.utc)
+    q.recentProgress = [
+        {"batchId": 7, "numInputRows": 0, "timestamp": stamp(now)},
+        {"batchId": 8, "numInputRows": 3, "timestamp": stamp(now)},
+    ]
+    t.join(5.0)
+    assert done.get("ok"), "barrier did not release on a later batch"
+
+    # Case 3: latest batch started BEFORE the call → not sufficient.
+    past = stamp(datetime.now(timezone.utc))
+    _time.sleep(0.05)
+    q3 = FakeQuery([{"batchId": 1, "numInputRows": 0, "timestamp": past},
+                    {"batchId": 2, "numInputRows": 0, "timestamp": past}])
+    with _pytest.raises(TimeoutError):
+        await_read_your_writes(q3, timeout=0.7)
