@@ -463,6 +463,64 @@ def upsert_serving_stores(batch_df: DataFrame, serving_dir: str,
             n_buckets=n_buckets)
 
 
+def upsert_serving_stores_arrow(tbl, serving_dir: str,
+                                n_buckets: int | None = None) -> None:
+    """`upsert_serving_stores` over an already-collected tagged batch
+    (a pyarrow Table in OUTPUT_SCHEMA shape) — zero Spark jobs.
+
+    The continuous engine's sink collects a small micro-batch ONCE
+    (`toArrow`, from the persisted cache) and routes it here plus to
+    the changelog append, instead of paying one Spark job per store
+    probe; both derivations are driver-side twins of the DataFrame
+    path (kind filter / `operators.index_store.index_changelog`'s
+    payload parse), parity-pinned in tests/test_serving_store.py."""
+    import pandas as pd
+
+    pdf = tbl.to_pandas(types_mapper=pd.ArrowDtype)
+    snaps = pdf[pdf["kind"] == "snapshot"][
+        ["wf_run_id", "status", "seq", "payload"]
+    ].rename(columns={"payload": "state_json"})
+    if len(snaps):
+        _upsert_pdf(snaps, snapshots_dir(serving_dir),
+                    key_cols=["wf_run_id"], bucket_on="wf_run_id",
+                    order_spec=[("seq", False)], n_buckets=n_buckets)
+    idx_src = pdf[pdf["kind"] == "index"]
+    if len(idx_src):
+        parsed = [json.loads(p) for p in idx_src["payload"]]
+        keys = [p.get("key") for p in parsed]
+        values = [p.get("value") for p in parsed]
+        idx = pd.DataFrame({
+            "object_id": idx_src["wf_run_id"].to_numpy(),
+            "op": [p.get("op") for p in parsed],
+            "key": keys,
+            "value": values,
+            "seq": idx_src["seq"].to_numpy(),
+        })
+        # concat_ws semantics: nulls are skipped, not propagated.
+        idx["kv"] = ["\x1f".join(x for x in (k, v) if x is not None)
+                     for k, v in zip(keys, values)]
+        _upsert_pdf(idx, aliases_dir(serving_dir),
+                    key_cols=["object_id", "key", "value"],
+                    bucket_on="kv",
+                    order_spec=[("seq", False), ("op", False)],
+                    n_buckets=n_buckets)
+
+
+def _upsert_pdf(pdf, store_dir: str, key_cols: list[str], bucket_on: str,
+                order_spec: list[tuple[str, bool]],
+                n_buckets: int | None = None) -> None:
+    """Marker + manifest handling shared by the driver-side entry
+    points, then the arrow merge (`_upsert_arrow`'s body works on a
+    pandas frame; keep one code path)."""
+    import pyarrow as pa
+
+    n = _store_nbuckets(store_dir, create_with=n_buckets or N_BUCKETS)
+    manifest = _load_manifest(store_dir) or {
+        "gen": 0, "buckets": {}, "pending_delete": []}
+    _upsert_arrow(pa.Table.from_pandas(pdf, preserve_index=False),
+                  store_dir, key_cols, bucket_on, order_spec, n, manifest)
+
+
 # --------------------------------------------------------------------------
 # serving reads (each touches exactly one bucket partition)
 # --------------------------------------------------------------------------

@@ -31,6 +31,7 @@ streaming query:
 from __future__ import annotations
 
 import json
+import os
 from typing import Iterator
 
 import pandas as pd
@@ -482,6 +483,30 @@ _ROCKSDB_PROVIDER = ("org.apache.spark.sql.execution.streaming."
                      "state.RocksDBStateStoreProvider")
 
 
+# A micro-batch at or under this row count is appended + upserted
+# driver-side from one toArrow() collection (see the continuous
+# sink): live serving emits a handful of rows per trigger, and each
+# extra Spark job there is ~0.15-0.4 s of scheduler overhead on the
+# command-latency path.  Backfills blow past it and stay distributed.
+_SMALL_BATCH_ROWS = int(os.environ.get("LH_SPARK_SMALL_BATCH_ROWS", "5000"))
+
+
+def _append_output_arrow(tbl, output_dir: str) -> None:
+    """Append one collected micro-batch to the changelog directory as
+    a single parquet file (driver-side twin of
+    ``batch_df.write.mode("append")`` for small batches).  Write-then-
+    rename so a concurrent reader's listing never sees a torn file."""
+    import uuid as _uuid
+
+    import pyarrow.parquet as _pq
+
+    os.makedirs(output_dir, exist_ok=True)
+    name = f"part-drv-{_uuid.uuid4().hex[:16]}.parquet"
+    tmp = os.path.join(output_dir, f".{name}.tmp")
+    _pq.write_table(tbl, tmp)
+    os.replace(tmp, os.path.join(output_dir, name))
+
+
 def _tws_confs(use_tws: bool) -> dict[str, str]:
     """`transformWithStateInPandas` requires a state store that
     supports multiple column families (one per typed state variable /
@@ -553,7 +578,22 @@ def start_continuous(spark: SparkSession, events_dir: str, spec: dict,
         # schema inference).
         batch_df.persist()
         try:
-            if batch_df.count() == 0 and batch_id > 0:
+            cnt = batch_df.count()
+            if cnt == 0 and batch_id > 0:
+                return
+            if 0 < cnt <= _SMALL_BATCH_ROWS:
+                # Small live batch: collect ONCE from the cache and do
+                # changelog append + both serving upserts driver-side —
+                # one Spark job total instead of three, the dominant
+                # term in command round-trip latency.  At-least-once
+                # append semantics are unchanged (a Spark re-append on
+                # batch redelivery duplicates rows the same way).
+                from ..sinks.serving import upsert_serving_stores_arrow
+
+                tbl = batch_df.toArrow()
+                _append_output_arrow(tbl, output_dir)
+                if serving_dir is not None:
+                    upsert_serving_stores_arrow(tbl, serving_dir)
                 return
             batch_df.write.mode("append").parquet(output_dir)
             if serving_dir is not None:

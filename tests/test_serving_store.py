@@ -548,3 +548,62 @@ def test_cli_point_commands_run_sparkless(spark, capsys, monkeypatch):
         capsys.readouterr()
     finally:
         shutil.rmtree(Path(d).parent, ignore_errors=True)
+
+
+def test_arrow_and_dataframe_upsert_entries_are_twins(spark):
+    """`upsert_serving_stores_arrow` (the continuous sink's collected
+    small-batch path) must produce the same store as the DataFrame
+    entry point from the same tagged batch — including the alias
+    payload parse and concat_ws-style kv semantics."""
+    from old_original_java_little_horse_spark.sinks.serving import (
+        search_alias_ids, upsert_serving_stores_arrow)
+
+    base = Path(tempfile.mkdtemp(prefix="serving-arrowtwin-"))
+    try:
+        df_store, ar_store = str(base / "df"), str(base / "ar")
+        batches = [
+            [_snap("r1", 1), _idx("r1", 1, "CREATE", "who", "ada")],
+            [_snap("r1", 3, "COMPLETED"), _snap("r2", 2),
+             _idx("r1", 3, "DELETE", "who", "ada"),
+             _idx("r2", 2, "CREATE", "who", "bob")],
+        ]
+        for b in batches:
+            df_batch = _batch(spark, b)
+            upsert_serving_stores(df_batch, df_store)
+            upsert_serving_stores_arrow(df_batch.toArrow(), ar_store)
+
+        def observe(d):
+            snaps = sorted(
+                (r["wf_run_id"], r["status"],
+                 json.loads(r["state_json"])["seq"])
+                for r in read_all_snapshots(spark, d).collect())
+            return (snaps, search_alias_ids(d, "who", "ada"),
+                    search_alias_ids(d, "who", "bob"))
+
+        assert observe(df_store) == observe(ar_store)
+        assert observe(ar_store)[1] == []      # tombstone held
+        assert observe(ar_store)[2] == ["r2"]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_driver_side_output_append_is_spark_readable(spark):
+    """The sink's small-batch changelog append (_append_output_arrow)
+    must interleave with Spark-written appends: same schema, both
+    readable in one spark.read.parquet scan."""
+    from old_original_java_little_horse_spark.streaming.engine import (
+        OUTPUT_SCHEMA, _append_output_arrow)
+
+    out = tempfile.mkdtemp(prefix="drv-append-")
+    try:
+        spark_batch = _batch(spark, [_snap("r1", 1)])
+        spark_batch.write.mode("append").parquet(out)
+        _append_output_arrow(_batch(spark, [_snap("r2", 2)]).toArrow(), out)
+        df = spark.read.parquet(out)
+        assert df.schema == OUTPUT_SCHEMA
+        got = {(r["wf_run_id"], r["seq"]) for r in df.collect()}
+        assert got == {("r1", 1), ("r2", 2)}
+        assert not [f for f in Path(out).iterdir()
+                    if f.name.endswith(".tmp")]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
