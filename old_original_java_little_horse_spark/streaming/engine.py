@@ -507,6 +507,32 @@ def _append_output_arrow(tbl, output_dir: str) -> None:
     os.replace(tmp, os.path.join(output_dir, name))
 
 
+def _upsert_shared_arrow(tbl, serving_dirs: dict[str, str]) -> None:
+    """Driver-side twin of the shared sink's attribution + per-spec
+    upsert for a collected small batch: each row joins to its run's
+    spec via the batch's own snapshot payloads (the update fn emits a
+    snapshot row in every invocation that emits index rows, so every
+    serving-relevant run has one in-batch)."""
+    import pyarrow as pa
+
+    from ..sinks.serving import upsert_serving_stores_arrow
+
+    # ArrowDtype keeps nullable int64 columns (seq is null on
+    # task_schedule/timer rows) from degrading to float64, which
+    # would write DOUBLE seq into an int64 store.
+    pdf = tbl.to_pandas(types_mapper=pd.ArrowDtype)
+    snaps = pdf[pdf["kind"] == "snapshot"]
+    run_spec = {r: json.loads(p).get("wf_spec_name")
+                for r, p in zip(snaps["wf_run_id"], snaps["payload"])}
+    specs = pdf["wf_run_id"].map(run_spec.get)
+    for name in sorted({s for s in specs if s is not None}):
+        sdir = serving_dirs.get(name)
+        if sdir is not None:
+            upsert_serving_stores_arrow(
+                pa.Table.from_pandas(pdf[specs == name],
+                                     preserve_index=False), sdir)
+
+
 def _tws_confs(use_tws: bool) -> dict[str, str]:
     """`transformWithStateInPandas` requires a state store that
     supports multiple column families (one per typed state variable /
@@ -666,7 +692,17 @@ def start_continuous_shared(spark: SparkSession, events_dir: str,
         try:
             # Idle-trigger short-circuit — same rationale as the
             # per-spec sink above (batch 0 stamps the output schema).
-            if batch_df.count() == 0 and batch_id > 0:
+            cnt = batch_df.count()
+            if cnt == 0 and batch_id > 0:
+                return
+            if 0 < cnt <= _SMALL_BATCH_ROWS:
+                # Small live batch: one collection, then append +
+                # per-spec attribution + upserts driver-side (the
+                # per-spec sink's motion; attribution joins each row
+                # to its run's snapshot-payload wf_spec_name).
+                tbl = batch_df.toArrow()
+                _append_output_arrow(tbl, output_dir)
+                _upsert_shared_arrow(tbl, serving_dirs)
                 return
             batch_df.write.mode("append").parquet(output_dir)
             run_spec = (
