@@ -138,13 +138,24 @@ def sim_label_blocked_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the label and a hyperplane-LSH bucket (any of the OR'd tables),
     then exact cosine >= 0.3 verifies.
 
-    Round 1 blocked on `label` alone — fixed cardinality, so the pair
-    space was quadratic in corpus size.  The composite (label, table,
-    bucket) key's cardinality grows with the data; bucket width tracks
-    actual neighborhood density (this is exactly what an IVF index
-    compiles to: assign → shuffle on centroid → verify within cell).
-    The candidate self-join is additionally grid-sub-bucketed
-    (`grid_self_pairs`) so one dense cell cannot pin a reducer.
+    Round 1 blocked on `label` alone; the composite (label, table,
+    bucket) key cuts each label block 16-ways per table, and the
+    candidate self-join is grid-sub-bucketed (`grid_self_pairs`) so a
+    dense cell spreads over P² reducers instead of pinning one.
+
+    Scale posture (measured, sf0.1→sf1 probe): this query ENUMERATES
+    near-dup pairs, and on clustered data that output is inherently
+    quadratic within each dense neighborhood — 10× vectors ≈ 100×
+    pairs (shuffle amp 0.51→6.6) while wall time grew only ~11× and
+    spill stayed 0, i.e. the grid absorbs the density; the blowup is
+    the result set itself, not a reducer hot-spot.  The (table,
+    bucket) fanout is FIXED (BITS_PER_TABLE), so it divides constants,
+    not asymptotics — by design, because the oracle inlines the same
+    constants and candidate recall must match it exactly.  At corpus
+    scale you do not materialize all pairs: the linear-state path is
+    `d_dup_clusters`/`d_dedup_canonical` (LSH pairs → hash-min
+    connected components → one canonical row per cluster), and ANN
+    lookups go through `sim_lsh_bucketed_ann`/`sim_ivf_ann`.
     Recall per pair at angle θ is 1-(1-(1-θ/π)^BITS)^TABLES — the
     oracle mirrors the same candidate rule, so results match exactly.
     """

@@ -49,6 +49,9 @@ def main() -> int:
     ap.add_argument("--small", default="/root/testdata/sf0.1")
     ap.add_argument("--big", default=None)
     ap.add_argument("--only", action="append", default=[])
+    ap.add_argument("--all", action="store_true",
+                    help="probe every bench HEADLINE query, not just "
+                         "the expensive top-10")
     ap.add_argument("--json", action="store_true")
     args = ap.parse_args()
 
@@ -72,7 +75,12 @@ def main() -> int:
     })
     base, app_id = open_status_api(spark)
     specs = all_queries()
-    names = [n for n in TOP10 if n in specs]
+    if args.all:
+        from bench import HEADLINE
+
+        names = [n for n in HEADLINE if n in specs]
+    else:
+        names = [n for n in TOP10 if n in specs]
     if args.only:
         names = [n for n in names if any(n.startswith(p) for p in args.only)]
 
