@@ -649,3 +649,52 @@ def test_run_engine_cache_is_bounded(spark):
         api._cache_run_engine(f"r{i}", handle=object())
     assert len(api._run_engine) == 8
     assert "r49" in api._run_engine and "r0" not in api._run_engine
+
+
+def test_shared_engine_with_tws(spark):
+    """The consolidated ops profile composed with the RocksDB-backed
+    transformWithState engine (`shared=True, use_tws=True`) — the
+    production pairing (one query, typed state + native timers) had
+    no test pinning that the scoped confs compose and serving rows
+    still route per spec."""
+    from old_original_java_little_horse_spark.streaming.tws import (
+        tws_runtime_available)
+
+    if not tws_runtime_available():
+        pytest.skip("no protobuf runtime for the TWS state server")
+    from old_original_java_little_horse_spark.session import scoped_conf
+
+    workdir = Path(tempfile.mkdtemp(prefix="http-shared-tws-"))
+    store = MetadataStore(str(workdir / "meta"))
+    with scoped_conf(spark, {"spark.sql.shuffle.partitions": "8"}):
+        mgr = SparkEngineManager(spark, str(workdir / "engines"),
+                                 executor=_executor, trigger_seconds=0.2,
+                                 shared=True, use_tws=True)
+        api = LittleHorseAPI(spark, metadata=store, engines=mgr)
+        srv = LittleHorseHTTPServer(api).start()
+        try:
+            port = srv.port
+            _req(port, "POST", "/taskDef", {"name": "greet"})
+            _req(port, "POST", "/taskDef", {"name": "double"})
+            assert _req(port, "POST", "/wfSpec", _greet_spec())[0] == 201
+            assert _req(port, "POST", "/wfSpec", _double_spec())[0] == 201
+            assert mgr.get("greeter").query is mgr.get("doubler").query
+
+            st, r1 = _req(port, "POST", "/wfrun",
+                          {"wf_spec_name": "greeter",
+                           "variables": {"who": "ada"}})
+            assert st == 201
+            st, r2 = _req(port, "POST", "/wfrun",
+                          {"wf_spec_name": "doubler",
+                           "variables": {"x": 21}})
+            assert st == 201
+            st, doc = _req(port, "GET", f"/wfrun/{r1['id']}")
+            assert st == 200 and doc["status"] == "COMPLETED"
+            st, v = _req(port, "GET", f"/wfrun/{r2['id']}/variable/x")
+            assert st == 200 and v["value"] == 42
+            st, hits = _req(port, "GET", "/search/who/ada")
+            assert st == 200 and hits == [r1["id"]]
+        finally:
+            srv.stop()
+            mgr.stop_all()
+            shutil.rmtree(workdir, ignore_errors=True)
