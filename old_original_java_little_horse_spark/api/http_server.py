@@ -402,17 +402,63 @@ class LittleHorseAPI:
             return [self.serving_dir]
         return None
 
-    def list_wfruns(self) -> list[dict]:
+    def list_wfruns(self, limit: int | None = None,
+                    cursor: str | None = None):
+        """Without `limit`: the legacy full list.  With `limit`: a
+        bounded page plus a next-page cursor — the serving path reads
+        only the bucket directories the page needs
+        (`read_snapshot_rows_page`), never the whole store (VERDICT
+        r8 item 3)."""
         dirs = self._serving_dirs()
-        if dirs is None:
-            rows = self._latest().select("wf_run_id", "status").collect()
-        else:
-            from ..sinks.serving import read_all_snapshot_rows
+        if limit is None:
+            if dirs is None:
+                rows = self._latest().select("wf_run_id",
+                                             "status").collect()
+            else:
+                from ..sinks.serving import read_all_snapshot_rows
 
-            rows = []
-            for d in dirs:
-                rows.extend(read_all_snapshot_rows(d))
-        return [{"id": r["wf_run_id"], "status": r["status"]} for r in rows]
+                rows = []
+                for d in dirs:
+                    rows.extend(read_all_snapshot_rows(d))
+            return [{"id": r["wf_run_id"], "status": r["status"]}
+                    for r in rows]
+        if dirs is None:
+            # Batch-mode fallback: keyset pagination pushed into the
+            # plan (filter + TakeOrderedAndProject, no full collect).
+            import pyspark.sql.functions as F
+
+            df = self._latest().select("wf_run_id", "status")
+            if cursor:
+                df = df.where(F.col("wf_run_id") > cursor)
+            rows = df.orderBy("wf_run_id").limit(limit).collect()
+            nc = rows[-1]["wf_run_id"] if len(rows) == limit else None
+            return ([{"id": r["wf_run_id"], "status": r["status"]}
+                     for r in rows], nc)
+        from ..sinks.serving import read_snapshot_rows_page
+
+        d_idx, inner = 0, None
+        if cursor:
+            d_s, _, inner = cursor.partition("|")
+            try:
+                d_idx = int(d_s)
+            except ValueError as e:
+                raise ApiError(400, f"bad cursor: {e}") from e
+            inner = inner or None
+        out: list[dict] = []
+        next_cur = None
+        for i in range(d_idx, len(dirs)):
+            page, nc = read_snapshot_rows_page(
+                dirs[i], limit - len(out),
+                inner if i == d_idx else None)
+            out.extend({"id": r["wf_run_id"], "status": r["status"]}
+                       for r in page)
+            if len(out) >= limit:
+                if nc is not None:
+                    next_cur = f"{i}|{nc}"
+                elif i < len(dirs) - 1:
+                    next_cur = f"{i + 1}|"
+                break
+        return out, next_cur
 
     def search(self, key: str, value: str) -> list[str]:
         dirs = self._serving_dirs()
@@ -540,8 +586,18 @@ def _make_handler(api: LittleHorseAPI):
         def r_variable(self, _q, run_id, name):
             self._respond(200, api.get_variable(run_id, name))
 
-        def r_list(self, _q):
-            self._respond(200, api.list_wfruns())
+        def r_list(self, q):
+            raw = q.get("limit", [None])[0]
+            if raw is None:
+                self._respond(200, api.list_wfruns())
+                return
+            try:
+                limit = int(raw)
+            except ValueError as e:
+                raise ApiError(400, f"bad limit param: {e}") from e
+            rows, nc = api.list_wfruns(
+                limit=limit, cursor=q.get("cursor", [None])[0])
+            self._respond(200, {"results": rows, "next_cursor": nc})
 
         def r_search(self, _q, key, value):
             self._respond(200, api.search(key, value))

@@ -281,15 +281,41 @@ def cmd_search(args) -> int:
 
 
 def cmd_list(args) -> int:
+    limit = getattr(args, "limit", None)
+    cursor = getattr(args, "cursor", None)
     if getattr(args, "api", None):
-        st, resp = _api_call(args.api, "GET", "/wfruns")
-        for r in (resp if isinstance(resp, list) else []):
+        if limit is None:
+            st, resp = _api_call(args.api, "GET", "/wfruns")
+            for r in (resp if isinstance(resp, list) else []):
+                print(f"{r['id']}\t{r['status']}")
+            return 0 if st < 400 else 1
+        from urllib.parse import quote as _quote
+
+        path = f"/wfruns?limit={limit}"
+        if cursor:
+            path += f"&cursor={_quote(cursor)}"
+        st, resp = _api_call(args.api, "GET", path)
+        for r in (resp.get("results", []) if isinstance(resp, dict) else []):
             print(f"{r['id']}\t{r['status']}")
+        nc = resp.get("next_cursor") if isinstance(resp, dict) else None
+        if nc:
+            print(f"next-cursor\t{nc}", file=sys.stderr)
         return 0 if st < 400 else 1
     _require_store(args)
     if getattr(args, "serving_dir", None):
-        # Driver-side full-store read — no Spark session (see
-        # cmd_get); the command prints every row anyway.
+        # Driver-side read — no Spark session (see cmd_get).  With
+        # --limit only the page's bucket directories are read; without
+        # it the full store (the command prints every row anyway).
+        if limit is not None:
+            from .sinks.serving import read_snapshot_rows_page
+
+            rows, nc = read_snapshot_rows_page(args.serving_dir,
+                                               limit, cursor)
+            for r in rows:
+                print(f"{r['wf_run_id']}\t{r['status']}")
+            if nc:
+                print(f"next-cursor\t{nc}", file=sys.stderr)
+            return 0
         from .sinks.serving import read_all_snapshot_rows
 
         for r in read_all_snapshot_rows(args.serving_dir):
@@ -648,6 +674,10 @@ def main(argv: list[str] | None = None) -> int:
     ls.add_argument("--snapshots-dir")
     ls.add_argument("--serving-dir", help="compacted store (preferred)")
     ls.add_argument("--api", help="API base URL (HTTP-client mode)")
+    ls.add_argument("--limit", type=int,
+                    help="page size (bounded read; prints a "
+                         "next-cursor line on stderr when more remain)")
+    ls.add_argument("--cursor", help="cursor from a previous --limit page")
     ls.set_defaults(fn=cmd_list)
 
     pr = sub.add_parser("process", help="fold pending events (availableNow)")

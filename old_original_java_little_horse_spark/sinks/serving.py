@@ -289,6 +289,33 @@ def _read_bucket_dir(spark: SparkSession, store_dir: str, rel: str,
 _FASTPATH_MAX_ROWS = int(os.environ.get("LH_SPARK_SERVING_FASTPATH_ROWS",
                                         "5000"))
 
+# The arrow fast path merges each touched bucket's FULL committed
+# contents on the driver, and bucket size grows with the store
+# (store/N per bucket) — so a 1-row command against a long-accumulated
+# store would otherwise read an unbounded bucket into driver memory.
+# Gate on the ON-DISK bytes of the touched buckets (cheap os.scandir
+# over the manifest's committed dirs) and keep big merges distributed,
+# where executors own the per-bucket work (ADVICE r8).
+_FASTPATH_MAX_BYTES = int(os.environ.get("LH_SPARK_SERVING_FASTPATH_BYTES",
+                                         str(64 * 1024 * 1024)))
+
+
+def _touched_bucket_bytes(store_dir: str, manifest: dict,
+                          touched: list[int]) -> int:
+    """Sum of parquet bytes in the committed dirs of `touched` buckets
+    (the data the driver-side merge would have to load)."""
+    total = 0
+    for b in touched:
+        rel = manifest["buckets"].get(str(b))
+        if rel is None:
+            continue
+        try:
+            with os.scandir(os.path.join(store_dir, rel)) as it:
+                total += sum(e.stat().st_size for e in it if e.is_file())
+        except FileNotFoundError:
+            pass
+    return total
+
 
 def _upsert(batch: DataFrame, store_dir: str, key_cols: list[str],
             bucket_on: str, order_spec: list[tuple[str, bool]],
@@ -319,9 +346,25 @@ def _upsert(batch: DataFrame, store_dir: str, key_cols: list[str],
     manifest = _load_manifest(store_dir) or {
         "gen": 0, "buckets": {}, "pending_delete": []}
     if probe.num_rows <= _FASTPATH_MAX_ROWS:
-        _upsert_arrow(probe, store_dir, key_cols, bucket_on, order_spec,
-                      n, manifest)
-        return
+        touched = sorted({_bucket_of(k, n)
+                          for k in probe.column(bucket_on).to_pylist()})
+        if (_touched_bucket_bytes(store_dir, manifest, touched)
+                <= _FASTPATH_MAX_BYTES):
+            _upsert_arrow(probe, store_dir, key_cols, bucket_on,
+                          order_spec, n, manifest)
+            return
+        # Small batch, but its buckets hold too much committed data to
+        # merge on the driver — stay distributed.
+    _upsert_spark(batch, spark, store_dir, key_cols, bucket_on,
+                  order_spec, n, manifest)
+
+
+def _upsert_spark(batch: DataFrame, spark: SparkSession, store_dir: str,
+                  key_cols: list[str], bucket_on: str,
+                  order_spec: list[tuple[str, bool]],
+                  n: int, manifest: dict) -> None:
+    """The distributed merge body of `_upsert` (see its docstring):
+    executors own the per-bucket union + latest-wins window + write."""
     batch = batch.withColumn("bucket", _bucket(F.col(bucket_on), n))
     touched = sorted(
         r["bucket"] for r in batch.select("bucket").distinct().collect())
@@ -511,12 +554,31 @@ def _upsert_pdf(pdf, store_dir: str, key_cols: list[str], bucket_on: str,
                 n_buckets: int | None = None) -> None:
     """Marker + manifest handling shared by the driver-side entry
     points, then the arrow merge (`_upsert_arrow`'s body works on a
-    pandas frame; keep one code path)."""
+    pandas frame; keep one code path).
+
+    The same committed-bytes gate as `_upsert` applies: a tiny batch
+    whose buckets have accumulated past `_FASTPATH_MAX_BYTES` is
+    routed back to the distributed merge through the active session
+    (the sink that called us always runs inside one), so driver
+    memory stays bounded by the gate, not by store age."""
     import pyarrow as pa
 
     n = _store_nbuckets(store_dir, create_with=n_buckets or N_BUCKETS)
     manifest = _load_manifest(store_dir) or {
         "gen": 0, "buckets": {}, "pending_delete": []}
+    touched = sorted({_bucket_of(k, n) for k in pdf[bucket_on]})
+    if _touched_bucket_bytes(store_dir, manifest, touched) \
+            > _FASTPATH_MAX_BYTES:
+        spark = SparkSession.getActiveSession()
+        if spark is not None:
+            _upsert_spark(
+                spark.createDataFrame(
+                    pa.Table.from_pandas(pdf, preserve_index=False)),
+                spark, store_dir, key_cols, bucket_on, order_spec,
+                n, manifest)
+            return
+        # No session (pure-pyarrow CLI callers): accept the one big
+        # driver merge rather than boot a JVM for it.
     _upsert_arrow(pa.Table.from_pandas(pdf, preserve_index=False),
                   store_dir, key_cols, bucket_on, order_spec, n, manifest)
 
@@ -598,6 +660,58 @@ def read_all_snapshot_rows(serving_dir: str) -> list[dict]:
             os.path.join(sdir, rel),
             columns=["wf_run_id", "status", "state_json"]).to_pylist())
     return out
+
+
+def read_snapshot_rows_page(serving_dir: str, limit: int,
+                            cursor: str | None = None
+                            ) -> tuple[list[dict], str | None]:
+    """Bounded list read: at most `limit` rows in a stable global
+    order (bucket asc, wf_run_id asc), plus an opaque cursor for the
+    next page (None = exhausted).
+
+    Driver memory is O(one bucket + limit), never O(store): buckets
+    before the cursor's are skipped WITHOUT being read (disjoint key
+    ranges per bucket make (bucket, id) a total order), and the scan
+    stops at the first row past the limit.  This bounds the one
+    endpoint that used to materialize the whole store
+    (`read_all_snapshot_rows`) — at 100×-run-count deployments the
+    list route pages instead (VERDICT r8 item 3).
+
+    Cursor format: "<bucket>:<wf_run_id>" of the last row returned.
+    Pages are per-manifest-snapshot consistent; across pages a
+    concurrent upsert may move a key, the usual paged-list caveat.
+    """
+    import pyarrow.parquet as pq
+
+    sdir = snapshots_dir(serving_dir)
+    manifest = _load_manifest(sdir)
+    if manifest is None or limit <= 0:
+        return [], None
+    cur_b, cur_id = -1, ""
+    if cursor:
+        b_s, _, cur_id = cursor.partition(":")
+        try:
+            cur_b = int(b_s)
+        except ValueError:
+            raise ValueError(f"bad cursor: {cursor!r}") from None
+    out: list[dict] = []
+    last_b = -1
+    for b, rel in sorted(((int(b), rel) for b, rel
+                          in manifest["buckets"].items())):
+        if b < cur_b:
+            continue  # skipped, not read
+        rows = pq.read_table(
+            os.path.join(sdir, rel),
+            columns=["wf_run_id", "status", "state_json"]).to_pylist()
+        rows.sort(key=lambda r: r["wf_run_id"])
+        for r in rows:
+            if b == cur_b and r["wf_run_id"] <= cur_id:
+                continue
+            if len(out) == limit:
+                return out, f"{last_b}:{out[-1]['wf_run_id']}"
+            out.append(r)
+            last_b = b
+    return out, None
 
 
 def search_alias_ids(serving_dir: str, key: str, value: str) -> list[str]:

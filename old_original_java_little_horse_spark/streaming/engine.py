@@ -504,7 +504,23 @@ def _append_output_arrow(tbl, output_dir: str) -> None:
     name = f"part-drv-{_uuid.uuid4().hex[:16]}.parquet"
     tmp = os.path.join(output_dir, f".{name}.tmp")
     _pq.write_table(tbl, tmp)
+    # fsync data BEFORE the rename: without it a power loss can keep
+    # the rename but drop the contents, leaving a truncated file under
+    # its final name that permanently poisons the changelog stream
+    # source (Spark's committer-based append this replaces does not
+    # have that torn-final-name mode).  Directory fsync after, so the
+    # rename itself is durable too (ADVICE r8).
+    fd = os.open(tmp, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
     os.replace(tmp, os.path.join(output_dir, name))
+    dfd = os.open(output_dir, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
 
 
 def _upsert_shared_arrow(tbl, serving_dirs: dict[str, str]) -> None:

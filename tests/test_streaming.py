@@ -895,15 +895,26 @@ def test_barrier_ignores_wal_recovery_batch():
         def __init__(self, entries):
             self.recentProgress = entries
 
-    # Case 1: only the run's first batch, even post-call with 0 rows
-    # (the exact recovery shape) → must time out, never release.
-    def first_only():
+    # Case 1: only the run's first batch, published AFTER the call
+    # with a post-call timestamp and 0 rows (the exact recovery
+    # shape: the replayed offset-log batch completes post-restart, so
+    # `started > t0` HOLDS and only the batchId > head check can
+    # reject it) → must time out, never release.
+    q1 = FakeQuery([])
+
+    def publish_first_batch():
         _time.sleep(0.2)
-        return [{"batchId": 7, "numInputRows": 0,
-                 "timestamp": stamp(datetime.now(timezone.utc))}]
-    entries = first_only()
-    with _pytest.raises(TimeoutError):
-        await_read_your_writes(FakeQuery(entries), timeout=1.0)
+        q1.recentProgress = [
+            {"batchId": 7, "numInputRows": 0,
+             "timestamp": stamp(datetime.now(timezone.utc))}]
+
+    t1 = threading.Thread(target=publish_first_batch)
+    t1.start()
+    try:
+        with _pytest.raises(TimeoutError):
+            await_read_your_writes(q1, timeout=1.0)
+    finally:
+        t1.join()
 
     # Case 2: a later batch of the same run, started post-call →
     # releases regardless of row count.
