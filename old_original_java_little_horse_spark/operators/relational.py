@@ -504,41 +504,86 @@ def sort_limit_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# S2 — metadata changelog upsert with tombstones
-# (ApiTopologyBuilder.java:40-45; null value = delete)
+# S5 — serving-store generation GC + fast/slow path interop under the
+# hash gate (registry swap, VERDICT r8 item 2: replaces
+# s2_changelog_upsert, whose latest-wins semantics remain covered by
+# s3_serving_store_upsert and w2_latest_entry)
 # --------------------------------------------------------------------------
 
 @query(
-    "s2_changelog_upsert",
+    "s5_serving_store_gc",
     oracle="""
 WITH ranked AS (
-  SELECT user_id, event_type, props, ts, event_id,
-         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-  FROM events
+  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS wf_run_id,
+         o_orderstatus AS status,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderkey DESC) AS rn
+  FROM orders
 )
-SELECT user_id AS resource_id, props AS value, event_type AS last_op
-FROM ranked WHERE rn = 1 AND event_type <> 'error'
+SELECT wf_run_id, status FROM ranked WHERE rn = 1
 """,
 )
-def s2_changelog_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Apply a metadata changelog to the id store: last write per key
-    wins; a tombstone (here: 'error' records) as the last write
-    deletes the row — the batch form of the streaming
-    `foreachBatch MERGE ... WHEN MATCHED AND value IS NULL THEN
-    DELETE`.  One shuffle (the window partition), which a MERGE into
-    a key-bucketed table would also pay.
+def s5_serving_store_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-store generation machinery end-to-end, oracle-checked:
+    FOUR sequential upserts through `upsert_serving_stores` sized to
+    cross the driver fast-path row threshold BOTH ways at the driver's
+    sf0.01 gate (batch 0 ≈ half of orders → distributed merge; batches
+    1-3 ≈ 1/6 each → pyarrow fast path), so the read-back must equal
+    one global latest-wins pass REGARDLESS of which engine wrote which
+    generation (sinks/serving.py; the reference's continuously
+    compacted RocksDB, APIStreamsContext.java:62-83).
+
+    Generation GC is asserted as a hard invariant before the read:
+    after the final commit the on-disk `data/g*` set must be exactly
+    the manifest's referenced generations plus its one-commit
+    pending_delete grace — a leaked shell (ADVICE r7's unbounded
+    accumulation) fails the query, not just a unit test.
     """
-    e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
-    return (
-        e.withColumn("rn", F.row_number().over(w))
-        .where((F.col("rn") == 1) & (F.col("event_type") != "error"))
-        .select(
-            F.col("user_id").alias("resource_id"),
-            F.col("props").alias("value"),
-            F.col("event_type").alias("last_op"),
-        )
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from ..sinks.serving import (
+        read_all_snapshots, snapshots_dir, upsert_serving_stores)
+    from ..streaming.engine import OUTPUT_SCHEMA
+
+    o = load_table(spark, sf_dir, "orders")
+    changelog = o.select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("wf_run_id"),
+        F.lit("snapshot").alias("kind"),
+        F.col("o_orderstatus").alias("status"),
+        F.lit(None).cast("string").alias("task_def_name"),
+        F.lit(None).cast("int").alias("thread_id"),
+        F.lit(None).cast("int").alias("task_run_position"),
+        F.lit(None).cast("long").alias("maturation_timestamp"),
+        F.col("o_orderkey").alias("seq"),
+        F.to_json(F.struct(F.col("o_orderstatus").alias("status"))).alias("payload"),
+        F.pmod(F.col("o_orderkey"), F.lit(6)).alias("_b"),
     )
+    store = _tempfile.mkdtemp(prefix="serving-gc-") + "/store"
+    try:
+        batches = [[0, 1, 2], [3], [4], [5]]  # big backfill, then live
+        for mods in batches:
+            batch = (changelog.where(F.col("_b").isin(mods))
+                     .select(*[f.name for f in OUTPUT_SCHEMA.fields]))
+            upsert_serving_stores(batch, store)
+        sdir = snapshots_dir(store)
+        with open(_os.path.join(sdir, "CURRENT")) as fh:
+            manifest = _json.load(fh)
+        assert manifest["gen"] == len(batches), manifest["gen"]
+        live = {rel.split("/")[1] for rel in manifest["buckets"].values()
+                if rel.startswith("data/")}
+        grace = {rel.split("/")[1] for rel in manifest["pending_delete"]
+                 if rel.startswith("data/")}
+        on_disk = set(_os.listdir(_os.path.join(sdir, "data")))
+        leaked = on_disk - live - grace
+        assert not leaked, f"GC leaked generation shells: {sorted(leaked)}"
+        out = read_all_snapshots(spark, store).select("wf_run_id", "status")
+        rows = out.collect()
+    finally:
+        _shutil.rmtree(store.rsplit("/", 1)[0], ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
 
 
 # --------------------------------------------------------------------------
@@ -1384,8 +1429,9 @@ def s4_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     slowly-changing dimension: one row per VALUE CHANGE with
     [valid_from, valid_to) validity and an is_current flag — the
     changelog→dimension build every warehouse load runs, and the
-    historical-history counterpart of `s2_changelog_upsert`
-    (which keeps only latest-wins).
+    historical-history counterpart of the latest-wins upserts
+    (`s3_serving_store_upsert` / `w2_latest_entry`, which keep only
+    the newest row per key).
 
     The construction is the canonical two-window pipeline over ONE
     exchange on the business key: (1) lag() to detect changes

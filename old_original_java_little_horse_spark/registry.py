@@ -50,36 +50,36 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # Queries with the thinnest driver-check history, surfaced to the
 # front of the registry: the driver verifies queries in registry order
 # under a time budget (~50 rows), so whatever it cannot reach is
-# whatever sits at the tail.  Round-8 rotation (VERDICT r7 item 2):
-# the round-7 rotation head oversized the ~50-row budget by 5, so the
-# 5 queries below whose latest driver evidence is still round 4 LEAD,
-# followed by the full 44-query block whose latest evidence is round
-# 5 — 49 names, inside the budget, after which nothing in the
-# registry has evidence older than round 6 and the steady ~3-round
-# re-check cadence is fully established.
+# whatever sits at the tail.  Round-9 rotation (VERDICT r8 item 1):
+# the never-driver-checked registry swap-in leads, followed by the
+# full 49-query block whose latest driver evidence is round 6 — the
+# steady 3-round cadence's natural tail.  After round 9 no registry
+# query has driver evidence older than round 7.
 _CHECK_FIRST = [
-    # latest driver evidence: round 4 (the r7 rotation tail the
-    # driver's 50-row budget could not reach; judge-verified green at
-    # sf0.01 in the r7 session — now they buy fresh driver rows)
-    "sim_dup_clusters", "stream_sessionize", "t_curated_corpus",
-    "x_comparison_ops", "x_mutation_arith",
-    # latest driver evidence: round 5 (all 44 of them)
-    "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
-    "q9_product_profit", "q10_returned_items", "q11_important_parts",
-    "q12_shipping_delay", "q13_order_distribution", "q15_top_supplier",
-    "q16_supplier_variety", "q17_small_quantity_revenue",
-    "q20_heavy_part_suppliers", "q21_sole_fault_suppliers",
-    "engine_streaming_fold_tws", "s4_scd2_dimension",
-    "stream_dedup_watermark", "stream_interval_join",
-    "stream_sliding_rates", "j9_salted_skew_join", "agg_pivot_matrix",
-    "a8_anomaly_hours", "a10_top_paths", "w7_rolling_revenue",
-    "w9_sliding_windows", "g_cc_star_clusters", "d_edit_distance_pairs",
-    "t_span_dedup", "t_zorder_layout", "t_bpe_merges", "t_bpe_encode",
-    "t_dsir_weights", "t_dsir_resample", "idx_bm25_topk",
-    "sk_kmv_set_ops", "sk_bottomk_quantiles", "sim_kmeans_assign",
-    "sim_pq_adc_topk", "sim_semantic_decontaminate",
-    "mm_metadata_extract", "mm_frame_sample", "mm_resize_crop",
-    "mm_audio_windows", "mm_shard_assign", "mm_shard_extend",
+    # never driver-checked: the r8-prescribed one-for-one swap-in
+    # (replaces s2_changelog_upsert; registry stays 149)
+    "s5_serving_store_gc",
+    # latest driver evidence: round 6 (all 49 of them)
+    "x_mutation_string", "x_mutation_array", "x_mutation_remove_key",
+    "x_jsonpath", "x_type_coercion", "x_template_substitution",
+    "engine_pipeline_fold", "engine_task_runs_flat", "engine_run_index",
+    "d_exact_dedup", "d_url_dedup", "d_minhash_signatures",
+    "d_minhash_lsh_pairs", "d_simhash", "d_winnow_fingerprint_pairs",
+    "d_dup_cluster_stats",
+    "sim_topk_bruteforce", "sim_label_blocked_neardup",
+    "sim_lsh_bucketed_ann", "sim_ivf_ann", "sim_label_centroids",
+    "g_triangle_count", "g_pagerank_purchases",
+    "a7_event_rate_windows", "a9_markov_transitions", "a11_rfm_segments",
+    "w6_cohort_retention", "w8_gap_fill",
+    "j7_interval_overlap", "j8_temporal_join",
+    "stream_scd2_enrich", "stream_hll_registers", "stream_event_rates",
+    "q2_min_cost_supplier", "q4_priority_semi", "q14_promo_revenue",
+    "q18_large_orders", "q19_disjunctive_revenue",
+    "q22_idle_customers_anti",
+    "sk_hll_registers", "sk_kmv_distinct", "sk_cms_registers",
+    "sk_cms_point_queries",
+    "idx_tfidf_topk", "t_decontaminate_bloom", "t_stratified_sample",
+    "t_source_overlap", "agg_rollup_sets", "dq_check_suite",
 ]
 
 

@@ -41,7 +41,7 @@ EXCLUDE = {
     "g_triangle_count", "t_bpe_encode", "t_bpe_merges",
     "engine_streaming_fold", "engine_streaming_fold_tws",
     "engine_index_incremental",
-    "s3_serving_store_upsert",
+    "s3_serving_store_upsert", "s5_serving_store_gc",
 }
 
 JOIN_OPS = ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
