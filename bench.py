@@ -304,7 +304,8 @@ def replay_previous_round(sf_dir: str) -> dict | None:
                 pass
 
 
-def task_roundtrip(spark, runs: int = 20) -> dict | None:
+def task_roundtrip(spark, runs: int = 20, trigger_seconds: float = 0.2,
+                   state_partitions: int = 8) -> dict | None:
     """End-to-end task round-trip latency, the last BASELINE.md part-B
     row without a number (VERDICT r7 item 5): POST /wfrun of the
     one-task harness `basic` case → COMPLETED folded document visible
@@ -332,7 +333,9 @@ def task_roundtrip(spark, runs: int = 20) -> dict | None:
     case = all_cases()["basic"]
     workdir = tempfile.mkdtemp(prefix="lh-bench-lat-")
     mgr = SparkEngineManager(spark, os.path.join(workdir, "engines"),
-                             executor=execute, trigger_seconds=0.2)
+                             executor=execute,
+                             trigger_seconds=trigger_seconds,
+                             state_partitions=state_partitions)
     api_obj = LittleHorseAPI(
         spark, metadata=MetadataStore(os.path.join(workdir, "meta")),
         engines=mgr)
@@ -371,7 +374,9 @@ def task_roundtrip(spark, runs: int = 20) -> dict | None:
     lat.sort()
     return {"p50_ms": round(lat[len(lat) // 2], 1),
             "p95_ms": round(lat[min(len(lat) - 1, int(len(lat) * 0.95))], 1),
-            "runs": len(lat), "trigger_ms": 200}
+            "runs": len(lat),
+            "trigger_ms": int(trigger_seconds * 1000),
+            "state_partitions": state_partitions}
 
 
 def fold_throughput(min_seconds: float = 2.0) -> int:

@@ -64,7 +64,7 @@ class SparkEngineManager:
                  barrier_timeout: float = 60.0,
                  use_tws: bool = False,
                  shared: bool = False,
-                 state_partitions: int | None = 8):
+                 state_partitions: int | None = 4):
         self.spark = spark
         self.base_dir = Path(base_dir)
         self.executor = executor
@@ -76,8 +76,13 @@ class SparkEngineManager:
         # every state partition costs a store commit + an Arrow
         # round-trip per micro-batch even idle, and that batch
         # duration floors command latency through the read-your-writes
-        # barrier.  Default 8 fits a serving deployment; pass the
-        # analytic default (None = session conf) for huge keyspaces.
+        # barrier.  Default 4 is the measured serving optimum
+        # (tools/latency_sweep.py, r9: p50 1.51-1.60 s at 4 vs
+        # 1.69-1.75 s at 8 and 2.0-2.4 s at 32 across triggers
+        # 100-500 ms; barrier p50 1.45 s vs 1.85/2.02 s in
+        # tools/engine_scale_probe.py).  Raise it for backfill-heavy
+        # deployments — 32 drained a 5000-event backlog 2.5× faster
+        # (2.9 s vs 7.4 s) — or pass None for the session conf.
         self.state_partitions = state_partitions
         self._engines: dict[str, EngineHandle] = {}
         self._specs: dict[str, dict] = {}  # shared mode: deployed specs

@@ -1,0 +1,186 @@
+"""Stateful-engine decade probe (VERDICT r8 item 6).
+
+The 62-query analytic probe (`tools/scale_probe.py`) covers the
+DataFrame surface; this one measures the CONTINUOUS ENGINE's scaling
+in concurrent runs: N WF_RUN_STARTED commands bulk-produced into a
+shared-mode engine (`start_continuous_shared` — one checkpoint, one
+state store, per-spec serving), folded to COMPLETED through the real
+task-execute → task_result → fold loop.  Recorded per decade step
+(default N = 100 → 1000):
+
+- wall to all-N-COMPLETED (serving-store poll, paged read)
+- fold events/s = folded input rows / summed trigger-execution time
+- per-batch durations (median + max over the run's progress entries)
+- read-your-writes barrier latency with N runs of retained state
+  (5 single-event probes after the backlog drains)
+
+Sub-linear batch-duration growth for the 10× step is the pass
+criterion: per-trigger overhead should dominate at small N, so 10×
+keys must NOT cost 10× batch time.
+
+    python tools/engine_scale_probe.py [--ns 100 1000] [--out FILE]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+import uuid
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _bulk_produce(events_dir: str, spec_name: str, n: int,
+                  prefix: str = "run") -> None:
+    """N run_request commands as ONE parquet file (the Kafka-produce
+    stand-in, driver-side like cli._write_event; one file ⇒ the next
+    trigger sees the whole backlog at once — the stress shape)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = time.time_ns() // 1000
+    now_ms = int(time.time() * 1000)
+    tbl = pa.table({
+        "wf_run_id": pa.array([f"{prefix}-{i:05d}-{uuid.uuid4().hex[:6]}"
+                               for i in range(n)], pa.string()),
+        "wf_spec_id": pa.array([None] * n, pa.string()),
+        "wf_spec_name": pa.array([spec_name] * n, pa.string()),
+        "event_type": pa.array(["WF_RUN_STARTED"] * n, pa.string()),
+        "thread_id": pa.array([0] * n, pa.int32()),
+        "timestamp": pa.array([now_ms] * n, pa.int64()),
+        "offset": pa.array([base + i for i in range(n)], pa.int64()),
+        "content": pa.array([json.dumps({"variables": {}})] * n,
+                            pa.string()),
+    })
+    d = os.path.join(events_dir, f"cmd-{uuid.uuid4().hex[:12]}")
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, ".part-00000.parquet.tmp")
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, os.path.join(d, "part-00000.parquet"))
+
+
+def probe(spark, n: int, trigger_seconds: float = 0.5,
+          state_partitions: int = 8) -> dict:
+    from old_original_java_little_horse_spark.harness.cases import all_cases
+    from old_original_java_little_horse_spark.harness.executor import execute
+    from old_original_java_little_horse_spark.sinks.serving import (
+        read_snapshot_rows_page)
+    from old_original_java_little_horse_spark.streaming.engine import (
+        await_read_your_writes, start_continuous_shared)
+
+    spec = all_cases()["basic"].spec
+    workdir = tempfile.mkdtemp(prefix=f"engine-scale-{n}-")
+    events_dir = os.path.join(workdir, "events")
+    serving_dir = os.path.join(workdir, "serving")
+    os.makedirs(events_dir, exist_ok=True)
+    q = start_continuous_shared(
+        spark, events_dir + "/*", [spec],
+        checkpoint_dir=os.path.join(workdir, "ckpt"),
+        output_dir=os.path.join(workdir, "out"),
+        serving_dirs={spec["name"]: serving_dir},
+        executor=execute,
+        trigger_seconds=trigger_seconds,
+        state_partitions=state_partitions)
+    try:
+        # Warm up (codegen + Python workers + batch-0 schema stamp)
+        # with one throwaway run, then barrier on it: the barrier
+        # releases only on a post-write batch, so it needs traffic.
+        _bulk_produce(events_dir, spec["name"], 1, prefix="warm")
+        await_read_your_writes(q, timeout=120)
+        base_batch = (q.lastProgress or {}).get("batchId", -1)
+        t0 = time.perf_counter()
+        _bulk_produce(events_dir, spec["name"], n)
+        deadline = time.monotonic() + max(120, n * 0.5)
+        while time.monotonic() < deadline:
+            rows, _ = read_snapshot_rows_page(serving_dir, n + 8)
+            done = sum(r["status"] == "COMPLETED" for r in rows
+                       if r["wf_run_id"].startswith("run-"))
+            if done >= n:
+                break
+            time.sleep(0.05)
+        else:
+            raise TimeoutError(f"only {done}/{n} runs completed")
+        wall = time.perf_counter() - t0
+
+        # The completing batch's progress entry posts AFTER its sink
+        # returns; give the query two idle triggers to quiesce before
+        # harvesting, and exclude the warm-up batches (codegen) so the
+        # decade ratio compares steady-state fold work.
+        time.sleep(2 * trigger_seconds + 0.5)
+        progress = [p for p in (q.recentProgress or [])
+                    if p and p.get("batchId", -1) > base_batch]
+        folded = sum(p.get("numInputRows", 0) for p in progress)
+        durs = sorted(
+            p["durationMs"]["triggerExecution"] / 1000.0
+            for p in progress
+            if p.get("numInputRows", 0) > 0 and "durationMs" in p)
+        fold_s = sum(durs)
+
+        # Barrier latency with N runs of retained state.
+        barrier: list[float] = []
+        for _ in range(5):
+            b0 = time.perf_counter()
+            _bulk_produce(events_dir, spec["name"], 1)
+            await_read_your_writes(q, timeout=60)
+            barrier.append((time.perf_counter() - b0) * 1000.0)
+        barrier.sort()
+        return {
+            "n_runs": n,
+            "trigger_ms": int(trigger_seconds * 1000),
+            "state_partitions": state_partitions,
+            "wall_s": round(wall, 2),
+            "events_folded": int(folded),
+            "fold_ev_per_s": int(folded / fold_s) if fold_s else None,
+            "busy_batches": len(durs),
+            "batch_s_median": round(durs[len(durs) // 2], 3) if durs else None,
+            "batch_s_max": round(durs[-1], 3) if durs else None,
+            "barrier_ms_p50": round(barrier[len(barrier) // 2], 1),
+        }
+    finally:
+        q.stop()
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ns", type=int, nargs="+", default=[100, 1000])
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    from old_original_java_little_horse_spark.session import get_spark
+
+    spark = get_spark("engine-scale-probe")
+    steps = []
+    for n in args.ns:
+        r = probe(spark, n)
+        print(f"  N={n}: wall {r['wall_s']}s, {r['fold_ev_per_s']} ev/s, "
+              f"batch med/max {r['batch_s_median']}/{r['batch_s_max']}s, "
+              f"barrier p50 {r['barrier_ms_p50']}ms", file=sys.stderr)
+        steps.append(r)
+
+    print("\n| N runs | wall (s) | fold ev/s | batch median (s) "
+          "| batch max (s) | barrier p50 (ms) |")
+    print("|---|---|---|---|---|---|")
+    for r in steps:
+        print(f"| {r['n_runs']} | {r['wall_s']} | {r['fold_ev_per_s']} "
+              f"| {r['batch_s_median']} | {r['batch_s_max']} "
+              f"| {r['barrier_ms_p50']} |")
+    out = {"metric": "engine_scale_probe", "steps": steps}
+    if len(steps) >= 2 and steps[0]["batch_s_max"] and steps[-1]["batch_s_max"]:
+        ratio = steps[-1]["batch_s_max"] / steps[0]["batch_s_max"]
+        nratio = steps[-1]["n_runs"] / steps[0]["n_runs"]
+        out["batch_max_ratio"] = round(ratio, 2)
+        out["sub_linear"] = ratio < nratio
+    print(json.dumps(out))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
