@@ -305,7 +305,7 @@ def replay_previous_round(sf_dir: str) -> dict | None:
 
 
 def task_roundtrip(spark, runs: int = 20, trigger_seconds: float = 0.2,
-                   state_partitions: int = 8) -> dict | None:
+                   state_partitions: int = 4) -> dict | None:
     """End-to-end task round-trip latency, the last BASELINE.md part-B
     row without a number (VERDICT r7 item 5): POST /wfrun of the
     one-task harness `basic` case → COMPLETED folded document visible

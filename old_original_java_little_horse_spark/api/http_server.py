@@ -402,6 +402,18 @@ class LittleHorseAPI:
             return [self.serving_dir]
         return None
 
+    def _serving_dir_items(self) -> list[tuple[str, str]] | None:
+        """(stable key, serving dir) pairs for the paged list, sorted
+        by key.  Keyed by SPEC NAME, not list position: handles()
+        order changes on redeploy/undeploy, and a positional cursor
+        would silently skip or repeat whole stores between pages."""
+        if self.engines is not None:
+            return sorted((h.spec["name"], h.serving_dir)
+                          for h in self.engines.handles())
+        if self.serving_dir is not None:
+            return [("0", self.serving_dir)]
+        return None
+
     def list_wfruns(self, limit: int | None = None,
                     cursor: str | None = None):
         """Without `limit`: the legacy full list.  With `limit`: a
@@ -422,6 +434,8 @@ class LittleHorseAPI:
                     rows.extend(read_all_snapshot_rows(d))
             return [{"id": r["wf_run_id"], "status": r["status"]}
                     for r in rows]
+        if limit < 1:
+            raise ApiError(400, f"limit must be >= 1, got {limit}")
         if dirs is None:
             # Batch-mode fallback: keyset pagination pushed into the
             # plan (filter + TakeOrderedAndProject, no full collect).
@@ -436,27 +450,35 @@ class LittleHorseAPI:
                      for r in rows], nc)
         from ..sinks.serving import read_snapshot_rows_page
 
-        d_idx, inner = 0, None
+        items = self._serving_dir_items()
+        start_key, inner = None, None
         if cursor:
-            d_s, _, inner = cursor.partition("|")
-            try:
-                d_idx = int(d_s)
-            except ValueError as e:
-                raise ApiError(400, f"bad cursor: {e}") from e
+            start_key, _, inner = cursor.partition("|")
             inner = inner or None
         out: list[dict] = []
         next_cur = None
-        for i in range(d_idx, len(dirs)):
-            page, nc = read_snapshot_rows_page(
-                dirs[i], limit - len(out),
-                inner if i == d_idx else None)
+        for key, d in items:
+            if start_key is not None:
+                if key < start_key:
+                    continue
+                # An undeployed cursor key resumes at the next store.
+                use_inner = inner if key == start_key else None
+            else:
+                use_inner = None
+            try:
+                page, nc = read_snapshot_rows_page(
+                    d, limit - len(out), use_inner)
+            except ValueError as e:
+                raise ApiError(400, str(e)) from e
             out.extend({"id": r["wf_run_id"], "status": r["status"]}
                        for r in page)
             if len(out) >= limit:
                 if nc is not None:
-                    next_cur = f"{i}|{nc}"
-                elif i < len(dirs) - 1:
-                    next_cur = f"{i + 1}|"
+                    next_cur = f"{key}|{nc}"
+                else:
+                    later = [k for k, _ in items if k > key]
+                    if later:
+                        next_cur = f"{later[0]}|"
                 break
         return out, next_cur
 

@@ -283,6 +283,9 @@ def cmd_search(args) -> int:
 def cmd_list(args) -> int:
     limit = getattr(args, "limit", None)
     cursor = getattr(args, "cursor", None)
+    if limit is not None and limit < 1:
+        print(f"--limit must be >= 1, got {limit}", file=sys.stderr)
+        return 2
     if getattr(args, "api", None):
         if limit is None:
             st, resp = _api_call(args.api, "GET", "/wfruns")
@@ -309,8 +312,12 @@ def cmd_list(args) -> int:
         if limit is not None:
             from .sinks.serving import read_snapshot_rows_page
 
-            rows, nc = read_snapshot_rows_page(args.serving_dir,
-                                               limit, cursor)
+            try:
+                rows, nc = read_snapshot_rows_page(args.serving_dir,
+                                                   limit, cursor)
+            except ValueError as e:
+                print(str(e), file=sys.stderr)
+                return 2
             for r in rows:
                 print(f"{r['wf_run_id']}\t{r['status']}")
             if nc:
@@ -323,7 +330,21 @@ def cmd_list(args) -> int:
         return 0
     spark = _spark()
     snaps = _snapshots(spark, args.snapshots_dir)
-    for r in snaps.select("wf_run_id", "status").collect():
+    df = snaps.select("wf_run_id", "status")
+    if limit is not None:
+        # Keyset pagination pushed into the plan: filter + ordered
+        # limit (TakeOrderedAndProject), no full collect.
+        import pyspark.sql.functions as F
+
+        if cursor:
+            df = df.where(F.col("wf_run_id") > cursor)
+        rows = df.orderBy("wf_run_id").limit(limit).collect()
+        for r in rows:
+            print(f"{r['wf_run_id']}\t{r['status']}")
+        if len(rows) == limit:
+            print(f"next-cursor\t{rows[-1]['wf_run_id']}", file=sys.stderr)
+        return 0
+    for r in df.collect():
         print(f"{r['wf_run_id']}\t{r['status']}")
     return 0
 

@@ -571,14 +571,20 @@ def s5_serving_store_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
         sdir = snapshots_dir(store)
         with open(_os.path.join(sdir, "CURRENT")) as fh:
             manifest = _json.load(fh)
-        assert manifest["gen"] == len(batches), manifest["gen"]
+        # Hard raises, not asserts: the invariant must hold under -O
+        # too (it is the point of the query, not a debug aid).
+        if manifest["gen"] != len(batches):
+            raise RuntimeError(
+                f"expected gen {len(batches)}, got {manifest['gen']}")
         live = {rel.split("/")[1] for rel in manifest["buckets"].values()
                 if rel.startswith("data/")}
         grace = {rel.split("/")[1] for rel in manifest["pending_delete"]
                  if rel.startswith("data/")}
         on_disk = set(_os.listdir(_os.path.join(sdir, "data")))
         leaked = on_disk - live - grace
-        assert not leaked, f"GC leaked generation shells: {sorted(leaked)}"
+        if leaked:
+            raise RuntimeError(
+                f"GC leaked generation shells: {sorted(leaked)}")
         out = read_all_snapshots(spark, store).select("wf_run_id", "status")
         rows = out.collect()
     finally:

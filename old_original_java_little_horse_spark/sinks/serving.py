@@ -346,12 +346,14 @@ def _upsert(batch: DataFrame, store_dir: str, key_cols: list[str],
     manifest = _load_manifest(store_dir) or {
         "gen": 0, "buckets": {}, "pending_delete": []}
     if probe.num_rows <= _FASTPATH_MAX_ROWS:
-        touched = sorted({_bucket_of(k, n)
-                          for k in probe.column(bucket_on).to_pylist()})
-        if (_touched_bucket_bytes(store_dir, manifest, touched)
+        row_buckets = [_bucket_of(k, n)
+                       for k in probe.column(bucket_on).to_pylist()]
+        if (_touched_bucket_bytes(store_dir, manifest,
+                                  sorted(set(row_buckets)))
                 <= _FASTPATH_MAX_BYTES):
             _upsert_arrow(probe, store_dir, key_cols, bucket_on,
-                          order_spec, n, manifest)
+                          order_spec, n, manifest,
+                          row_buckets=row_buckets)
             return
         # Small batch, but its buckets hold too much committed data to
         # merge on the driver — stay distributed.
@@ -395,7 +397,8 @@ def _upsert_spark(batch: DataFrame, spark: SparkSession, store_dir: str,
 
 def _upsert_arrow(tbl, store_dir: str, key_cols: list[str],
                   bucket_on: str, order_spec: list[tuple[str, bool]],
-                  n: int, manifest: dict) -> None:
+                  n: int, manifest: dict,
+                  row_buckets: list[int] | None = None) -> None:
     """Driver-side twin of the distributed upsert for small batches:
     same bucket hash (`_bucket_of` is bit-parity-pinned against
     Spark's xxhash64), same latest-wins order, same generation-dir +
@@ -407,7 +410,13 @@ def _upsert_arrow(tbl, store_dir: str, key_cols: list[str],
     import pyarrow.parquet as pq
 
     pdf = tbl.to_pandas(types_mapper=pd.ArrowDtype)
-    buckets = pdf[bucket_on].map(lambda k: _bucket_of(k, n))
+    # Callers that already hashed the keys for the byte gate pass the
+    # per-row buckets in; the pure-Python xxh64 is not free on the
+    # command-latency path, so never hash a batch twice.
+    if row_buckets is not None:
+        buckets = pd.Series(row_buckets, index=pdf.index)
+    else:
+        buckets = pdf[bucket_on].map(lambda k: _bucket_of(k, n))
     touched = sorted({int(b) for b in buckets})
     gen = manifest["gen"] + 1
     gen_rel = f"data/g{gen:06d}"
@@ -566,8 +575,9 @@ def _upsert_pdf(pdf, store_dir: str, key_cols: list[str], bucket_on: str,
     n = _store_nbuckets(store_dir, create_with=n_buckets or N_BUCKETS)
     manifest = _load_manifest(store_dir) or {
         "gen": 0, "buckets": {}, "pending_delete": []}
-    touched = sorted({_bucket_of(k, n) for k in pdf[bucket_on]})
-    if _touched_bucket_bytes(store_dir, manifest, touched) \
+    row_buckets = [_bucket_of(k, n) for k in pdf[bucket_on]]
+    if _touched_bucket_bytes(store_dir, manifest,
+                             sorted(set(row_buckets))) \
             > _FASTPATH_MAX_BYTES:
         spark = SparkSession.getActiveSession()
         if spark is not None:
@@ -580,7 +590,8 @@ def _upsert_pdf(pdf, store_dir: str, key_cols: list[str], bucket_on: str,
         # No session (pure-pyarrow CLI callers): accept the one big
         # driver merge rather than boot a JVM for it.
     _upsert_arrow(pa.Table.from_pandas(pdf, preserve_index=False),
-                  store_dir, key_cols, bucket_on, order_spec, n, manifest)
+                  store_dir, key_cols, bucket_on, order_spec, n, manifest,
+                  row_buckets=row_buckets)
 
 
 # --------------------------------------------------------------------------

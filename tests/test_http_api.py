@@ -163,6 +163,10 @@ def test_wfruns_list_pagination(spark):
 
         st, err = _req(port, "GET", "/wfruns?limit=nope")
         assert st == 400
+        st, err = _req(port, "GET", "/wfruns?limit=0")
+        assert st == 400
+        st, err = _req(port, "GET", "/wfruns?limit=5&cursor=0|garbage")
+        assert st == 400
     finally:
         srv.stop()
         shutil.rmtree(workdir, ignore_errors=True)
