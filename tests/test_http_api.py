@@ -170,3 +170,52 @@ def test_wfruns_list_pagination(spark):
     finally:
         srv.stop()
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_list_cursor_survives_handle_reorder(spark):
+    """The multi-spec list cursor is keyed by SPEC NAME, not list
+    position: a redeploy/undeploy between pages reorders
+    engines.handles(), and a positional cursor would silently skip or
+    repeat whole stores (round-9 review finding)."""
+    import tempfile
+    from types import SimpleNamespace
+
+    from old_original_java_little_horse_spark.sinks.serving import (
+        upsert_serving_stores)
+    from old_original_java_little_horse_spark.streaming.engine import (
+        OUTPUT_SCHEMA)
+
+    workdir = Path(tempfile.mkdtemp(prefix="http-reorder-"))
+    try:
+        handles = []
+        want = set()
+        for spec_name, n in (("alpha", 7), ("beta", 9)):
+            d = str(workdir / spec_name)
+            rows = [(f"{spec_name}-{i:02d}", "snapshot", "COMPLETED",
+                     None, None, None, None, i,
+                     json.dumps({"status": "COMPLETED"}))
+                    for i in range(n)]
+            upsert_serving_stores(
+                spark.createDataFrame(rows, schema=OUTPUT_SCHEMA), d)
+            handles.append(SimpleNamespace(spec={"name": spec_name},
+                                           serving_dir=d))
+            want.update(r[0] for r in rows)
+
+        engines = SimpleNamespace(handles=lambda: list(handles))
+        api = LittleHorseAPI(spark, engines=engines)
+
+        seen, cursor = [], None
+        first = True
+        while True:
+            rows, cursor = api.list_wfruns(limit=4, cursor=cursor)
+            seen.extend(r["id"] for r in rows)
+            if first:
+                handles.reverse()  # the redeploy reorder, mid-pagination
+                first = False
+            if cursor is None:
+                break
+            assert len(seen) < 100
+        assert sorted(seen) == sorted(want)
+        assert len(seen) == len(set(seen))
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
