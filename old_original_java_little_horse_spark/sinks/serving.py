@@ -674,7 +674,8 @@ def read_all_snapshot_rows(serving_dir: str) -> list[dict]:
 
 
 def read_snapshot_rows_page(serving_dir: str, limit: int,
-                            cursor: str | None = None
+                            cursor: str | None = None,
+                            columns: list[str] | None = None
                             ) -> tuple[list[dict], str | None]:
     """Bounded list read: at most `limit` rows in a stable global
     order (bucket asc, wf_run_id asc), plus an opaque cursor for the
@@ -691,9 +692,17 @@ def read_snapshot_rows_page(serving_dir: str, limit: int,
     Cursor format: "<bucket>:<wf_run_id>" of the last row returned.
     Pages are per-manifest-snapshot consistent; across pages a
     concurrent upsert may move a key, the usual paged-list caveat.
+
+    Default columns are (wf_run_id, status) only — the listing's
+    surface.  `state_json` is the store's fat column, and reading it
+    for a listing would multiply per-page I/O by the document size;
+    callers that need it pass `columns` explicitly (point GETs use
+    `read_snapshot_rows`, which reads one key's bucket anyway).
     """
     import pyarrow.parquet as pq
 
+    if columns is None:
+        columns = ["wf_run_id", "status"]
     sdir = snapshots_dir(serving_dir)
     manifest = _load_manifest(sdir)
     if manifest is None or limit <= 0:
@@ -712,8 +721,7 @@ def read_snapshot_rows_page(serving_dir: str, limit: int,
         if b < cur_b:
             continue  # skipped, not read
         rows = pq.read_table(
-            os.path.join(sdir, rel),
-            columns=["wf_run_id", "status", "state_json"]).to_pylist()
+            os.path.join(sdir, rel), columns=columns).to_pylist()
         rows.sort(key=lambda r: r["wf_run_id"])
         for r in rows:
             if b == cur_b and r["wf_run_id"] <= cur_id:
