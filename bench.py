@@ -305,7 +305,8 @@ def replay_previous_round(sf_dir: str) -> dict | None:
 
 
 def task_roundtrip(spark, runs: int = 20, trigger_seconds: float = 0.2,
-                   state_partitions: int = 4) -> dict | None:
+                   state_partitions: int = 4,
+                   use_tws: bool = False) -> dict | None:
     """End-to-end task round-trip latency, the last BASELINE.md part-B
     row without a number (VERDICT r7 item 5): POST /wfrun of the
     one-task harness `basic` case → COMPLETED folded document visible
@@ -335,7 +336,8 @@ def task_roundtrip(spark, runs: int = 20, trigger_seconds: float = 0.2,
     mgr = SparkEngineManager(spark, os.path.join(workdir, "engines"),
                              executor=execute,
                              trigger_seconds=trigger_seconds,
-                             state_partitions=state_partitions)
+                             state_partitions=state_partitions,
+                             use_tws=use_tws)
     api_obj = LittleHorseAPI(
         spark, metadata=MetadataStore(os.path.join(workdir, "meta")),
         engines=mgr)
