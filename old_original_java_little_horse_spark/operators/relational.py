@@ -578,7 +578,9 @@ def s5_serving_store_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"expected gen {len(batches)}, got {manifest['gen']}")
         live = {rel.split("/")[1] for rel in manifest["buckets"].values()
                 if rel.startswith("data/")}
-        grace = {rel.split("/")[1] for rel in manifest["pending_delete"]
+        pend = [e["rel"] if isinstance(e, dict) else e
+                for e in manifest["pending_delete"]]
+        grace = {rel.split("/")[1] for rel in pend
                  if rel.startswith("data/")}
         on_disk = set(_os.listdir(_os.path.join(sdir, "data")))
         leaked = on_disk - live - grace

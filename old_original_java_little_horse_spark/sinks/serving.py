@@ -64,6 +64,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -122,9 +123,24 @@ def _store_nbuckets(store_dir: str, create_with: int | None = None) -> int:
         n = create_with if create_with is not None else N_BUCKETS
     if create_with is not None:
         os.makedirs(store_dir, exist_ok=True)
+        # fsync'd: a crash that keeps a later CURRENT commit but loses
+        # the buffered marker would otherwise brick the store
+        # (CURRENT-without-marker deliberately raises above).
         with open(marker, "w") as f:
             f.write(str(n))
+            f.flush()
+            os.fsync(f.fileno())
+        _fsync_dir(store_dir)
     return n
+
+
+def _fsync_dir(path: str) -> None:
+    """Flush a directory entry (create/rename durability on Linux)."""
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
 
 
 def _bucket(col, n_buckets: int) -> F.Column:
@@ -233,9 +249,11 @@ _CURRENT = "CURRENT"
 
 def _load_manifest(store_dir: str) -> dict | None:
     """The store's committed state: {"gen": int, "buckets": {str(b):
-    relative dir}, "pending_delete": [relative dirs]}.  Returns None
-    for a store that has never committed (neither a CURRENT manifest
-    nor pre-manifest legacy parquet)."""
+    relative dir}, "pending_delete": [{"rel": relative dir, "ts":
+    epoch seconds}]} (pre-grace manifests carried bare strings —
+    `_commit` reads those as ts=0).  Returns None for a store that
+    has never committed (neither a CURRENT manifest nor pre-manifest
+    legacy parquet)."""
     path = os.path.join(store_dir, _CURRENT)
     try:
         with open(path) as f:
@@ -299,6 +317,13 @@ _FASTPATH_MAX_ROWS = int(os.environ.get("LH_SPARK_SERVING_FASTPATH_ROWS",
 _FASTPATH_MAX_BYTES = int(os.environ.get("LH_SPARK_SERVING_FASTPATH_BYTES",
                                          str(64 * 1024 * 1024)))
 
+# Reader grace for superseded generation directories (see _commit):
+# a dereferenced dir survives at least this long before GC so an
+# in-flight read planned against an older manifest never has files
+# deleted under its scan.  30 s is orders of magnitude above a point
+# read; raise it if analytic readers scan whole stores off CURRENT.
+_GC_GRACE_S = float(os.environ.get("LH_SPARK_SERVING_GC_GRACE_S", "30"))
+
 
 def _touched_bucket_bytes(store_dir: str, manifest: dict,
                           touched: list[int]) -> int:
@@ -355,8 +380,11 @@ def _upsert(batch: DataFrame, store_dir: str, key_cols: list[str],
                           order_spec, n, manifest,
                           row_buckets=row_buckets)
             return
-        # Small batch, but its buckets hold too much committed data to
-        # merge on the driver — stay distributed.
+        # Small batch, but its buckets hold too much committed data
+        # to merge on the driver — stay distributed, seeding the plan
+        # from the ALREADY-COLLECTED probe (it holds the full batch)
+        # so the batch's lineage is not recomputed per downstream job.
+        batch = spark.createDataFrame(probe)
     _upsert_spark(batch, spark, store_dir, key_cols, bucket_on,
                   order_spec, n, manifest)
 
@@ -447,14 +475,31 @@ def _upsert_arrow(tbl, store_dir: str, key_cols: list[str],
 
 def _commit(store_dir: str, manifest: dict, gen_rel: str,
             touched: list[int]) -> None:
-    """GC the PREVIOUS commit's dereferenced directories (committed
-    readers got one full commit interval of grace on them), then
-    atomically point CURRENT at the new generation.  After clearing a
-    bucket directory, also remove its data/gNNNNNN parent once no
-    bucket= children remain (only the _SUCCESS marker): without this
-    a long-lived continuous query accumulates one empty generation
-    shell per batch per store, unbounded (ADVICE r7)."""
-    for rel in manifest.get("pending_delete", []):
+    """GC dereferenced directories whose grace EXPIRED, then atomically
+    point CURRENT at the new generation.
+
+    Grace is TIME-based, not one-commit: at a 200 ms trigger the next
+    commit lands while a GET is still mid-scan of a superseded
+    directory, so "one commit of grace" would delete files under a
+    live reader.  A dereferenced dir is deleted only once it has been
+    pending for `_GC_GRACE_S` (default 30 s — orders of magnitude
+    above any point read; env `LH_SPARK_SERVING_GC_GRACE_S`); until
+    then it rides along in `pending_delete` as {"rel", "ts"}.
+    Pre-grace manifests carried bare strings — read as ts=0, i.e.
+    immediately eligible, which matches their old semantics.
+
+    After clearing a bucket directory, also remove its data/gNNNNNN
+    parent once no bucket= children remain (only the _SUCCESS
+    marker): without this a long-lived continuous query accumulates
+    one empty generation shell per batch per store (ADVICE r7)."""
+    now = time.time()
+    still_pending = []
+    for ent in manifest.get("pending_delete", []):
+        rel, ts = ((ent, 0.0) if isinstance(ent, str)
+                   else (ent["rel"], ent.get("ts", 0.0)))
+        if now - ts < _GC_GRACE_S:
+            still_pending.append({"rel": rel, "ts": ts})
+            continue
         shutil.rmtree(os.path.join(store_dir, rel), ignore_errors=True)
         parent = os.path.dirname(rel)  # "" for legacy root bucket= dirs
         if parent:
@@ -470,13 +515,19 @@ def _commit(store_dir: str, manifest: dict, gen_rel: str,
     for b in touched:
         buckets[str(b)] = f"{gen_rel}/bucket={b}"
     new_manifest = {"gen": manifest["gen"] + 1, "buckets": buckets,
-                    "pending_delete": replaced}
+                    "pending_delete": still_pending + [
+                        {"rel": r, "ts": now} for r in replaced]}
     tmp = os.path.join(store_dir, f".{_CURRENT}.tmp")
     with open(tmp, "w") as f:
         f.write(json.dumps(new_manifest, separators=(",", ":")))
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, os.path.join(store_dir, _CURRENT))  # THE commit
+    # Directory fsync: without it the rename itself can be lost on
+    # power failure AFTER Spark's checkpoint acknowledged the batch —
+    # the batch would never be redelivered and its runs would vanish
+    # from the store (the one non-redeliverable torn state).
+    _fsync_dir(store_dir)
 
 
 # --------------------------------------------------------------------------

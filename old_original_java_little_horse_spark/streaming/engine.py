@@ -146,7 +146,15 @@ def prepare_events(events: list[dict], max_offset: int, max_event_ts: int,
         for e in events:
             ts = e["timestamp"]
             max_seen = max(max_seen, ts)
-            if ts >= max_seen - allowed_lateness_ms:
+            # TIMER_EVENTs are engine-internal control flow, late BY
+            # CONSTRUCTION (their timestamp is the maturation time,
+            # and a delayed pump injects them after the key's
+            # event-time has moved on).  Dropping one would strand
+            # its SLEEP forever — the pump's fired-ledger never
+            # re-injects.  The lateness policy exists for EXTERNAL
+            # data, so control events bypass it.
+            if (e.get("event_type") == "TIMER_EVENT"
+                    or ts >= max_seen - allowed_lateness_ms):
                 kept.append(e)
         events = kept
     max_event_ts = max(
@@ -280,15 +288,14 @@ def make_update_fn(spec: dict, executor: TaskExecutor | None = None,
         if old_aliases is not None:
             index_diff_rows(out_rows, wf_run_id, old_aliases, state, max_offset)
         out_rows.append(snapshot_row(wf_run_id, state, max_offset))
-        if evict_completed and state["status"] == "COMPLETED" and pending:
+        if evict_completed and state["status"] == "COMPLETED":
             # Terminal run: stored timers can no longer change anything
             # (the fold's stale guards no-op a timer against a terminal
-            # run, same as the reference punctuator firing late).  Drop
-            # them rather than block eviction — in replay mode (no
-            # wheel tick) an unmatured task-timeout timer would
-            # otherwise pin the full document forever.
-            pending = []
-        if evict_completed and state["status"] == "COMPLETED" and not pending:
+            # run, same as the reference punctuator firing late), so
+            # any still pending are dropped rather than blocking
+            # eviction — in replay mode (no wheel tick) an unmatured
+            # task-timeout timer would otherwise pin the full document
+            # forever.  One guard, one motion: drop timers + tombstone.
             group_state.update((_TOMB_STATE, max_offset, max_event_ts,
                                 "[]", 1))
             if native_timers and tombstone_ttl_ms is not None:
@@ -654,14 +661,29 @@ def start_continuous(spark: SparkSession, events_dir: str, spec: dict,
     if state_partitions is not None:
         confs = {**confs,
                  "spark.sql.shuffle.partitions": str(state_partitions)}
+    fresh = _fresh_checkpoint(checkpoint_dir)
     with scoped_conf(spark, confs):
-        return (
+        q = (
             tagged.writeStream.foreachBatch(sink)
             .outputMode("update")
             .option("checkpointLocation", checkpoint_dir)
             .trigger(processingTime=f"{trigger_seconds} seconds")
             .start()
         )
+    q._lh_fresh_start = fresh  # see await_read_your_writes
+    return q
+
+
+def _fresh_checkpoint(checkpoint_dir: str) -> bool:
+    """True iff the checkpoint has NO committed offsets — i.e. this
+    query run cannot begin with a WAL-recovery replay, so the
+    read-your-writes barrier may trust its first progress entry
+    (stamped on the query as `_lh_fresh_start`).  Checked BEFORE
+    .start(): afterwards the running query itself writes offsets."""
+    try:
+        return not os.listdir(os.path.join(checkpoint_dir, "offsets"))
+    except FileNotFoundError:
+        return True
 
 
 def start_continuous_shared(spark: SparkSession, events_dir: str,
@@ -752,14 +774,17 @@ def start_continuous_shared(spark: SparkSession, events_dir: str,
     if state_partitions is not None:
         confs = {**confs,
                  "spark.sql.shuffle.partitions": str(state_partitions)}
+    fresh = _fresh_checkpoint(checkpoint_dir)
     with scoped_conf(spark, confs):
-        return (
+        q = (
             tagged.writeStream.foreachBatch(sink)
             .outputMode("update")
             .option("checkpointLocation", checkpoint_dir)
             .trigger(processingTime=f"{trigger_seconds} seconds")
             .start()
         )
+    q._lh_fresh_start = fresh  # see await_read_your_writes
+    return q
 
 
 def await_read_your_writes(query, timeout: float = 60.0) -> None:
@@ -792,10 +817,19 @@ def await_read_your_writes(query, timeout: float = 60.0) -> None:
       each StreamingQuery object's progress buffer belongs to its own
       run, so the buffer's head is at or before the recovery batch,
       and only the recovery batch can carry a stale listing.
+
+      EXCEPT when the starter stamped `_lh_fresh_start` (checkpoint
+      had no committed offsets at start): a fresh run cannot begin
+      with a recovery replay, so the head batch is trusted like any
+      other.  Without this, an engine that schedules batches only on
+      input (native_timers=False — the pump/replay deployments) would
+      starve the FIRST post-start barrier forever: the write's own
+      batch is the head, and no successor ever fires.
     """
     import time as _time
     from datetime import datetime, timezone
 
+    trust_head = getattr(query, "_lh_fresh_start", False)
     t0 = datetime.now(timezone.utc)
     deadline = _time.monotonic() + timeout
     while _time.monotonic() < deadline:
@@ -805,7 +839,8 @@ def await_read_your_writes(query, timeout: float = 60.0) -> None:
             started = datetime.strptime(
                 p["timestamp"], "%Y-%m-%dT%H:%M:%S.%fZ"
             ).replace(tzinfo=timezone.utc)
-            if started > t0 and p["batchId"] > recent[0]["batchId"]:
+            if started > t0 and (trust_head
+                                 or p["batchId"] > recent[0]["batchId"]):
                 return
         _time.sleep(0.05)  # the reference's 50 ms poll
     raise TimeoutError("read-your-writes barrier timed out")

@@ -12,6 +12,8 @@ from old_original_java_little_horse_spark.streaming.engine import prepare_events
 event = st.fixed_dictionaries({
     "offset": st.integers(0, 1000) | st.none(),
     "timestamp": st.integers(0, 10_000) | st.none(),
+    "event_type": st.sampled_from(
+        ["TASK_RESULT", "EXTERNAL_EVENT", "TIMER_EVENT"]),
 })
 
 
@@ -33,14 +35,20 @@ def test_prepare_events_invariants(events, max_offset, max_event_ts, lateness):
     assert new_ts >= max((e.get("timestamp") or 0 for e in out), default=0)
 
     if lateness is not None:
-        # No kept event trails the RUNNING max seen at its arrival by
-        # more than the allowance (order of arrival = input order).
+        # No kept DATA event trails the RUNNING max seen at its
+        # arrival by more than the allowance (arrival = input order).
+        # TIMER_EVENTs are engine-internal control flow (late by
+        # construction — a delayed pump injects them after event-time
+        # moved on) and must NEVER be dropped: the pump's
+        # fired-ledger would strand the SLEEP forever.
         running = max_event_ts
         kept = set(map(id, out))
         for e in sorted(events, key=lambda e: e.get("offset") or 0):
             ts = e.get("timestamp") or 0
             running = max(running, ts)
-            if id(e) in kept:
+            if e["event_type"] == "TIMER_EVENT":
+                assert id(e) in kept
+            elif id(e) in kept:
                 assert ts >= running - lateness
     else:
         assert len(out) == len(events)               # nothing dropped

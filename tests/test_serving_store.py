@@ -288,11 +288,15 @@ def test_crash_before_manifest_commit_loses_nothing(store, monkeypatch):
     assert got == {**{f"r{i}": 1 for i in range(20)}, "r7": 9}
 
 
-def test_reader_isolation_one_commit_grace(store):
-    """A read planned against the current manifest must survive ONE
-    subsequent commit to the same bucket: superseded generation dirs
-    are GC'd only at the NEXT commit, never at the commit that
-    dereferences them."""
+def test_reader_isolation_one_commit_grace(store, monkeypatch):
+    """A read planned against the current manifest must survive the
+    commit that dereferences its directories: GC happens at a LATER
+    commit, never the dereferencing one.  (Grace forced to 0 so the
+    very next commit is the sweeper; the time-based retention window
+    itself is pinned by test_gc_grace_protects_inflight_readers.)"""
+    from old_original_java_little_horse_spark.sinks import serving
+
+    monkeypatch.setattr(serving, "_GC_GRACE_S", 0.0)
     spark, d = store
     upsert_serving_stores(_batch(spark, [_snap("r1", 1)]), d)
     stale = read_snapshot(spark, d, "r1")  # plans against gen 1
@@ -399,11 +403,17 @@ def test_orphaned_first_commit_is_not_committed_state(store):
             read_all_snapshots(spark, d).collect()] == ["r1"]
 
 
-def test_generation_shells_are_garbage_collected(store):
+def test_generation_shells_are_garbage_collected(store, monkeypatch):
     """ADVICE r7: GC removed only the superseded bucket= dirs, leaving
     one empty data/gNNNNNN shell (plus _SUCCESS) per batch per store,
     unbounded for a long-lived continuous query.  A fully-superseded
-    generation's parent dir must disappear with its last bucket."""
+    generation's parent dir must disappear with its last bucket.
+    (Grace forced to 0 so every commit is immediately eligible —
+    grace retention itself is pinned by
+    test_gc_grace_protects_inflight_readers.)"""
+    from old_original_java_little_horse_spark.sinks import serving
+
+    monkeypatch.setattr(serving, "_GC_GRACE_S", 0.0)
     spark, d = store
     for seq in range(1, 7):
         upsert_serving_stores(_batch(spark, [_snap("r1", seq)]), d)
@@ -416,6 +426,41 @@ def test_generation_shells_are_garbage_collected(store):
             f"{g} is an empty generation shell")
     assert json.loads(read_snapshot(spark, d, "r1")
                       .collect()[0]["state_json"])["seq"] == 6
+
+
+def test_gc_grace_protects_inflight_readers(store, monkeypatch):
+    """Superseded generation dirs survive at least _GC_GRACE_S before
+    GC: at a 200 ms trigger, the NEXT commit lands while a GET is
+    still mid-scan of the previous generation, so one-commit grace
+    would delete files under a live reader (round-9 review).  Old
+    manifests' bare-string pending entries stay immediately eligible
+    (their historical semantics)."""
+    from old_original_java_little_horse_spark.sinks import serving
+
+    spark, d = store
+    monkeypatch.setattr(serving, "_GC_GRACE_S", 3600.0)
+    for seq in range(1, 5):
+        upsert_serving_stores(_batch(spark, [_snap("r1", seq)]), d)
+    sd = Path(snapshots_dir(d))
+    # Every superseded generation is still on disk (pending, in grace)
+    gens = sorted(p.name for p in sd.glob("data/g*"))
+    assert len(gens) == 4, gens
+    m = json.loads((sd / "CURRENT").read_text())
+    assert all(isinstance(e, dict) and {"rel", "ts"} <= set(e)
+               for e in m["pending_delete"])
+    # A reader holding the gen-3 manifest can still scan its dir.
+    assert (sd / m["pending_delete"][-1]["rel"]).exists()
+
+    # Grace elapses → the next commit sweeps them (legacy bare-string
+    # entries are treated as ts=0, i.e. already expired).
+    m["pending_delete"] = [e["rel"] for e in m["pending_delete"]]
+    (sd / "CURRENT").write_text(json.dumps(m))
+    monkeypatch.setattr(serving, "_GC_GRACE_S", 0.0)
+    upsert_serving_stores(_batch(spark, [_snap("r1", 9)]), d)
+    gens = sorted(p.name for p in sd.glob("data/g*"))
+    assert len(gens) <= 2, gens
+    assert json.loads(read_snapshot(spark, d, "r1")
+                      .collect()[0]["state_json"])["seq"] == 9
 
 
 def test_current_without_marker_raises(store):

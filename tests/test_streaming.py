@@ -943,3 +943,29 @@ def test_barrier_ignores_wal_recovery_batch():
                     {"batchId": 2, "numInputRows": 0, "timestamp": past}])
     with _pytest.raises(TimeoutError):
         await_read_your_writes(q3, timeout=0.7)
+
+    # Case 4: a FRESH-checkpoint query (starter stamped
+    # _lh_fresh_start) cannot begin with a WAL replay, so its head
+    # batch IS trusted — otherwise an input-driven engine
+    # (native_timers=False) starves the first post-start barrier:
+    # the write's own batch is the head and no successor ever fires.
+    q4 = FakeQuery([])
+    q4._lh_fresh_start = True
+
+    def publish_head():
+        _time.sleep(0.2)
+        q4.recentProgress = [
+            {"batchId": 0, "numInputRows": 1,
+             "timestamp": stamp(datetime.now(timezone.utc))}]
+
+    t4 = threading.Thread(target=publish_head)
+    t4.start()
+    try:
+        await_read_your_writes(q4, timeout=5.0)  # must NOT time out
+    finally:
+        t4.join()
+    # ...but a pre-call head still never releases a fresh query.
+    q5 = FakeQuery([{"batchId": 0, "numInputRows": 1, "timestamp": past}])
+    q5._lh_fresh_start = True
+    with _pytest.raises(TimeoutError):
+        await_read_your_writes(q5, timeout=0.7)
