@@ -127,11 +127,23 @@ def _parse_maybe_json(s: Any) -> Any:
 # strings; ARRAY/OBJECT parse JSON strings.
 # ---------------------------------------------------------------------------
 
+def _int_trunc(x: float) -> int:
+    """int() with containment: NaN/±inf raise bare ValueError/
+    OverflowError, which would escape the `except VarSubError`
+    routing and halt the whole run INTERNAL_ERROR instead of failing
+    the one task (a worker CAN emit them — json.loads accepts
+    'NaN'/'Infinity')."""
+    try:
+        return int(x)
+    except (ValueError, OverflowError) as e:
+        raise VarSubError(f"cannot coerce float {x!r} to INT: {e}") from e
+
+
 def to_int(o: Any) -> int:
     if isinstance(o, bool):
         raise VarSubError(f"cannot coerce bool {o} to INT")
     if isinstance(o, float):
-        return int(o)  # Double.intValue() truncation
+        return _int_trunc(o)  # Double.intValue() truncation
     if isinstance(o, str):
         try:
             return int(o)
@@ -461,13 +473,13 @@ def apply_mutation(op: str, lhs: Any, rhs: Any, var_type: str) -> Any:
         if rf == 0:
             raise VarSubError("tried to DIVIDE by zero!")
         res = lf / rf
-        out = res if var_type == "FLOAT" else int(res)
+        out = res if var_type == "FLOAT" else _int_trunc(res)
     elif op == "SUBTRACT":
         res = to_double(lhs) - to_double(rhs)
-        out = res if var_type == "FLOAT" else int(res)
+        out = res if var_type == "FLOAT" else _int_trunc(res)
     elif op == "MULTIPLY":
         res = to_double(lhs) * to_double(rhs)
-        out = res if var_type == "FLOAT" else int(res)
+        out = res if var_type == "FLOAT" else _int_trunc(res)
     elif op == "REMOVE_IF_PRESENT":
         out = [x for x in to_array(lhs) if x != rhs]
     elif op == "REMOVE_KEY":
@@ -1127,9 +1139,21 @@ def _content(event: dict) -> dict:
 
 
 def handle_task_event(state: dict, spec: dict, event: dict) -> None:
-    thread = state["thread_runs"][event["thread_id"]]
+    # Poison guards, same stance as handle_timer_event: a malformed or
+    # misrouted TASK_EVENT (out-of-range thread/position under
+    # at-least-once delivery) is log-and-skip — an unattributable
+    # corrupt event must not halt an innocent run INTERNAL_ERROR.
+    tid = event.get("thread_id")
+    if (not isinstance(tid, int) or isinstance(tid, bool)
+            or not 0 <= tid < len(state["thread_runs"])):
+        return
+    thread = state["thread_runs"][tid]
     content = _content(event)
-    tr = thread["task_runs"][content["task_run_position"]]
+    pos = content.get("task_run_position")
+    if (not isinstance(pos, int) or isinstance(pos, bool)
+            or not 0 <= pos < len(thread["task_runs"])):
+        return
+    tr = thread["task_runs"][pos]
     if content.get("started_event") is not None:
         if task_terminated(tr):
             # A late/redelivered started event must NOT resurrect a
@@ -1169,9 +1193,20 @@ def handle_task_event(state: dict, spec: dict, event: dict) -> None:
 def handle_external_event(state: dict, spec: dict, event: dict) -> None:
     """WFRun.handleExternalEvent (WFRun.java:157-200)."""
     payload = _content(event)
+    if payload.get("external_event_def_name") is None:
+        return  # poison record: no def name to attribute it to
     if payload["external_event_def_name"] in interrupt_events(spec):
         tid = event.get("thread_id", -1)
-        if tid is not None and tid >= 0:
+        if tid is None:
+            tid = -1  # unaddressed: propagate from the root thread
+        if not isinstance(tid, int) or isinstance(tid, bool):
+            return  # garbled thread id: poison, log-and-skip
+        if tid >= 0:
+            if tid >= len(state["thread_runs"]):
+                # Targets a thread this run does not have (delivered
+                # before its SPAWN_THREAD, or garbled): log-and-skip,
+                # same poison stance as handle_timer_event.
+                return
             handle_interrupt(state, spec, state["thread_runs"][tid], payload)
         else:
             propagate_interrupt(state, spec, state["thread_runs"][0], payload)
@@ -1251,6 +1286,13 @@ def handle_timer_event(state: dict, spec: dict, event: dict) -> None:
                       {"stdout": None, "stderr": None, "returncode": 0},
                       timer["maturation_timestamp"])
     elif node["node_type"] in ("TASK", "WAIT_FOR_THREAD", "EXTERNAL_EVENT"):
+        # Release the locks activation acquired BEFORE failing —
+        # complete_task (the normal unlock site) is bypassed here, and
+        # a timed-out task that kept its locks would deadlock its own
+        # exception handler and any sibling thread needing the
+        # variable.  (The reference's failTask has the same leak,
+        # ThreadRun.java:455-484 — divergence ledgered in COVERAGE.)
+        unlock_variables(state, thread, node)
         fail_task(state, spec, thread, task, TIMEOUT, "taskRun timed out!")
 
 

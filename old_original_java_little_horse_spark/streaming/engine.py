@@ -198,6 +198,49 @@ def index_diff_rows(out_rows: list, wf_run_id: str, old_aliases: set,
             })
 
 
+def fire_matured_timers(spec: dict, executor, wf_run_id: str, state,
+                        pending: list, max_offset: int, now_ms: int,
+                        out_rows: list):
+    """Fold every matured stored timer as a TIMER_EVENT; firing can
+    create new timers (sequential SLEEPs), so loop to quiescence.
+    Synthetic offsets continue the per-key sequence (+1 each) so
+    snapshot `seq` stays monotonic.
+
+    ONE implementation for BOTH stateful engines
+    (applyInPandasWithState here, transformWithState in tws.py) — the
+    firing order below is a cross-engine parity contract, so the
+    twins share the code instead of promising byte-equality."""
+    fired = False
+    while True:
+        matured = [t for t in pending
+                   if t["maturation_timestamp"] <= now_ms]
+        if not matured:
+            break
+        # Maturation order FIRST (thread/task ids only break ties):
+        # the reference punctuator range-scans [0, now] by
+        # maturation time (SchedulerProcessor), and the TimerPump
+        # replay path injects events whose offsets are the
+        # µs-scaled maturation timestamps — firing here in any
+        # other order could diverge from both when one timer's
+        # fold halts a thread whose own timer matured earlier.
+        for t in sorted(matured,
+                        key=lambda t: (t["maturation_timestamp"],
+                                       t["thread_run_id"],
+                                       t["task_run_id"])):
+            pending.remove(t)
+            max_offset += 1
+            ev = {
+                "wf_run_id": wf_run_id, "event_type": "TIMER_EVENT",
+                "thread_id": t["thread_run_id"],
+                "timestamp": t["maturation_timestamp"],
+                "offset": max_offset, "content": json.dumps(t),
+            }
+            state, ctx = process_event(spec, state, ev, executor=executor)
+            emit_ctx_rows(out_rows, wf_run_id, ctx, pending)
+            fired = True
+    return state, pending, max_offset, fired
+
+
 def make_update_fn(spec: dict, executor: TaskExecutor | None = None,
                    allowed_lateness_ms: int | None = None,
                    native_timers: bool = False,
@@ -236,39 +279,8 @@ def make_update_fn(spec: dict, executor: TaskExecutor | None = None,
 
     def _fire_matured(wf_run_id: str, state, pending: list, max_offset: int,
                       now_ms: int, out_rows: list):
-        """Fold every matured stored timer as a TIMER_EVENT; firing can
-        create new timers (sequential SLEEPs), so loop to quiescence.
-        Synthetic offsets continue the per-key sequence (+1 each) so
-        snapshot `seq` stays monotonic."""
-        fired = False
-        while True:
-            matured = [t for t in pending
-                       if t["maturation_timestamp"] <= now_ms]
-            if not matured:
-                break
-            # Maturation order FIRST (thread/task ids only break ties):
-            # the reference punctuator range-scans [0, now] by
-            # maturation time (SchedulerProcessor), and the TimerPump
-            # replay path injects events whose offsets are the
-            # µs-scaled maturation timestamps — firing here in any
-            # other order could diverge from both when one timer's
-            # fold halts a thread whose own timer matured earlier.
-            for t in sorted(matured,
-                            key=lambda t: (t["maturation_timestamp"],
-                                           t["thread_run_id"],
-                                           t["task_run_id"])):
-                pending.remove(t)
-                max_offset += 1
-                ev = {
-                    "wf_run_id": wf_run_id, "event_type": "TIMER_EVENT",
-                    "thread_id": t["thread_run_id"],
-                    "timestamp": t["maturation_timestamp"],
-                    "offset": max_offset, "content": json.dumps(t),
-                }
-                state, ctx = process_event(spec, state, ev, executor=executor)
-                _emit(out_rows, wf_run_id, ctx, pending)
-                fired = True
-        return state, pending, max_offset, fired
+        return fire_matured_timers(spec, executor, wf_run_id, state,
+                                   pending, max_offset, now_ms, out_rows)
 
     def _store(group_state: GroupState, state, max_offset: int,
                max_event_ts: int, pending: list, out_rows: list,

@@ -44,8 +44,8 @@ from pyspark.sql.streaming.stateful_processor import (
 
 from ..engine.fold import TaskExecutor, process_event
 from .engine import (
-    OUTPUT_SCHEMA, _timer_key, emit_ctx_rows, index_diff_rows,
-    prepare_events, snapshot_row,
+    OUTPUT_SCHEMA, _timer_key, emit_ctx_rows, fire_matured_timers,
+    index_diff_rows, prepare_events, snapshot_row,
 )
 
 _RUN_STATE_SCHEMA = ("state_json string, max_offset long, "
@@ -142,21 +142,27 @@ class WFRunFoldProcessor(StatefulProcessor):
         if old_aliases is not None:
             index_diff_rows(out_rows, wf_run_id, old_aliases, state, max_offset)
         out_rows.append(snapshot_row(wf_run_id, state, max_offset))
-        if self.evict_completed and state["status"] == "COMPLETED" \
-                and pending:
-            # Terminal run: stored timers are dead (stale-guarded
-            # no-ops) — drop them so eviction isn't blocked forever
-            # by an unmatured task-timeout (see engine._store).
-            pending = []
-        if self.evict_completed and state["status"] == "COMPLETED" \
-                and not pending:
+        if self.evict_completed and state["status"] == "COMPLETED":
+            # Terminal run (one guard, one motion — see engine._store):
+            # stored timers are dead (stale-guarded no-ops), so drop
+            # them rather than block eviction on an unmatured
+            # task-timeout.  CRITICALLY, also delete every REGISTERED
+            # native timer: unlike GroupState's single replaceable
+            # timeout, this API keeps each registered expiry alive,
+            # and a leftover task-timeout firing on the tombstoned key
+            # would look exactly like the TTL expiry — wiping the
+            # dedupe marker early (with ttl=None: a PERMANENT marker)
+            # and re-opening the run to redelivered events.
             self._run.update(("", max_offset, max_event_ts, 1))
             self._timers.clear()
-            if self.native_timers and self.tombstone_ttl_ms is not None:
-                import time as _time
+            if self.native_timers:
+                for ts in self.handle.listTimers():
+                    self.handle.deleteTimer(ts)
+                if self.tombstone_ttl_ms is not None:
+                    import time as _time
 
-                self.handle.registerTimer(
-                    int(_time.time() * 1000) + self.tombstone_ttl_ms)
+                    self.handle.registerTimer(
+                        int(_time.time() * 1000) + self.tombstone_ttl_ms)
             return
         self._run.update((json.dumps(state, separators=(",", ":")),
                           max_offset, max_event_ts, 0))
@@ -175,35 +181,12 @@ class WFRunFoldProcessor(StatefulProcessor):
 
     def _fire_matured(self, wf_run_id: str, state, pending: list,
                       max_offset: int, now_ms: int, out_rows: list):
-        """Fold every matured stored timer as a TIMER_EVENT (loop to
-        quiescence: firing can create new timers)."""
-        fired = False
-        while True:
-            matured = [t for t in pending
-                       if t["maturation_timestamp"] <= now_ms]
-            if not matured:
-                break
-            # Maturation order first — matches the reference
-            # punctuator's time-ordered range scan and the TimerPump
-            # replay (whose event offsets are µs-scaled maturation
-            # times); see engine._fire_matured.
-            for t in sorted(matured,
-                            key=lambda t: (t["maturation_timestamp"],
-                                           t["thread_run_id"],
-                                           t["task_run_id"])):
-                pending.remove(t)
-                max_offset += 1
-                ev = {
-                    "wf_run_id": wf_run_id, "event_type": "TIMER_EVENT",
-                    "thread_id": t["thread_run_id"],
-                    "timestamp": t["maturation_timestamp"],
-                    "offset": max_offset, "content": json.dumps(t),
-                }
-                state, ctx = process_event(self.spec, state, ev,
-                                           executor=self.executor)
-                emit_ctx_rows(out_rows, wf_run_id, ctx, pending)
-                fired = True
-        return state, pending, max_offset, fired
+        """Shared with the applyInPandasWithState engine — the firing
+        order is a cross-engine parity contract, so one implementation
+        (engine.fire_matured_timers) serves both twins."""
+        return fire_matured_timers(self.spec, self.executor, wf_run_id,
+                                   state, pending, max_offset, now_ms,
+                                   out_rows)
 
     # -- input path --------------------------------------------------------
 
@@ -262,9 +245,15 @@ class WFRunFoldProcessor(StatefulProcessor):
         expiry_ms = expiredTimerInfo.getExpiryTimeInMs()
         state, max_offset, max_event_ts, tomb, pending = self._load()
         if tomb:
-            # TTL passed: drop the marker — the key leaves the store.
-            self._run.clear()
-            self._timers.clear()
+            # Only a configured TTL may drop the marker.  _save
+            # deletes all other registered timers at tombstone time,
+            # so an expiry here IS the TTL timer — but pre-fix stores
+            # (or a ttl=None config, where the marker is PERMANENT)
+            # can still see a stale task-timeout fire on this key, and
+            # clearing for one of those would break exactly-once.
+            if self.tombstone_ttl_ms is not None:
+                self._run.clear()
+                self._timers.clear()
             yield pd.DataFrame([], columns=_COLS)
             return
         from ..operators.run_index import doc_aliases
