@@ -19,6 +19,7 @@ the process-isolated variant; here tasks run inline in the fold like
 from __future__ import annotations
 
 import shutil
+import threading
 from dataclasses import dataclass
 from pathlib import Path
 
@@ -86,6 +87,14 @@ class SparkEngineManager:
         self.state_partitions = state_partitions
         self._engines: dict[str, EngineHandle] = {}
         self._specs: dict[str, dict] = {}  # shared mode: deployed specs
+        # Serializes deploy/undeploy: metadata.post() calls on_change
+        # OUTSIDE its own lock, so two concurrent POST /wfSpec handler
+        # threads reach deploy() together — un-serialized, the shared
+        # mode would start TWO streaming queries over the one shared
+        # checkpoint (corruption Spark forbids), and per-spec mode
+        # could leak a never-stopped query for the same name.  RLock:
+        # deploy/undeploy call _shared_restart internally.
+        self._lock = threading.RLock()
 
     # -- shared-mode plumbing ------------------------------------------------
 
@@ -128,38 +137,39 @@ class SparkEngineManager:
         from ..streaming.engine import start_continuous
 
         name = spec["name"]
-        if self.shared:
-            # Direct (non-HTTP) callers may pass specs without the
-            # metadata-stamped id; the registry needs one to pin runs.
-            spec = dict(spec)
-            spec.setdefault("id", name)
-            self._specs[name] = spec
-            self._shared_restart()
-            return self._engines[name]
-        old = self._engines.pop(name, None)
-        if old is not None:
-            old.query.stop()
-        root = self.base_dir / name
-        events_dir = root / "events"
-        events_dir.mkdir(parents=True, exist_ok=True)
-        handle = EngineHandle(
-            spec=spec,
-            events_dir=str(events_dir),
-            output_dir=str(root / "out"),
-            serving_dir=str(root / "serving"),
-            query=start_continuous(
-                self.spark, str(events_dir) + "/*", spec,
-                checkpoint_dir=str(root / "ckpt"),
+        with self._lock:
+            if self.shared:
+                # Direct (non-HTTP) callers may pass specs without the
+                # metadata-stamped id; the registry needs one to pin runs.
+                spec = dict(spec)
+                spec.setdefault("id", name)
+                self._specs[name] = spec
+                self._shared_restart()
+                return self._engines[name]
+            old = self._engines.pop(name, None)
+            if old is not None:
+                old.query.stop()
+            root = self.base_dir / name
+            events_dir = root / "events"
+            events_dir.mkdir(parents=True, exist_ok=True)
+            handle = EngineHandle(
+                spec=spec,
+                events_dir=str(events_dir),
                 output_dir=str(root / "out"),
                 serving_dir=str(root / "serving"),
-                executor=self.executor,
-                trigger_seconds=self.trigger_seconds,
-                use_tws=self.use_tws,
-                state_partitions=self.state_partitions,
-            ),
-        )
-        self._engines[name] = handle
-        return handle
+                query=start_continuous(
+                    self.spark, str(events_dir) + "/*", spec,
+                    checkpoint_dir=str(root / "ckpt"),
+                    output_dir=str(root / "out"),
+                    serving_dir=str(root / "serving"),
+                    executor=self.executor,
+                    trigger_seconds=self.trigger_seconds,
+                    use_tws=self.use_tws,
+                    state_partitions=self.state_partitions,
+                ),
+            )
+            self._engines[name] = handle
+            return handle
 
     def deploy_many(self, specs: list[dict]) -> list[EngineHandle]:
         """Deploy a batch of specs — the boot-recovery path.  In
@@ -168,14 +178,15 @@ class SparkEngineManager:
         which replays the checkpoint)."""
         if not specs:
             return []
-        if self.shared:
-            for spec in specs:
-                spec = dict(spec)
-                spec.setdefault("id", spec["name"])
-                self._specs[spec["name"]] = spec
-            self._shared_restart()
-            return [self._engines[s["name"]] for s in specs]
-        return [self.deploy(s) for s in specs]
+        with self._lock:
+            if self.shared:
+                for spec in specs:
+                    spec = dict(spec)
+                    spec.setdefault("id", spec["name"])
+                    self._specs[spec["name"]] = spec
+                self._shared_restart()
+                return [self._engines[s["name"]] for s in specs]
+            return [self.deploy(s) for s in specs]
 
     def undeploy(self, name: str, purge: bool = False) -> None:
         """Stop serving `name`.  `purge` removes the spec's
@@ -189,28 +200,34 @@ class SparkEngineManager:
         moot) and a still-pending timer for an old run can fold a
         fresh snapshot into the new deployment's serving store.  The
         per-spec mode's purge removes checkpoint and state wholesale."""
-        if self.shared:
-            if self._specs.pop(name, None) is not None:
-                self._shared_restart()  # remaining specs carry on
+        with self._lock:
+            if self.shared:
+                if self._specs.pop(name, None) is not None:
+                    self._shared_restart()  # remaining specs carry on
+                    if purge:
+                        shutil.rmtree(self.base_dir / name,
+                                      ignore_errors=True)
+                return
+            handle = self._engines.pop(name, None)
+            if handle is not None:
+                handle.query.stop()
                 if purge:
                     shutil.rmtree(self.base_dir / name, ignore_errors=True)
-            return
-        handle = self._engines.pop(name, None)
-        if handle is not None:
-            handle.query.stop()
-            if purge:
-                shutil.rmtree(self.base_dir / name, ignore_errors=True)
 
     def get(self, name: str) -> EngineHandle | None:
-        return self._engines.get(name)
+        return self._engines.get(name)  # single dict read: GIL-atomic
 
     def handles(self) -> list[EngineHandle]:
-        return list(self._engines.values())
+        # Snapshot under the lock: materializing .values() while a
+        # deploy resizes the dict raises RuntimeError.
+        with self._lock:
+            return list(self._engines.values())
 
     def stop_all(self) -> None:
-        if self.shared:
-            self._specs.clear()
-            self._shared_restart()  # no specs left → stops the query
-            return
-        for name in list(self._engines):
-            self.undeploy(name)
+        with self._lock:
+            if self.shared:
+                self._specs.clear()
+                self._shared_restart()  # no specs left → stops the query
+                return
+            for name in list(self._engines):
+                self.undeploy(name)

@@ -28,6 +28,7 @@ engine manager so POST /wfSpec → deployed continuous query.
 from __future__ import annotations
 
 import json
+import os
 import threading
 import time
 import uuid
@@ -97,7 +98,29 @@ class MetadataStore:
     def _replay(self) -> None:
         if not self._log.exists():
             return
-        for line in self._log.read_text().splitlines():
+        data = self._log.read_bytes()
+        # Only complete lines are replayed: a crash mid-append leaves a
+        # torn final line WITHOUT its newline, and that record was
+        # never acknowledged (post() appends + fsyncs before
+        # returning), so dropping it is correct — crashing on it would
+        # permanently prevent server boot.  The torn tail is also
+        # TRUNCATED away: the log is append-only, so leaving it would
+        # merge it with the next post()'s record into one malformed
+        # line that bricks the boot after this one.  Corruption in an
+        # earlier, newline-terminated record is real log damage and
+        # still raises: silently skipping it would resurrect deleted
+        # specs or drop live ones.
+        cut = data.rfind(b"\n")
+        if cut + 1 < len(data):
+            with self._log.open("r+b") as f:
+                f.truncate(cut + 1)
+                f.flush()
+                os.fsync(f.fileno())
+        if cut < 0:
+            return
+        for line in data[: cut + 1].splitlines():
+            if not line.strip():
+                continue
             rec = json.loads(line)
             self._apply(rec["op"], rec["kind"], rec["doc"])
 
@@ -121,8 +144,16 @@ class MetadataStore:
     def _append(self, op: str, kind: str, doc: dict) -> None:
         rec = json.dumps({"op": op, "kind": kind, "doc": doc},
                          separators=(",", ":"))
+        # fsync before acknowledging: the 200/201 the client gets back
+        # is a durability promise (the reference's produce blocks on
+        # the Kafka ack).  Without it, a power loss can lose a POSTed
+        # spec the caller was told is stored — and whose engine is
+        # already running, so the next boot serves a topology its
+        # metadata no longer knows.
         with self._log.open("a") as f:
             f.write(rec + "\n")
+            f.flush()
+            os.fsync(f.fileno())
 
     # -- POST / DELETE (POSTApi.java:40-58, 90-??) --------------------------
 

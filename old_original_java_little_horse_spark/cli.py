@@ -98,10 +98,25 @@ def _write_event(spark, events_dir: str, row: dict) -> None:
     d = Path(events_dir) / f"cmd-{uuid.uuid4().hex[:12]}"
     d.mkdir(parents=True, exist_ok=True)
     # Write-then-rename: the stream source lists the directory between
-    # triggers, and a half-written file would poison the batch.
+    # triggers, and a half-written file would poison the batch.  fsync
+    # data BEFORE the rename (and the dir after): a power loss keeping
+    # the rename but dropping buffered contents would leave a truncated
+    # parquet under its final name that permanently poisons the
+    # explicit-schema stream source — the same torn-final-name mode
+    # closed for the engine changelog (streaming/engine.py, ADVICE r8).
     tmp = d / ".part-00000.parquet.tmp"
     pq.write_table(tbl, tmp)
+    fd = os.open(tmp, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
     os.replace(tmp, d / "part-00000.parquet")
+    dfd = os.open(d, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
 
 
 def _snapshots(spark, snapshots_dir: str):
@@ -483,12 +498,18 @@ def cmd_work(args) -> int:
                     .where((F.col("kind") == "task_schedule")
                            & (F.col("task_def_name") == args.task_def))
                     .select("payload").collect())
+            def publish(evs):
+                # Inside handle(): events reach the event topic BEFORE
+                # the "done" ledger append, so "done" implies the
+                # engine can fold the result.  A crash mid-write
+                # leaves the attempt in-doubt → re-executed.
+                for ev in evs:
+                    _write_event(spark, str(events_dir), ev)
+
             for r in rows:
                 tsr = json.loads(r["payload"])
                 evs = worker.handle(tsr, int(time.time() * 1000),
-                                    time.time_ns() // 1000)
-                for ev in evs:
-                    _write_event(spark, str(events_dir), ev)
+                                    time.time_ns() // 1000, publish=publish)
                 if evs:
                     n_done += 1
                     print(f"executed {tsr['task_def_name']} for "

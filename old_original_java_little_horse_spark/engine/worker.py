@@ -136,9 +136,21 @@ class TaskWorker:
         return (tsr["wf_run_id"], tsr["thread_id"],
                 tsr["task_run_position"], tsr.get("attempt_number", 0))
 
-    def handle(self, tsr: dict, timestamp: int, base_offset: int) -> list[dict]:
+    def handle(self, tsr: dict, timestamp: int, base_offset: int,
+               publish: Callable[[list[dict]], None] | None = None) -> list[dict]:
         """One schedule request → [started_event, ended_event] wf_events
-        (or [] if this task-run attempt was already executed)."""
+        (or [] if this task-run attempt was already executed).
+
+        `publish`, when given, is called with the events BEFORE the
+        "done" ledger append: "done" then means *the result events are
+        durably published*, not merely built in memory.  Without it, a
+        caller that publishes after handle() returns has a lost-result
+        window — crash between the "done" append and its own publish
+        and the attempt is marked done while the engine never sees the
+        TASK_EVENTs (at-most-once for that result; only the engine's
+        task-timeout retry recovers liveness).  A crash inside
+        `publish` leaves the key in-doubt → re-executed on restart,
+        the documented at-least-once fallback."""
         key = self._key(tsr)
         if key in self._seen:
             return []  # duplicate delivery — idempotent skip
@@ -203,13 +215,17 @@ class TaskWorker:
                         "returncode": result.get("returncode", 0),
                     }},
                 }))]
-        # The "done" record comes AFTER the user function has returned
-        # and the result events exist: a crash mid-function leaves only
-        # the "started" intent, so a restart re-executes (at-least-once)
-        # but KNOWS it is re-executing (in-doubt detection).  Writing
-        # "done" before fn() would invert the contract into
-        # at-most-once — a crash mid-task would mark it done and the
-        # workflow would stall forever.
+        # Publish BEFORE the "done" record: the ledger's "done" must
+        # mean the result events exist DURABLY (the reference's Kafka
+        # txn commits offset and events together, TaskWorker.java:
+        # 102-142).  A crash mid-publish leaves only the "started"
+        # intent, so a restart re-executes (at-least-once) but KNOWS
+        # it is re-executing (in-doubt detection).  Writing "done"
+        # before fn()/publish would invert the contract into
+        # at-most-once — a crash would mark the attempt done while
+        # the engine never saw its events.
+        if publish is not None:
+            publish(events)
         if self._seen_path:
             self._append_ledger(key, "done")
         return events

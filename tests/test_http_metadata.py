@@ -698,3 +698,102 @@ def test_shared_engine_with_tws(spark):
             srv.stop()
             mgr.stop_all()
             shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_metadata_replay_skips_torn_trailing_line():
+    """A crash mid-append leaves a torn final line WITHOUT its newline;
+    that record was never acknowledged (post() fsyncs before
+    returning), so boot must skip it — not refuse to start.  Earlier
+    newline-terminated corruption is real log damage and still
+    raises (silently skipping could resurrect a deleted spec)."""
+    import json
+    import tempfile
+    from pathlib import Path
+
+    with tempfile.TemporaryDirectory() as d:
+        store = MetadataStore(d)
+        store.post("taskDef", {"name": "t1"})
+        store.post("taskDef", {"name": "t2"})
+        log = Path(d) / "metadata.jsonl"
+        base = log.read_bytes()
+        # Torn tail: half of a third record, no newline.
+        log.write_bytes(base + b'{"op":"PUT","kind":"taskDef","doc":{"na')
+        s2 = MetadataStore(d)
+        assert [t["name"] for t in s2.get_all("taskDef")] == ["t1", "t2"]
+        # Recovery must also REPAIR the log (truncate the torn tail):
+        # the file is append-only, so a later post() would otherwise
+        # merge with the leftover fragment into one malformed line
+        # that bricks the NEXT boot.
+        assert log.read_bytes() == base
+        s2.post("taskDef", {"name": "t3"})
+        s3 = MetadataStore(d)
+        assert [t["name"] for t in s3.get_all("taskDef")] == [
+            "t1", "t2", "t3"]
+
+
+def test_metadata_replay_raises_on_complete_corrupt_line():
+    import json
+    import tempfile
+    from pathlib import Path
+
+    with tempfile.TemporaryDirectory() as d:
+        store = MetadataStore(d)
+        store.post("taskDef", {"name": "t1"})
+        log = Path(d) / "metadata.jsonl"
+        log.write_bytes(log.read_bytes() + b"not json at all\n")
+        try:
+            MetadataStore(d)
+            raised = False
+        except json.JSONDecodeError:
+            raised = True
+        assert raised
+
+
+def test_concurrent_deploys_are_serialized(monkeypatch):
+    """MetadataStore.post() fires on_change OUTSIDE its lock, so two
+    concurrent POST /wfSpec handler threads reach deploy() together.
+    Un-serialized, shared mode would start TWO streaming queries over
+    the ONE shared checkpoint (forbidden by Structured Streaming).
+    The manager's lock must keep (stop old → start new) atomic: at
+    most one start_continuous_shared in flight, and every spec's
+    handle points at the LAST started query."""
+    import tempfile
+    import threading
+    import time as _time
+
+    from old_original_java_little_horse_spark.streaming import engine as se
+
+    active = {"n": 0, "max": 0, "starts": 0}
+    gate = threading.Lock()
+
+    class FakeQuery:
+        def stop(self):
+            pass
+
+    def fake_start_shared(*a, **k):
+        with gate:
+            active["n"] += 1
+            active["starts"] += 1
+            active["max"] = max(active["max"], active["n"])
+        _time.sleep(0.05)  # widen the overlap window
+        with gate:
+            active["n"] -= 1
+        return FakeQuery()
+
+    monkeypatch.setattr(se, "start_continuous_shared", fake_start_shared)
+    with tempfile.TemporaryDirectory() as d:
+        mgr = SparkEngineManager(spark=None, base_dir=d, shared=True)
+        specs = [{"name": f"wf{i}", "entrypoint": "e",
+                  "thread_specs": {"e": {"nodes": {}}}} for i in range(4)]
+        threads = [threading.Thread(target=mgr.deploy, args=(s,))
+                   for s in specs]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert active["max"] == 1, "two shared queries ran concurrently"
+        assert active["starts"] == 4
+        handles = {h.spec["name"]: h for h in mgr.handles()}
+        assert set(handles) == {s["name"] for s in specs}
+        # All specs share the one (last-started) query object.
+        assert len({id(h.query) for h in handles.values()}) == 1

@@ -307,3 +307,61 @@ def test_reload_seen_skips_wrong_shape_json_lines():
         assert ("w", "f", "-", "1") not in w._seen
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_done_is_appended_only_after_publish_succeeds():
+    """Lost-result window (round-9 review): with a caller that
+    publishes events AFTER handle() returns, a crash between the
+    'done' append and the publish marks the attempt done while the
+    engine never sees its TASK_EVENTs — at-most-once for that result.
+    The `publish` hook closes it: events are durably published INSIDE
+    handle(), before 'done', so a crash mid-publish leaves the key
+    in-doubt and a restarted worker re-executes and re-publishes."""
+    published: list[list[dict]] = []
+
+    def fn(subs):
+        return {"stdout": "ok", "success": True, "returncode": 0}
+
+    tsr = {"wf_run_id": "wf-p", "thread_id": 0, "task_run_position": 0,
+           "attempt_number": 0, "task_def_name": "t",
+           "variable_substitutions": {}}
+    workdir = Path(tempfile.mkdtemp(prefix="worker-pub-"))
+    try:
+        ledger = workdir / "t.jsonl"
+
+        # Crash INSIDE publish: 'started' on disk, no 'done'.
+        w1 = TaskWorker({"t": fn}, seen_path=str(ledger))
+        try:
+            w1.handle(tsr, 1000, 10,
+                      publish=lambda evs: (_ for _ in ()).throw(
+                          OSError("disk gone")))
+        except OSError:
+            pass
+        lines = [json.loads(s) for s in ledger.read_text().splitlines()]
+        assert lines == [{"k": ["wf-p", 0, 0, 0], "s": "started"}]
+
+        # Restart: in-doubt -> re-executed AND re-published; 'done'
+        # lands only after publish returned.
+        order: list[str] = []
+        w2 = TaskWorker({"t": fn}, seen_path=str(ledger))
+        real_append = w2._append_ledger
+
+        def spy_append(key, state):
+            order.append(state)
+            real_append(key, state)
+
+        w2._append_ledger = spy_append
+        evs = w2.handle(tsr, 1001, 12,
+                        publish=lambda e: (order.append("publish"),
+                                           published.append(e)))
+        assert len(evs) == 2
+        assert w2.detected_in_doubt == [("wf-p", 0, 0, 0)]
+        assert published == [evs]
+        assert order == ["started", "publish", "done"]
+
+        # Third worker: done -> clean skip, nothing re-published.
+        w3 = TaskWorker({"t": fn}, seen_path=str(ledger))
+        assert w3.handle(tsr, 1002, 14, publish=published.append) == []
+        assert len(published) == 1
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
