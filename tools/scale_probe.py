@@ -52,6 +52,10 @@ def main() -> int:
     ap.add_argument("--all", action="store_true",
                     help="probe every bench HEADLINE query, not just "
                          "the expensive top-10")
+    ap.add_argument("--registry", action="store_true",
+                    help="probe EVERY registry query (the full 149 — "
+                         "turns the non-headline queries' scale claims "
+                         "into measurements too; ~30-50 min)")
     ap.add_argument("--json", action="store_true")
     args = ap.parse_args()
 
@@ -75,7 +79,9 @@ def main() -> int:
     })
     base, app_id = open_status_api(spark)
     specs = all_queries()
-    if args.all:
+    if args.registry:
+        names = list(specs)
+    elif args.all:
         from bench import HEADLINE
 
         names = [n for n in HEADLINE if n in specs]
@@ -96,10 +102,15 @@ def main() -> int:
             pass
         # Interleave small/big per query (not two full sweeps) so the
         # ratio is taken inside the same host-weather window.
-        s = measure(spark, base, app_id, specs, [name], args.small,
-                    verbose=False)[0]
-        b = measure(spark, base, app_id, specs, [name], big,
-                    verbose=False)[0]
+        try:
+            s = measure(spark, base, app_id, specs, [name], args.small,
+                        verbose=False)[0]
+            b = measure(spark, base, app_id, specs, [name], big,
+                        verbose=False)[0]
+        except Exception as e:  # noqa: BLE001 — record, don't abort sweep
+            out.append({"query": name, "error": f"{type(e).__name__}: {e}"})
+            print(f"{name:28s} ERROR {type(e).__name__}: {e}", flush=True)
+            continue
         spill = (b["memoryBytesSpilled"] + b["diskBytesSpilled"]
                  + s["memoryBytesSpilled"] + s["diskBytesSpilled"])
         row = {
@@ -122,11 +133,13 @@ def main() -> int:
     if args.json:
         print(json.dumps({"small": args.small, "big": big, "rows": out}))
     else:
-        worst = max(out, key=lambda r: r["wall_ratio"], default=None)
+        ok = [r for r in out if "wall_ratio" in r]
+        worst = max(ok, key=lambda r: r["wall_ratio"], default=None)
         if worst:
             print(f"\nworst wall ratio: {worst['query']} "
                   f"x{worst['wall_ratio']}; total spill "
-                  f"{sum(r['spill_bytes'] for r in out)}")
+                  f"{sum(r['spill_bytes'] for r in ok)}; "
+                  f"errors {len(out) - len(ok)}")
     return 0
 
 
