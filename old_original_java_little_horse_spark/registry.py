@@ -56,6 +56,10 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # steady 3-round cadence's natural tail.  After round 9 no registry
 # query has driver evidence older than round 7.
 _CHECK_FIRST = [
+    # never driver-checked: the r9 scale-fix addition (aligned-segment
+    # blocking for the edit-distance contract; registry 149 → 150) and
+    # its reworked exhaustive sibling
+    "d_edit_segment_pairs", "d_edit_distance_pairs",
     # never driver-checked: the r8-prescribed one-for-one swap-in
     # (replaces s2_changelog_upsert; registry stays 149)
     "s5_serving_store_gc",
