@@ -57,9 +57,14 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # query has driver evidence older than round 7.
 _CHECK_FIRST = [
     # never driver-checked: the r9 scale-fix addition (aligned-segment
-    # blocking for the edit-distance contract; registry 149 → 150) and
-    # its reworked exhaustive sibling
-    "d_edit_segment_pairs", "d_edit_distance_pairs",
+    # blocking for the edit-distance contract; registry 149 → 150).
+    # Its reworked exhaustive sibling d_edit_distance_pairs is NOT
+    # re-listed: it holds r8 driver evidence and the rework is
+    # hash-verified this round at sf0.01 (vanilla drive ×2) and sf0.1
+    # (parity sweep).  The driver's 50-row window fits 50 of these 51;
+    # dq_check_suite (last) sits at position 51 and keeps its r6 row
+    # one more round, carried by a builder parity run — it leads r10.
+    "d_edit_segment_pairs",
     # never driver-checked: the r8-prescribed one-for-one swap-in
     # (replaces s2_changelog_upsert; registry stays 149)
     "s5_serving_store_gc",
