@@ -41,6 +41,7 @@ QUERIES = [
     "d_exact_dedup", "d_minhash_signatures", "d_minhash_lsh_pairs",
     "d_ngram_jaccard_pairs", "d_simhash", "d_simhash_pairs",
     "d_dup_clusters", "d_dedup_canonical",
+    "d_edit_distance_pairs", "d_edit_segment_pairs",
     "t_lang_id", "t_quality_score", "t_token_count", "t_fingerprint",
     "t_corpus_stats",
 ]
@@ -177,3 +178,45 @@ def test_winnowing_shared_substring_guarantee(spark):
         assert all(2 not in p for p in pairs2), pairs2
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_grid_self_pairs_dedup_false_multiplicity(spark):
+    """dedup=False contract: a pair sharing m buckets comes out m
+    times — once per shared bucket, never per grid cell — and the
+    bucket column is exposed so the caller can pick a winner by
+    expression (the simhash first-matching-band pattern)."""
+    from old_original_java_little_horse_spark.functions.dedup import (
+        grid_self_pairs,
+    )
+
+    rows = [(1, "x"), (2, "x"), (1, "y"), (2, "y"), (3, "z")]
+    sigs = spark.createDataFrame(rows, "doc_id long, bucket string")
+    out = [(r["id_a"], r["id_b"], r["bucket"])
+           for r in grid_self_pairs(sigs, ["bucket"],
+                                    dedup=False).collect()]
+    assert sorted(out) == [(1, 2, "x"), (1, 2, "y")]
+
+
+def test_simhash_pairs_emit_each_pair_exactly_once(spark, edge_sf_dir):
+    """First-matching-band replaces dropDuplicates: identical docs
+    agree in ALL 4 band tables (and the exact-dup trio 10/11/13
+    agrees everywhere), so a multiplicity bug would emit them up to
+    4x.  Every output pair must appear exactly once."""
+    specs = all_queries()
+    rows = [(r["doc_a"], r["doc_b"])
+            for r in specs["d_simhash_pairs"].fn(spark, edge_sf_dir).collect()]
+    assert len(rows) == len(set(rows)), rows
+    assert (10, 11) in rows  # the planted exact dup survives
+
+
+def test_edit_segment_pairs_multiplicity_and_bound(spark, edge_sf_dir):
+    """A pair sharing several aligned segments (exact dups share all
+    nine) must come out once, with the true distance <= the bound."""
+    specs = all_queries()
+    rows = [(r["doc_a"], r["doc_b"], r["edit_dist"])
+            for r in specs["d_edit_segment_pairs"].fn(
+                spark, edge_sf_dir).collect()]
+    pairs = [(a, b) for a, b, _ in rows]
+    assert len(pairs) == len(set(pairs)), rows
+    assert all(0 <= d <= 8 for _, _, d in rows)
+    assert (10, 11, 0) in rows  # exact dup at distance 0
