@@ -366,6 +366,11 @@ def validate_spec(spec: dict) -> None:
             if node.get("base_exception_handler") and \
                     node["base_exception_handler"] not in tspecs:
                 raise ValueError(f"{tname}.{nname}: unknown exception handler")
+            for exc, handler in (node.get("exception_handlers") or {}).items():
+                if handler not in tspecs:
+                    raise ValueError(
+                        f"{tname}.{nname}: exception {exc!r} → unknown "
+                        f"handler thread {handler!r}")
         for ev, handler in (ts.get("interrupt_defs") or {}).items():
             if handler not in tspecs:
                 raise ValueError(f"{tname}: interrupt {ev} → unknown thread {handler}")

@@ -797,3 +797,37 @@ def test_concurrent_deploys_are_serialized(monkeypatch):
         assert set(handles) == {s["name"] for s in specs}
         # All specs share the one (last-started) query object.
         assert len({id(h.query) for h in handles.values()}) == 1
+
+
+def test_validate_rejects_unknown_named_exception_handler():
+    """Named exception_handlers targets are validated like the base
+    handler: a typo'd handler thread must 400 at POST time, not fail
+    at runtime when the exception finally fires."""
+    wf = Workflow("typo-handler")
+    t = wf.thread("entrypoint")
+    t.execute("work").catch_exception("no-such-thread", "my-exc")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown handler"):
+        wf.build()
+    # and over HTTP metadata: 400, not 500
+    d = tempfile.mkdtemp(prefix="meta-vh-")
+    try:
+        spec = {
+            "name": "typo-handler",
+            "entrypoint_thread_name": "entrypoint",
+            "thread_specs": {"entrypoint": {
+                "entrypoint_node_name": "work",
+                "nodes": {"work": {"node_type": "TASK", "name": "work",
+                                   "task_def_name": "work",
+                                   "variable_mutations": {},
+                                   "exception_handlers":
+                                       {"my-exc": "no-such-thread"}}},
+                "edges": [], "variable_defs": {}, "interrupt_defs": {},
+            }},
+        }
+        with pytest.raises(MetadataError) as e:
+            MetadataStore(d).post("wfSpec", spec)
+        assert e.value.status == 400
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
