@@ -5,23 +5,30 @@ ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec, ...}, "samples": {name: [sec, ...]},
 "replay_prev": {...}, "sf": ...}.
 
-Self-calibration (VERDICT r6 item 2): this sandbox shows minutes-long
-host stalls — the same commit read 39-51 s across one morning, and the
-recorded BENCH_r06 total (54.1 s) was re-measured by the judge at ~2/3
-of that minutes later.  Two keys make each round's artifact separable
-from host weather WITHOUT judge-side re-runs:
+Self-calibration (VERDICT r6 item 2, drift-proofed per VERDICT r9
+item 2): this sandbox shows minutes-long host stalls — the same commit
+read 39-51 s across one morning, and BENCH_r09 recorded a x1.24
+"regression" that three clean windows (two builder, one judge) refuted
+at x0.86.  The r9 design ran HEAD and the replay as two sequential
+~80 s blocks, so one loaded half-window inverted the verdict.  Three
+keys make each round's artifact separable from host weather WITHOUT
+judge-side re-runs:
 
 - ``samples``: all N_TIMED_RUNS per-query wall times (the published
   ``queries`` value is their median) — a stall poisons one interleaved
   sample, and the spread exposes it;
-- ``replay_prev``: the previous round's end-of-round snapshot commit,
-  checked out into a throwaway ``git worktree`` and benched by ITS OWN
-  bench.py in the same window, right after the current measurements on
-  the same host.  Round-over-round delta = current vs ``replay_prev``,
-  both taken under the same weather; comparing against a prior round's
-  *recorded* file only measures the weather.  Skipped when
-  $SPARK_GRAFT_NO_REPLAY is set (the replay child sets it, so the
-  recursion is exactly one level).
+- ``replay_prev``: the previous round's end-of-round tree, checked out
+  into a throwaway ``git worktree`` and driven as a PEER PROCESS whose
+  query executions INTERLEAVE with HEAD's per query (HEAD q, replay q,
+  HEAD q', replay q', ... with the order within each pair alternating
+  per timed pass).  Any load burst therefore hits HEAD and replay
+  samples alike and cancels in the per-query ratio — a burst can no
+  longer land entirely inside one side's block.  Skipped when
+  $SPARK_GRAFT_NO_REPLAY is set.
+- ``per_query_ratio`` (its own stdout line, sized to survive the
+  driver's ~2000-char tail capture): median-of-passes HEAD/replay
+  ratio per query, so the artifact itself carries the per-query
+  round-over-round verdict, not just the totals.
 
 Timing counts full execution (collect) but not session startup.
 """
@@ -125,6 +132,11 @@ def main() -> None:
     # measuring it after 18 queries on local[32] races against executor
     # threads and GC, and was observed to read up to 3.6x low.
     fold_eps = fold_throughput()
+    # Spawn the replay peer BEFORE HEAD's JVM: the peer measures ITS
+    # fold throughput first, while this process blocks waiting — so
+    # both fold numbers are taken with no JVM alive.
+    peer = ReplayPeer(sf_dir)
+    peer.wait_fold()
     spark = get_spark("bench")
     specs = all_queries()
     names = [n for n in HEADLINE if n in specs]
@@ -136,33 +148,47 @@ def main() -> None:
     # of the cold sf0.1 total).  Warming makes the timed runs measure
     # data-proportional work, which is what extrapolates to cluster
     # scale; the warm pass itself runs the real queries end-to-end.
+    # The peer warms concurrently (untimed on both sides).
+    peer.send_warm(names)
     for name in names:
         try:
             specs[name].fn(spark, "/root/testdata/sf0.001").count()
         except Exception:
             pass  # a query that only works at larger SF still times below
+    peer.wait_warm()
 
+    def time_head(name: str) -> float:
+        t0 = time.perf_counter()
+        df = specs[name].fn(spark, sf_dir)
+        df.collect() if name == "q1_pricing_summary" else df.count()
+        return time.perf_counter() - t0
+
+    # Interleaved timed passes: within every (pass, query) cell HEAD
+    # and the replay peer run back-to-back, with the order alternating
+    # per pass so neither side systematically enjoys a warmer page
+    # cache.  While one side runs, the other idles on a pipe read.
     samples: dict[str, list[float]] = {name: [] for name in names}
-    for _ in range(N_TIMED_RUNS):
+    replay_samples: dict[str, list[float]] = {name: [] for name in names}
+    for pass_no in range(N_TIMED_RUNS):
         for name in names:
-            t0 = time.perf_counter()
-            df = specs[name].fn(spark, sf_dir)
-            df.collect() if name == "q1_pricing_summary" else df.count()
-            samples[name].append(time.perf_counter() - t0)
+            if pass_no % 2 == 0:
+                samples[name].append(time_head(name))
+                r = peer.time_query(name)
+            else:
+                r = peer.time_query(name)
+                samples[name].append(time_head(name))
+            if r is not None:
+                replay_samples[name].append(r)
     timings = {name: round(sorted(runs)[len(runs) // 2], 3)
                for name, runs in samples.items()}
     total = round(sum(timings.values()), 3)
-    # From here on, NOTHING may prevent the JSON line: a dying JVM or
-    # a failed replay costs its own feature, never the measurements.
+    replay = peer.finish(replay_samples, timings)
+    # From here on, NOTHING may prevent the JSON line: a dying JVM
+    # costs its own feature, never the measurements.
     try:
         roundtrip = task_roundtrip(spark)
     except Exception as e:  # noqa: BLE001 — latency is additive evidence
         roundtrip = {"error": f"{type(e).__name__}: {e}"[:200]}
-    try:
-        spark.stop()  # free the JVM/cores BEFORE the replay child runs
-    except Exception:
-        pass
-    replay = replay_previous_round(sf_dir)
     out = {
         "metric": "headline_queries_total_sec",
         "value": total,
@@ -176,8 +202,33 @@ def main() -> None:
     }
     if replay is not None:
         out["replay_prev"] = replay
+    try:  # full artifact to disk too — immune to stdout tail capture
+        Path(__file__).resolve().parent.joinpath(
+            "BENCH_LASTRUN_FULL.json").write_text(json.dumps(out, indent=1))
+    except Exception:
+        pass
     print(json.dumps(out))
+    ratio_line = per_query_ratio_line(out)
+    if ratio_line is not None:
+        print(ratio_line)
     print(summary_line(out))
+
+
+def per_query_ratio_line(out: dict) -> str | None:
+    """Own stdout line with the per-query HEAD/replay ratio dict
+    (VERDICT r9 item 2): the driver keeps only a ~2000-char stdout
+    tail, and in r9 only the REPLAY per-query dict happened to survive
+    it — the artifact carried no per-query HEAD evidence at all.  This
+    line plus the final summary must fit the window together, so
+    ratios are 2-decimal and the key is terse."""
+    replay = out.get("replay_prev") or {}
+    rq = replay.get("queries") or {}
+    hq = out.get("queries") or {}
+    ratios = {n: round(hq[n] / rq[n], 2) for n in hq if rq.get(n)}
+    if not ratios:
+        return None
+    line = json.dumps({"per_query_ratio": ratios}, separators=(",", ":"))
+    return line if len(line) + len(summary_line(out)) < 1990 else None
 
 
 def summary_line(out: dict) -> str:
@@ -207,101 +258,305 @@ def summary_line(out: dict) -> str:
             summary["replay_prev_error"] = str(replay["error"])[:120]
         else:
             summary["replay_prev_value"] = replay.get("value")
+            # The drift-proof round-over-round verdict (VERDICT r9
+            # item 2): HEAD vs replay over the COMMON queries, both
+            # sides measured interleaved in the same window.
+            if replay.get("ratio") is not None:
+                summary["head_vs_replay_ratio"] = replay["ratio"]
+                summary["head_value_common"] = replay.get("head_value_common")
+                summary["n_common"] = replay.get("n_common")
     line = json.dumps(summary, separators=(",", ":"))
     assert len(line) < 500, f"summary line grew to {len(line)} bytes"
     return line
 
 
-def replay_previous_round(sf_dir: str) -> dict | None:
-    """Bench the previous round's snapshot commit in the same window.
+# Protocol script driven inside the previous round's worktree: it
+# imports the SNAPSHOT's registry/session (sys.path[0] = worktree),
+# measures the snapshot's fold throughput (while the parent blocks,
+# so no JVM competes), then serves timed query requests line-by-line
+# over stdin/stdout.  The script itself is generated by the CURRENT
+# bench.py, so old snapshots need no protocol support of their own.
+_RUNNER_SRC = r'''
+import json, sys, time
+wt = sys.argv[1]
+sys.path.insert(0, wt)
 
-    Checks out the most recent ``round N: end-of-round snapshot``
-    commit into a temporary git worktree and runs ITS bench.py as a
-    subprocess with the same SF/CPU env — a same-host, same-minutes
-    control measurement.  Returns a summary dict, an ``{"error": ...}``
-    dict (a missing/failed replay must not sink the round's artifact),
-    or None when suppressed via $SPARK_GRAFT_NO_REPLAY."""
-    if os.environ.get("SPARK_GRAFT_NO_REPLAY"):
-        return None
-    repo = Path(__file__).resolve().parent
-    wt: Path | None = None
+def emit(obj):
+    sys.stdout.write(json.dumps(obj, separators=(",", ":")) + "\n")
+    sys.stdout.flush()
+
+try:
+    import bench as old_bench
+    emit({"type": "fold", "eps": old_bench.fold_throughput()})
+except Exception as e:
+    emit({"type": "fold", "eps": None, "error": str(e)[:200]})
+
+from old_original_java_little_horse_spark.registry import all_queries
+from old_original_java_little_horse_spark.session import get_spark
+
+spark = get_spark("bench-replay")
+specs = all_queries()
+emit({"type": "ready", "have": sorted(specs)})
+
+for line in sys.stdin:
     try:
+        req = json.loads(line)
+    except ValueError:
+        continue
+    cmd = req.get("cmd")
+    if cmd == "quit":
+        break
+    if cmd == "warm":
+        n = 0
+        for name in req["queries"]:
+            if name not in specs:
+                continue
+            try:
+                specs[name].fn(spark, req["sf_dir"]).count()
+                n += 1
+            except Exception:
+                pass
+        emit({"type": "warmed", "n": n})
+    elif cmd == "time":
+        name = req["query"]
+        if name not in specs:
+            emit({"type": "timing", "query": name, "sec": None,
+                  "error": "missing"})
+            continue
+        try:
+            t0 = time.perf_counter()
+            df = specs[name].fn(spark, req["sf_dir"])
+            df.collect() if req.get("collect") else df.count()
+            emit({"type": "timing", "query": name,
+                  "sec": time.perf_counter() - t0})
+        except Exception as e:
+            emit({"type": "timing", "query": name, "sec": None,
+                  "error": str(e)[:200]})
+try:
+    spark.stop()
+except Exception:
+    pass
+'''
+
+
+class ReplayPeer:
+    """The previous round's tree as an interleaved peer process.
+
+    Checks out the most recent prior round-end commit into a throwaway
+    ``git worktree`` and drives the SNAPSHOT's own registry through the
+    generated protocol runner, one timed query per request, so HEAD and
+    replay samples for the same query land seconds apart under the same
+    host weather.  Every method is failure-proof: any spawn/IO error
+    marks the peer dead and the bench degrades to HEAD-only, never
+    sinking the artifact.  Suppressed via $SPARK_GRAFT_NO_REPLAY."""
+
+    def __init__(self, sf_dir: str):
+        self.sf_dir = sf_dir
+        self.repo = Path(__file__).resolve().parent
+        self.error: str | None = None
+        self.commit = self.subject = ""
+        self.fold_eps: int | None = None
+        self.have: set[str] = set()
+        self._proc = None
+        self._queue = None
+        self._wt: Path | None = None
+        self._warm_pending = False
+        if os.environ.get("SPARK_GRAFT_NO_REPLAY"):
+            self.error = "disabled"
+            return
+        try:
+            self._spawn()
+        except Exception as e:  # noqa: BLE001 — replay is best-effort
+            self._die(f"{type(e).__name__}: {e}")
+
+    def _spawn(self) -> None:
+        import queue
+        import threading
+
         head = subprocess.run(
-            ["git", "rev-parse", "HEAD"], cwd=repo,
+            ["git", "rev-parse", "HEAD"], cwd=self.repo,
             capture_output=True, text=True, timeout=60).stdout.strip()
         if not head:
-            # rev-parse failed: an empty prefix would startswith-match
-            # EVERY candidate line and reject all snapshots.  Use an
-            # impossible prefix so the HEAD-skip filter is a no-op.
-            head = "<unknown-head>"
-        log = subprocess.run(
-            ["git", "log", "--grep", "end-of-round snapshot",
-             "-n", "20", "--format=%H %s"],
-            cwd=repo, capture_output=True, text=True, timeout=60)
-        # Two filters: (1) the SUBJECT must be the driver's snapshot
-        # shape ("round N: end-of-round snapshot ..."), not merely a
-        # commit whose message mentions the phrase (this file's own
-        # commit message does); (2) skip HEAD itself — the driver may
-        # run bench AT a fresh snapshot commit, and the replay must be
-        # the PREVIOUS round's code, not a re-run of the current one.
+            head = "<unknown-head>"  # keep the HEAD-skip filter a no-op
+        # A round's final tree is marked either by the driver's early
+        # "end-of-round snapshot" commits (rounds 2-6) or, since round
+        # 7, by its "round N: verdict/advice/correctness/bench" commit
+        # — prefer the most recent so the replay measures the PREVIOUS
+        # round, not a fossil.  Skip HEAD itself: the driver may run
+        # bench at a fresh round-end commit.
         import re
-        pat = re.compile(r"^[0-9a-f]{40} round \d+: end-of-round snapshot")
+        log = subprocess.run(
+            ["git", "log", "-E", "--grep",
+             r"^round [0-9]+: (end-of-round snapshot|verdict/advice)",
+             "-n", "20", "--format=%H %s"],
+            cwd=self.repo, capture_output=True, text=True, timeout=60)
+        pat = re.compile(
+            r"^[0-9a-f]{40} round \d+: "
+            r"(end-of-round snapshot|verdict/advice/correctness/bench)")
         lines = [ln for ln in log.stdout.splitlines()
                  if pat.match(ln) and not ln.startswith(head)]
         if not lines:
-            return {"error": "no prior end-of-round snapshot commit"}
-        commit, _, subject = lines[0].partition(" ")
-        wt = Path(tempfile.mkdtemp(prefix="bench-replay-")) / "wt"
+            self.error = "no prior round-end commit"
+            return
+        self.commit, _, self.subject = lines[0].partition(" ")
+        tmp = Path(tempfile.mkdtemp(prefix="bench-replay-"))
+        self._wt = tmp / "wt"
         subprocess.run(
-            ["git", "worktree", "add", "--detach", str(wt), commit],
-            cwd=repo, check=True, capture_output=True, timeout=300)
-        env = dict(os.environ,
-                   SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_NO_REPLAY="1")
-        # Bounded well under any plausible driver budget: losing the
-        # replay costs calibration, but a replay that overstays could
-        # cost the round's entire bench artifact.
-        res = subprocess.run(
-            [sys.executable, str(wt / "bench.py")], cwd=wt, env=env,
-            capture_output=True, text=True,
-            timeout=int(os.environ.get("SPARK_GRAFT_REPLAY_TIMEOUT", "1500")))
-        json_lines = [ln for ln in res.stdout.splitlines()
-                      if ln.startswith("{")]
-        if not json_lines:
-            return {"error": f"replay produced no JSON (rc={res.returncode}): "
-                             f"{res.stderr[-300:]}"}
-        # A round-8+ snapshot prints TWO JSON lines (full artifact,
-        # then the compact driver summary).  Prefer the last line that
-        # carries per-query timings; fall back to the last line.
-        data = json.loads(json_lines[-1])
-        for ln in reversed(json_lines):
+            ["git", "worktree", "add", "--detach", str(self._wt),
+             self.commit],
+            cwd=self.repo, check=True, capture_output=True, timeout=300)
+        runner = tmp / "runner.py"
+        runner.write_text(_RUNNER_SRC)
+        self._stderr = open(tmp / "stderr.log", "w")
+        self._proc = subprocess.Popen(
+            [sys.executable, str(runner), str(self._wt)],
+            cwd=self._wt, stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            stderr=self._stderr, text=True,
+            env=dict(os.environ, SPARK_GRAFT_NO_REPLAY="1"))
+        self._queue = queue.Queue()
+
+        def pump(proc=self._proc, q=self._queue):
+            for ln in proc.stdout:
+                if ln.startswith("{"):
+                    try:
+                        q.put(json.loads(ln))
+                    except ValueError:
+                        pass
+            q.put(None)  # EOF sentinel
+
+        threading.Thread(target=pump, daemon=True).start()
+
+    def _die(self, why: str) -> None:
+        self.error = self.error or why[:300]
+        if self._proc is not None:
             try:
-                cand = json.loads(ln)
-            except ValueError:
-                continue
-            if isinstance(cand, dict) and "queries" in cand:
-                data = cand
-                break
-        return {"commit": commit[:9], "subject": subject,
-                "value": data.get("value"),
-                "queries": data.get("queries"),
-                "engine_fold_events_per_sec":
-                    data.get("engine_fold_events_per_sec")}
-    except Exception as e:  # noqa: BLE001 — replay is best-effort calibration
-        return {"error": f"{type(e).__name__}: {e}"}
-    finally:
-        # Best-effort only: a cleanup failure (timeout during a host
-        # stall, fs error) must not escape — it would propagate out of
-        # this function (finally runs after the except) and sink the
-        # whole bench artifact for a throwaway directory.
-        if wt is not None:
-            try:
-                subprocess.run(
-                    ["git", "worktree", "remove", "--force", str(wt)],
-                    cwd=repo, capture_output=True, timeout=120)
-                import shutil
-                shutil.rmtree(wt.parent, ignore_errors=True)
+                self._proc.kill()
             except Exception:
                 pass
+            self._proc = None
+
+    def _recv(self, want_type: str, timeout: float) -> dict | None:
+        import queue as _q
+        if self._proc is None:
+            return None
+        deadline = time.monotonic() + timeout
+        while True:
+            left = deadline - time.monotonic()
+            if left <= 0:
+                self._die(f"timeout waiting for {want_type}")
+                return None
+            try:
+                msg = self._queue.get(timeout=min(left, 5.0))
+            except _q.Empty:
+                continue
+            if msg is None:
+                self._die(f"peer exited before {want_type}")
+                return None
+            if msg.get("type") == want_type:
+                return msg
+            # unexpected message type: drop and keep waiting
+
+    def _send(self, obj: dict) -> bool:
+        if self._proc is None:
+            return False
+        try:
+            self._proc.stdin.write(json.dumps(obj) + "\n")
+            self._proc.stdin.flush()
+            return True
+        except Exception as e:  # noqa: BLE001
+            self._die(f"send failed: {e}")
+            return False
+
+    def wait_fold(self) -> None:
+        """Block until the peer's pre-JVM fold measurement lands (the
+        parent idles meanwhile, so the measurement window is clean)."""
+        msg = self._recv("fold", timeout=120)
+        if msg is not None:
+            self.fold_eps = msg.get("eps")
+
+    def send_warm(self, names: list[str]) -> None:
+        msg = self._recv("ready", timeout=300)
+        if msg is None:
+            return
+        self.have = set(msg.get("have") or [])
+        if self._send({"cmd": "warm", "sf_dir": "/root/testdata/sf0.001",
+                       "queries": [n for n in names if n in self.have]}):
+            self._warm_pending = True
+
+    def wait_warm(self) -> None:
+        if self._warm_pending:
+            self._recv("warmed", timeout=900)
+            self._warm_pending = False
+
+    def time_query(self, name: str) -> float | None:
+        """One timed execution of `name` in the snapshot tree; None on
+        any failure (missing query, dead peer, per-query timeout)."""
+        if self._proc is None or name not in self.have:
+            return None
+        if not self._send({"cmd": "time", "query": name,
+                           "sf_dir": self.sf_dir,
+                           "collect": name == "q1_pricing_summary"}):
+            return None
+        msg = self._recv("timing", timeout=float(
+            os.environ.get("SPARK_GRAFT_REPLAY_QUERY_TIMEOUT", "300")))
+        return None if msg is None else msg.get("sec")
+
+    def finish(self, replay_samples: dict[str, list[float]],
+               head_timings: dict[str, float]) -> dict | None:
+        """Shut the peer down and build the replay_prev artifact block:
+        per-query medians, the common-query totals on BOTH sides, and
+        their ratio (the round-over-round verdict)."""
+        if self._proc is not None:
+            self._send({"cmd": "quit"})
+            try:
+                self._proc.wait(timeout=60)
+            except Exception:
+                self._die("quit timeout")
+        self._cleanup()
+        if self.error == "disabled":
+            return None
+        rq = {n: round(sorted(s)[len(s) // 2], 3)
+              for n, s in replay_samples.items() if s}
+        if not rq:
+            return {"error": self.error or "no replay timings"}
+        common = [n for n in head_timings if n in rq]
+        head_common = round(sum(head_timings[n] for n in common), 3)
+        replay_common = round(sum(rq[n] for n in common), 3)
+        out = {
+            "commit": self.commit[:9], "subject": self.subject,
+            "interleaved": True,
+            "value": replay_common,
+            "head_value_common": head_common,
+            "ratio": round(head_common / replay_common, 3)
+            if replay_common else None,
+            "n_common": len(common),
+            "queries": rq,
+            "engine_fold_events_per_sec": self.fold_eps,
+        }
+        missing = sorted(set(head_timings) - set(rq))
+        if missing:
+            out["missing_in_replay"] = missing
+        if self.error:
+            out["partial_error"] = self.error
+        return out
+
+    def _cleanup(self) -> None:
+        # Best-effort only: a cleanup failure must never escape — the
+        # worktree is throwaway, the artifact is not.
+        try:
+            self._stderr.close()
+        except Exception:
+            pass
+        if self._wt is not None:
+            try:
+                subprocess.run(
+                    ["git", "worktree", "remove", "--force", str(self._wt)],
+                    cwd=self.repo, capture_output=True, timeout=120)
+                import shutil
+                shutil.rmtree(self._wt.parent, ignore_errors=True)
+            except Exception:
+                pass
+            self._wt = None
 
 
 def task_roundtrip(spark, runs: int = 20, trigger_seconds: float = 0.2,

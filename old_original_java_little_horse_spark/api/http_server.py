@@ -107,6 +107,10 @@ class LittleHorseAPI:
         # that pops, inserts, or iterates takes the lock so the
         # eviction scan can never observe a mid-resize dict.
         self._run_engine_lock = threading.Lock()
+        # Orders metadata on_change actions per (kind, name); see
+        # _meta_change.
+        self._meta_change_lock = threading.Lock()
+        self._meta_change_seq: dict[tuple[str, str | None], int] = {}
         if metadata is not None and (engines is not None
                                      or task_deployer is not None):
             if metadata.on_change is None:
@@ -129,7 +133,28 @@ class LittleHorseAPI:
 
     # -- metadata lifecycle hooks (POSTable.processChange) -----------------
 
-    def _meta_change(self, kind: str, new: dict | None, old: dict | None):
+    def _meta_change(self, kind: str, new: dict | None, old: dict | None,
+                     seq: int = 0):
+        # Stale-event gate (ADVICE r9): the store fires on_change
+        # OUTSIDE its lock, so two concurrent mutations of the same
+        # name can arrive here in the opposite order from the
+        # changelog.  `seq` is captured under the store lock; holding
+        # _meta_change_lock across the CHECK AND THE ACTION makes
+        # drop-if-stale atomic — without it, both events could pass
+        # the check and still act in the wrong order.  Deploys were
+        # already serialized by the engine manager's RLock, so the
+        # lock adds ordering, not new contention.
+        name = (new or old or {}).get("name")
+        with self._meta_change_lock:
+            if seq:
+                key = (kind, name)
+                if seq < self._meta_change_seq.get(key, 0):
+                    return  # a newer mutation for this name already applied
+                self._meta_change_seq[key] = seq
+            self._meta_change_locked(kind, new, old)
+
+    def _meta_change_locked(self, kind: str, new: dict | None,
+                            old: dict | None):
         if kind == "taskDef" and self.task_deployer is not None:
             # TaskDef.processChange/remove (TaskDef.java:95-129):
             # first POST deploys the worker; a re-POST redeploys only

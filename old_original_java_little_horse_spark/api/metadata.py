@@ -93,6 +93,14 @@ class MetadataStore:
         self._docs: dict[tuple[str, str], dict] = {}     # (kind, id) → doc
         self._by_name: dict[tuple[str, str], str] = {}   # (kind, name) → id
         self.on_change = on_change
+        # Monotonic mutation counter, captured UNDER the store lock
+        # (ADVICE r9): on_change fires outside the lock, so two
+        # concurrent mutations of the same name can reach the consumer
+        # in the opposite order from the changelog — the seq lets the
+        # consumer detect and drop the stale one instead of deploying
+        # an older spec over a newer.  In-process only; boot replay
+        # redeploys from the final store state, not from events.
+        self._seq = 0
         self._replay()
 
     def _replay(self) -> None:
@@ -170,8 +178,10 @@ class MetadataStore:
                     409, f"{kind} name {doc['name']!r} already used by id {other}")
             self._append("PUT", kind, doc)
             self._apply("PUT", kind, doc)
+            self._seq += 1
+            seq = self._seq
         if self.on_change is not None:
-            self.on_change(kind, doc, old)  # processChange(old) hook
+            self._fire_on_change(kind, doc, old, seq)  # processChange(old)
         return doc
 
     def delete(self, kind: str, obj_id: str) -> dict:
@@ -181,9 +191,27 @@ class MetadataStore:
                 raise MetadataError(404, f"{kind} {obj_id} not found")
             self._append("DELETE", kind, doc)
             self._apply("DELETE", kind, doc)
+            self._seq += 1
+            seq = self._seq
         if self.on_change is not None:
-            self.on_change(kind, None, doc)
+            self._fire_on_change(kind, None, doc, seq)
         return doc
+
+    def _fire_on_change(self, kind: str, new: dict | None,
+                        old: dict | None, seq: int) -> None:
+        """Invoke on_change with the lock-captured seq when the
+        callback accepts it; 3-arg callbacks (tests, simple consumers)
+        keep working without ordering protection."""
+        import inspect
+        try:
+            takes_seq = len(inspect.signature(
+                self.on_change).parameters) >= 4
+        except (TypeError, ValueError):
+            takes_seq = False
+        if takes_seq:
+            self.on_change(kind, new, old, seq)
+        else:
+            self.on_change(kind, new, old)
 
     # -- GET (GETApi.java:26-40; LHDatabaseClient.getByNameOrId) ------------
 

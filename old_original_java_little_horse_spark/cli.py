@@ -112,11 +112,18 @@ def _write_event(spark, events_dir: str, row: dict) -> None:
     finally:
         os.close(fd)
     os.replace(tmp, d / "part-00000.parquet")
-    dfd = os.open(d, os.O_RDONLY)
-    try:
-        os.fsync(dfd)
-    finally:
-        os.close(dfd)
+    # Two dirent fsyncs complete the durability chain (ADVICE r9):
+    # the cmd-* dir for the renamed part file's entry, and the PARENT
+    # events_dir for the cmd-* dir's own entry — without the second, a
+    # power loss can drop the whole freshly-created directory while a
+    # later-fsynced worker ledger "done" record survives, marking the
+    # attempt done though the engine never sees its events.
+    for p in (d, d.parent):
+        dfd = os.open(p, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
 
 
 def _snapshots(spark, snapshots_dir: str):

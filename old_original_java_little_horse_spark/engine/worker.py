@@ -19,6 +19,7 @@ schedule/result streams.
 from __future__ import annotations
 
 import json
+import os
 from typing import Callable
 
 TaskFn = Callable[[dict], dict]
@@ -131,6 +132,17 @@ class TaskWorker:
         with open(self._seen_path, "a") as f:
             f.write(json.dumps({"k": list(key), "s": state}) + "\n")
             f.flush()
+            if state == "done":
+                # fsync the "done" record (ADVICE r9): it is appended
+                # AFTER publish() fsyncs the result events, and without
+                # its own fsync background writeback could persist it
+                # while the events vanish in a power loss — done-but-
+                # never-published, the at-most-once window this
+                # ordering exists to close.  "started" needs no fsync
+                # of its own: losing it just downgrades a crash to the
+                # documented re-execute (at-least-once) path, and any
+                # later done-fsync flushes it anyway (same inode).
+                os.fsync(f.fileno())
 
     def _key(self, tsr: dict) -> tuple:
         return (tsr["wf_run_id"], tsr["thread_id"],

@@ -903,107 +903,159 @@ d_winnow_fingerprint_pairs.__doc__ = d_winnow_fingerprint_pairs.__doc__.format(
 
 _EDIT_PREFIX = 64   # compare the first 64 chars (normalized)
 _EDIT_MAX = 8       # keep pairs with distance <= 8
-_EDIT_BUCKET = 16   # length-bucket width for blocking
+_SEG_LEN = _EDIT_PREFIX // (_EDIT_MAX + 1)   # 9 segments of 7 chars
+_SEG_MAX_DF = 64                             # stop-segment cap
 
-_EDIT_ORACLE = f"""
+# d_edit_distance_pairs (length-bucket blocked exhaustive variant)
+# retired in round 10 (VERDICT r9 item 3): its (lang, length-bucket)
+# blocking key had FIXED cardinality, so candidate pairs grew
+# quadratically with the corpus — the full-registry decade probe
+# measured x58 wall for x10 data even after the r9 constant-factor
+# fixes.  Its contract is covered from both sides by the successors:
+# `d_edit_segment_pairs` (aligned-segment blocking, substitution-noise
+# family) and `d_edit_shift_pairs` below (shifted-substring PassJoin
+# matching, which ALSO catches the indel-heavy pairs the aligned
+# variant documents missing — strictly more recall than the retired
+# query, at data-cardinality-bounded candidate cost).
+
+_SHIFT_ORACLE = f"""
 WITH d AS (
   SELECT doc_id, lang,
          substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
-                1, {_EDIT_PREFIX}) AS p,
-         n_chars // {_EDIT_BUCKET} AS b
+                1, {_EDIT_PREFIX}) AS p
   FROM documents
+), segs AS (
+  SELECT doc_id, lang, i, substr(p, 1 + {_SEG_LEN} * i, {_SEG_LEN}) AS s, p
+  FROM d, range({_EDIT_MAX + 1}) t(i)
+  WHERE substr(p, 1 + {_SEG_LEN} * i, {_SEG_LEN}) <> ''
+), live AS (
+  SELECT * FROM (
+    SELECT *, count(*) OVER (PARTITION BY lang, i, s) AS df FROM segs)
+  WHERE df <= {_SEG_MAX_DF}
+), subs AS (
+  SELECT DISTINCT doc_id, lang, i,
+         substr(p, 1 + {_SEG_LEN} * i + dlt, {_SEG_LEN}) AS s, p
+  FROM d, range({_EDIT_MAX + 1}) t(i),
+       range(-{_EDIT_MAX}, {_EDIT_MAX + 1}) u(dlt)
+  WHERE dlt >= -least({_SEG_LEN} * i, {_EDIT_MAX})
+    AND substr(p, 1 + {_SEG_LEN} * i + dlt, {_SEG_LEN}) <> ''
 ), cand AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.p AS pa, b.p AS pb
-  FROM d a JOIN d b
-    ON a.lang = b.lang
-   AND abs(a.b - b.b) <= 1
-   AND a.doc_id < b.doc_id
+  SELECT DISTINCT
+    least(a.doc_id, b.doc_id) AS doc_a,
+    greatest(a.doc_id, b.doc_id) AS doc_b,
+    CASE WHEN a.doc_id < b.doc_id THEN a.p ELSE b.p END AS pa,
+    CASE WHEN a.doc_id < b.doc_id THEN b.p ELSE a.p END AS pb
+  FROM live a JOIN subs b
+    ON a.lang = b.lang AND a.i = b.i AND a.s = b.s
+   AND a.doc_id <> b.doc_id
 )
-SELECT doc_a, doc_b,
-       CAST(levenshtein(pa, pb) AS BIGINT) AS edit_dist
-FROM cand
-WHERE levenshtein(pa, pb) <= {_EDIT_MAX}
+SELECT doc_a, doc_b, CAST(levenshtein(pa, pb) AS BIGINT) AS edit_dist
+FROM cand WHERE levenshtein(pa, pb) <= {_EDIT_MAX}
 """
 
 
-@query("d_edit_distance_pairs", oracle=_EDIT_ORACLE)
-def d_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pairs by BOUNDED EDIT DISTANCE on a normalized
-    64-char prefix — the dedup family member that catches what
-    set-similarity cannot: OCR noise, single-typo variants, and small
-    in-place edits move Levenshtein by the edit count but can leave
-    shingle-set Jaccard high *or* low depending on where the edit
-    falls, so production dedup stacks run both (MinHash for block
-    moves, edit distance for character noise).
+@query("d_edit_shift_pairs", oracle=_SHIFT_ORACLE)
+def d_edit_shift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL pairs within bounded edit distance on the normalized
+    {pre}-char prefix, via shifted-substring PassJoin matching — the
+    round-10 swap-in that retires the quadratic length-bucket blocker
+    (ref semantics family: OCR noise / typo variants; see the retired
+    block comment above).
 
-    Blocking makes it scale: candidates must share a language and sit
-    within one {_EDIT_BUCKET}-char length bucket of each other
-    (|Δbucket| <= 1 — near-dups whose lengths differ by more than a
-    bucket width are not prefix-edit candidates).  The adjacency is
-    expressed as a pure EQUI-join: every doc emits band keys
-    {b, b+1}, two docs meet iff their buckets differ by at most 1 —
-    hash-partitionable, no nested-loop — and `levenshtein()` runs
-    JVM-side (whole-stage codegen, no Python).  Same-bucket pairs
-    meet in two bands, so the pair set is `distinct()`-ed (the
-    distance is deterministic per pair, so dedup is safe).  At 100 TB
-    the per-block pair count is (docs-per-block)², so block width is
-    the knob: shrink the bucket or add a second blocking key (prefix
-    hash) as density grows.
+    Pigeonhole, now with indels: partition pa into {segs} aligned
+    segments of {sl} chars; {k} edits touch at most {k} of them, so
+    at least one segment survives UNTOUCHED and appears in pb
+    verbatim, shifted by the net indel balance of the edits before it
+    — at most +{k} (insertions) and at least -min({sl}*i, {k})
+    (deletions cannot remove more characters than precede position
+    {sl}*i).  So the SEGMENT side emits each doc's {segs} aligned
+    segments, the SUBSTRING side emits each doc's substrings at every
+    admissible shift of every segment position (<= ~{segs}*(2*{k}+1)
+    per doc, `array_distinct`-ed per position), and an equi-join on
+    (lang, position, text) meets EVERY true pair — 100% recall
+    against an exhaustive bounded-levenshtein scan, with the single
+    documented exception that a pair whose every untouched segment is
+    stop-capped is dropped.
 
-    Spark's `levenshtein` and DuckDB's agree on codepoint semantics;
-    the threshold is applied on both sides, so the hash gate verifies
-    the distance values themselves.
+    The stop-segment cap (df <= {df} per (lang, i, s) aligned-posting
+    key, the winnowing MAX_DF precedent) is also what bounds the
+    work: per-key candidates are df_seg * df_sub <= {df} * df_sub,
+    so total candidates <= {df} * |substring postings| — LINEAR in
+    the corpus, against the retired blocker's quadratic growth.  Keys
+    are data-cardinality bounded (segment text space grows with the
+    corpus), so density never concentrates on a fixed key set.
 
-    **Scale break, measured (full-registry decade probe, r9): this
-    blocking's key has FIXED cardinality (lang × length bucket), so
-    block density — and the candidate count — grows QUADRATICALLY
-    with the corpus (300k pairs at sf0.1 → 30M at sf1, wall ×107 for
-    ×10 data; 30M candidates funneled to 29 true pairs).  Corpus-scale
-    deployments should use `d_edit_segment_pairs`: aligned-segment
-    (PassJoin-style) blocking with data-cardinality-bounded keys —
-    same distance contract, 29/29 of this query's sf1 pairs, ~100×
-    less candidate work.**  This query stays as the exhaustive
-    near-length variant (its |Δbucket| <= 1 contract also admits
-    indel-heavy variants segment alignment can miss).
-
-    Constant-factor fixes (r9): each unordered pair now meets exactly
-    ONCE — the smaller-id side emits bands {b-1, b, b+1}, the other
-    side its own bucket, so same-bucket pairs no longer match in two
-    bands and the output `distinct()` (a full extra shuffle of the
-    result) is gone; and `levenshtein` runs with Spark's THRESHOLD
-    variant (banded O(len·k) DP with early exit, -1 past the bound)
-    instead of the full O(len²) matrix, computed once in the
-    projection.
+    Compared to `d_edit_segment_pairs` (aligned x aligned): that
+    variant is the cheaper corpus-scale default for substitution
+    noise; this one additionally catches indel-heavy pairs (aligned
+    positions shift) and near-dups whose FULL lengths differ by more
+    than a length bucket — both documented misses of the retired
+    query or the aligned variant.  Plan: one exchange on the
+    (lang, i, s) key family for the df-cap window + equi-join,
+    `distinct()` on normalized pair ids, then one threshold-banded
+    JVM `levenshtein` per surviving candidate.  No Python anywhere.
     """
     d = load_table(spark, sf_dir, "documents")
     base = d.select(
         "doc_id", "lang",
         F.substring(normalized_text(F.col("text")), 1, _EDIT_PREFIX)
-        .alias("p"),
-        (F.col("n_chars") / _EDIT_BUCKET).cast("long").alias("b"))
-    banded = base.select(
+        .alias("p"))
+    segs = (base.select(
         "doc_id", "lang", "p",
-        F.explode(F.array(F.col("b") - 1, F.col("b"),
-                          F.col("b") + 1)).alias("band"))
-    return (banded.alias("a")
-            .join(base.alias("r"),
-                  (F.col("a.lang") == F.col("r.lang"))
-                  & (F.col("a.band") == F.col("r.b"))
-                  & (F.col("a.doc_id") < F.col("r.doc_id")))
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("r.doc_id").alias("doc_b"),
-                    F.levenshtein(F.col("a.p"), F.col("r.p"), _EDIT_MAX)
-                    .cast("long").alias("edit_dist"))
-            .where(F.col("edit_dist") >= 0))  # threshold form: -1 = above
+        F.posexplode(F.expr(
+            f"transform(sequence(0, {_EDIT_MAX}), "
+            f"i -> substring(p, 1 + {_SEG_LEN} * int(i), {_SEG_LEN}))"
+        )).alias("i", "s"))
+        .where(F.col("s") != ""))
+    live = (segs.withColumn(
+        "_df", F.count(F.lit(1)).over(Window.partitionBy("lang", "i", "s")))
+        .where(F.col("_df") <= _SEG_MAX_DF).drop("_df"))
+    # Substring side: admissible shifts dlt of each segment start,
+    # -min(SEG_LEN*i, k) <= dlt <= +k; duplicates within one position
+    # collapse JVM-side (array_distinct) before the explode.
+    subs = (base.select(
+        "doc_id", "lang", "p",
+        F.posexplode(F.expr(
+            f"transform(sequence(0, {_EDIT_MAX}), i -> array_distinct("
+            f"  filter(transform("
+            f"    sequence(-least({_SEG_LEN} * int(i), {_EDIT_MAX}),"
+            f"             {_EDIT_MAX}),"
+            f"    dlt -> substring(p, 1 + {_SEG_LEN} * int(i) + int(dlt),"
+            f"                     {_SEG_LEN})),"
+            f"  s -> s <> '')))"
+        )).alias("i", "arr"))
+        .select("doc_id", "lang", "p", "i",
+                F.explode("arr").alias("s")))
+    a_lt = F.col("a.doc_id") < F.col("b.doc_id")
+    cand = (live.alias("a")
+            .join(subs.alias("b"),
+                  (F.col("a.lang") == F.col("b.lang"))
+                  & (F.col("a.i") == F.col("b.i"))
+                  & (F.col("a.s") == F.col("b.s"))
+                  & (F.col("a.doc_id") != F.col("b.doc_id")))
+            .select(F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+                    F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+                    F.when(a_lt, F.col("a.p")).otherwise(F.col("b.p"))
+                    .alias("pa"),
+                    F.when(a_lt, F.col("b.p")).otherwise(F.col("a.p"))
+                    .alias("pb"))
+            .distinct())
+    return (cand.select(
+        "doc_a", "doc_b",
+        F.levenshtein(F.col("pa"), F.col("pb"), _EDIT_MAX)
+        .cast("long").alias("edit_dist"))
+        .where(F.col("edit_dist") >= 0))  # threshold form: -1 = above
+
+
+d_edit_shift_pairs.__doc__ = d_edit_shift_pairs.__doc__.format(
+    pre=_EDIT_PREFIX, segs=_EDIT_MAX + 1, sl=_SEG_LEN, k=_EDIT_MAX,
+    df=_SEG_MAX_DF)
 
 
 # --------------------------------------------------------------------------
 # Aligned-segment (PassJoin-style) edit-distance pairs — the
 # corpus-scale blocking for the same bounded-Levenshtein contract
 # --------------------------------------------------------------------------
-
-_SEG_LEN = _EDIT_PREFIX // (_EDIT_MAX + 1)   # 9 segments of 7 chars
-_SEG_MAX_DF = 64                             # stop-segment cap
 
 _SEG_ORACLE = f"""
 WITH d AS (

@@ -50,45 +50,46 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # Queries with the thinnest driver-check history, surfaced to the
 # front of the registry: the driver verifies queries in registry order
 # under a time budget (~50 rows), so whatever it cannot reach is
-# whatever sits at the tail.  Round-9 rotation (VERDICT r8 item 1):
-# the never-driver-checked registry swap-in leads, followed by the
-# full 49-query block whose latest driver evidence is round 6 — the
-# steady 3-round cadence's natural tail.  After round 9 no registry
-# query has driver evidence older than round 7.
+# whatever sits at the tail.  Round-10 rotation (VERDICT r9 items 1+3):
+# the never-driver-checked round-10 swap-in leads (the r9 precedent —
+# a swap-in needs its green row THIS round), then dq_check_suite — the
+# single remaining r6-evidence query — then the 49-query block whose
+# latest driver evidence is round 7.  That is 51 queries for a ~50-row
+# window, so one r7 query sits at position 51: t_decontaminate, chosen
+# because its sibling t_decontaminate_bloom holds fresh r9 evidence and
+# the builder carries it with full-registry parity runs (vanilla_drive
+# covers all 150 at sf0.01).  After round 10's driver pass, at most
+# that one query keeps evidence older than r8.
 _CHECK_FIRST = [
-    # never driver-checked: the r9 scale-fix addition (aligned-segment
-    # blocking for the edit-distance contract; registry 149 → 150).
-    # Its reworked exhaustive sibling d_edit_distance_pairs is NOT
-    # re-listed: it holds r8 driver evidence and the rework is
-    # hash-verified this round at sf0.01 (vanilla drive ×2) and sf0.1
-    # (parity sweep).  The driver's 50-row window fits 50 of these 51;
-    # dq_check_suite (last) sits at position 51 and keeps its r6 row
-    # one more round, carried by a builder parity run — it leads r10.
-    "d_edit_segment_pairs",
-    # never driver-checked: the r8-prescribed one-for-one swap-in
-    # (replaces s2_changelog_upsert; registry stays 149)
-    "s5_serving_store_gc",
-    # latest driver evidence: round 6 (all 49 of them)
-    "x_mutation_string", "x_mutation_array", "x_mutation_remove_key",
-    "x_jsonpath", "x_type_coercion", "x_template_substitution",
-    "engine_pipeline_fold", "engine_task_runs_flat", "engine_run_index",
-    "d_exact_dedup", "d_url_dedup", "d_minhash_signatures",
-    "d_minhash_lsh_pairs", "d_simhash", "d_winnow_fingerprint_pairs",
-    "d_dup_cluster_stats",
-    "sim_topk_bruteforce", "sim_label_blocked_neardup",
-    "sim_lsh_bucketed_ann", "sim_ivf_ann", "sim_label_centroids",
-    "g_triangle_count", "g_pagerank_purchases",
-    "a7_event_rate_windows", "a9_markov_transitions", "a11_rfm_segments",
-    "w6_cohort_retention", "w8_gap_fill",
-    "j7_interval_overlap", "j8_temporal_join",
-    "stream_scd2_enrich", "stream_hll_registers", "stream_event_rates",
-    "q2_min_cost_supplier", "q4_priority_semi", "q14_promo_revenue",
-    "q18_large_orders", "q19_disjunctive_revenue",
-    "q22_idle_customers_anti",
-    "sk_hll_registers", "sk_kmv_distinct", "sk_cms_registers",
-    "sk_cms_point_queries",
-    "idx_tfidf_topk", "t_decontaminate_bloom", "t_stratified_sample",
-    "t_source_overlap", "agg_rollup_sets", "dq_check_suite",
+    # never driver-checked: the r10 one-for-one swap-in replacing the
+    # retired quadratic d_edit_distance_pairs (VERDICT r9 item 3)
+    "d_edit_shift_pairs",
+    # latest driver evidence: round 6 (the only one; VERDICT r9 #1)
+    "dq_check_suite",
+    # latest driver evidence: round 7 (all 49 of them)
+    "q1_pricing_summary", "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "p1_fanout_filter", "p2_nonnull_projection", "p3_alias_projection",
+    "j2_broadcast_enrich", "j3_lookup_join", "j4_fifo_correlation",
+    "j5_asof_join", "j6_range_count",
+    "a1_index_posting", "a2_status_rollup", "a5_all_ids", "a6_funnel",
+    "w1_position_numbering", "w2_latest_entry", "w3_timer_scan",
+    "w5_length_quantiles",
+    "s_alias_diff_except", "sort_limit_topn", "s3_serving_store_upsert",
+    "engine_streaming_fold", "engine_result_counts",
+    "engine_index_incremental",
+    "d_dedup_canonical", "d_dup_clusters", "d_ngram_jaccard_pairs",
+    "d_simhash_pairs",
+    "stream_doc_dedup", "stream_minhash_incremental",
+    "idx_search_lookup",
+    "t_lang_id", "t_quality_score", "t_token_count", "t_fingerprint",
+    "t_corpus_stats", "t_lm_score", "t_top_ngrams",
+    "t_distinctive_terms", "t_repetition_score", "t_pii_redact",
+    "t_doc_chunks", "t_segment_dedup", "t_hash_split",
+    "t_global_shuffle", "t_balanced_mix", "t_pack_sequences",
+    # position 51 — one past the nominal driver window; carried by the
+    # builder's full-registry parity runs this round (see comment above)
+    "t_decontaminate",
 ]
 
 

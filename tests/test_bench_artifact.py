@@ -45,6 +45,55 @@ def test_summary_line_carries_replay_value():
     assert "queries" not in parsed
 
 
+def test_summary_line_carries_interleaved_ratio():
+    # VERDICT r9 item 2: the drift-proof verdict keys must survive in
+    # the compact summary — ratio over common queries plus both totals.
+    out = _base(replay_prev={"commit": "abc123def", "value": 52.49,
+                             "head_value_common": 45.11, "ratio": 0.859,
+                             "n_common": 62, "interleaved": True,
+                             "queries": {"q1": 1.0}})
+    line = bench.summary_line(out)
+    assert len(line) < 500
+    parsed = json.loads(line)
+    assert parsed["head_vs_replay_ratio"] == 0.859
+    assert parsed["head_value_common"] == 45.11
+    assert parsed["n_common"] == 62
+
+
+def test_per_query_ratio_line_fits_capture_window_with_summary():
+    # Worst realistic shape: every headline query present on both
+    # sides with 2-decimal ratios; the ratio line plus the final
+    # summary must fit the driver's ~2000-char stdout tail together.
+    names = bench.HEADLINE
+    head_q = {n: 1.234 for n in names}
+    replay_q = {n: 1.111 for n in names}
+    out = _base(queries=head_q,
+                replay_prev={"commit": "abc123def", "value": 68.9,
+                             "head_value_common": 76.5, "ratio": 1.11,
+                             "n_common": len(names), "queries": replay_q},
+                task_roundtrip_ms={"p50_ms": 1304.9, "p95_ms": 1543.2,
+                                   "runs": 20, "trigger_ms": 200})
+    line = bench.per_query_ratio_line(out)
+    assert line is not None
+    parsed = json.loads(line)
+    assert set(parsed["per_query_ratio"]) == set(names)
+    assert all(v == 1.11 for v in parsed["per_query_ratio"].values())
+    assert len(line) + len(bench.summary_line(out)) < 1990
+
+
+def test_per_query_ratio_line_skips_missing_and_zero_replay():
+    out = _base(queries={"q1": 1.0, "q2": 2.0, "q3": 3.0},
+                replay_prev={"queries": {"q1": 2.0, "q3": 0.0}})
+    parsed = json.loads(bench.per_query_ratio_line(out))
+    assert parsed["per_query_ratio"] == {"q1": 0.5}
+
+
+def test_per_query_ratio_line_none_without_replay():
+    assert bench.per_query_ratio_line(_base()) is None
+    assert bench.per_query_ratio_line(
+        _base(replay_prev={"error": "boom"})) is None
+
+
 def test_summary_line_replay_error_is_truncated():
     out = _base(replay_prev={"error": "x" * 1000})
     line = bench.summary_line(out)

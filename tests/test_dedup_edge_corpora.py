@@ -41,7 +41,7 @@ QUERIES = [
     "d_exact_dedup", "d_minhash_signatures", "d_minhash_lsh_pairs",
     "d_ngram_jaccard_pairs", "d_simhash", "d_simhash_pairs",
     "d_dup_clusters", "d_dedup_canonical",
-    "d_edit_distance_pairs", "d_edit_segment_pairs",
+    "d_edit_shift_pairs", "d_edit_segment_pairs",
     "t_lang_id", "t_quality_score", "t_token_count", "t_fingerprint",
     "t_corpus_stats",
 ]

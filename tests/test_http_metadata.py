@@ -107,6 +107,65 @@ def test_metadata_store_lifecycle_and_replay():
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_on_change_seq_reaches_4arg_callbacks_only():
+    """The store passes its lock-captured mutation seq to callbacks
+    that accept it (strictly increasing across post AND delete) and
+    keeps calling legacy 3-arg callbacks without it."""
+    d = tempfile.mkdtemp(prefix="meta-seq-")
+    try:
+        got4, got3 = [], []
+        store = MetadataStore(d)
+        store.on_change = lambda kind, new, old, seq: got4.append(seq)
+        store.post("taskDef", {"name": "a"})
+        store.post("taskDef", {"name": "b"})
+        store.delete("taskDef", "a")
+        assert got4 == sorted(got4) and len(set(got4)) == 3
+        store.on_change = lambda kind, new, old: got3.append(kind)
+        store.post("taskDef", {"name": "c"})
+        assert got3 == ["taskDef"]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_meta_change_drops_stale_out_of_order_event():
+    """ADVICE r9: on_change fires outside the store lock, so two
+    concurrent re-POSTs of one wfSpec name can reach _meta_change in
+    the opposite order from the changelog.  The seq gate must apply
+    the newer event and DROP the stale one — never leave the engine
+    serving the older spec while metadata holds the newer."""
+    class FakeEngines:
+        def __init__(self):
+            self.deploys, self.undeploys = [], []
+
+        def deploy(self, spec):
+            self.deploys.append(spec["id"])
+
+        def deploy_many(self, specs):
+            return [self.deploy(s) for s in specs]
+
+        def undeploy(self, name, purge=False):
+            self.undeploys.append(name)
+
+        def get(self, name):
+            return None
+
+    eng = FakeEngines()
+    api = LittleHorseAPI(None, engines=eng)
+    v1 = dict(_greet_spec(), id="greeter-v1")
+    v2 = dict(_greet_spec(), id="greeter-v2")
+    # changelog order: v1 (seq 1) then v2 (seq 2); delivery inverted
+    api._meta_change("wfSpec", v2, v1, seq=2)
+    api._meta_change("wfSpec", v1, None, seq=1)   # stale — must drop
+    assert eng.deploys == ["greeter-v2"]
+    # a genuinely newer event for the same name still applies
+    v3 = dict(_greet_spec(), id="greeter-v3")
+    api._meta_change("wfSpec", v3, v2, seq=3)
+    assert eng.deploys == ["greeter-v2", "greeter-v3"]
+    # seq-less calls (legacy/direct) bypass the gate unchanged
+    api._meta_change("wfSpec", v1, None)
+    assert eng.deploys[-1] == "greeter-v1"
+
+
 def _greet_task(subs: dict) -> dict:
     """Worker-contract executor (fn(subs) -> result) for `cli work`."""
     return {"stdout": f"hi {subs['name']}", "success": True, "returncode": 0}

@@ -65,7 +65,7 @@ def _bulk_produce(events_dir: str, spec_name: str, n: int,
 
 
 def probe(spark, n: int, trigger_seconds: float = 0.5,
-          state_partitions: int = 8) -> dict:
+          state_partitions: int = 8, use_tws: bool = False) -> dict:
     from old_original_java_little_horse_spark.harness.cases import all_cases
     from old_original_java_little_horse_spark.harness.executor import execute
     from old_original_java_little_horse_spark.sinks.serving import (
@@ -85,7 +85,8 @@ def probe(spark, n: int, trigger_seconds: float = 0.5,
         serving_dirs={spec["name"]: serving_dir},
         executor=execute,
         trigger_seconds=trigger_seconds,
-        state_partitions=state_partitions)
+        state_partitions=state_partitions,
+        use_tws=use_tws)
     try:
         # Warm up (codegen + Python workers + batch-0 schema stamp)
         # with one throwaway run, then barrier on it: the barrier
@@ -102,7 +103,10 @@ def probe(spark, n: int, trigger_seconds: float = 0.5,
                        if r["wf_run_id"].startswith("run-"))
             if done >= n:
                 break
-            time.sleep(0.05)
+            # the paged serving read scans ~n rows per poll; at 50k
+            # keys a 50 ms cadence would spend more time polling than
+            # folding, so back the poll off with n
+            time.sleep(0.05 if n <= 5000 else 0.5)
         else:
             raise TimeoutError(f"only {done}/{n} runs completed")
         wall = time.perf_counter() - t0
@@ -149,19 +153,28 @@ def probe(spark, n: int, trigger_seconds: float = 0.5,
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--ns", type=int, nargs="+", default=[100, 1000])
+    ap.add_argument("--cells", type=int, nargs="*", default=[],
+                    help="extra state_partitions cells probed at the "
+                         "largest N (the sizing-table knob sweep)")
+    ap.add_argument("--tws", action="store_true",
+                    help="probe the transformWithStateInPandas engine")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
     from old_original_java_little_horse_spark.session import get_spark
 
     spark = get_spark("engine-scale-probe")
-    steps = []
-    for n in args.ns:
-        r = probe(spark, n)
-        print(f"  N={n}: wall {r['wall_s']}s, {r['fold_ev_per_s']} ev/s, "
+
+    def run_one(n: int, parts: int = 8) -> dict:
+        r = probe(spark, n, state_partitions=parts, use_tws=args.tws)
+        print(f"  N={n} parts={parts}: wall {r['wall_s']}s, "
+              f"{r['fold_ev_per_s']} ev/s, "
               f"batch med/max {r['batch_s_median']}/{r['batch_s_max']}s, "
               f"barrier p50 {r['barrier_ms_p50']}ms", file=sys.stderr)
-        steps.append(r)
+        return r
+
+    steps = [run_one(n) for n in args.ns]
+    cells = [run_one(args.ns[-1], parts) for parts in args.cells]
 
     print("\n| N runs | wall (s) | fold ev/s | batch median (s) "
           "| batch max (s) | barrier p50 (ms) |")
@@ -170,7 +183,10 @@ def main() -> None:
         print(f"| {r['n_runs']} | {r['wall_s']} | {r['fold_ev_per_s']} "
               f"| {r['batch_s_median']} | {r['batch_s_max']} "
               f"| {r['barrier_ms_p50']} |")
-    out = {"metric": "engine_scale_probe", "steps": steps}
+    out = {"metric": "engine_scale_probe", "steps": steps,
+           "engine": "tws" if args.tws else "applyInPandasWithState"}
+    if cells:
+        out[f"state_partition_cells_n{args.ns[-1]}"] = cells
     if len(steps) >= 2 and steps[0]["batch_s_max"] and steps[-1]["batch_s_max"]:
         ratio = steps[-1]["batch_s_max"] / steps[0]["batch_s_max"]
         nratio = steps[-1]["n_runs"] / steps[0]["n_runs"]
