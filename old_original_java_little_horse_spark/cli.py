@@ -44,6 +44,17 @@ def _spark():
     return get_spark("lhctl-spark")
 
 
+def _use_tws(args) -> bool:
+    """Engine selection for process/serve/test: tws
+    (transformWithStateInPandas) is the promoted default runtime;
+    `--engine pandas-state` opts into the applyInPandasWithState twin
+    (the fallback for Spark builds without tws/protobuf), and the
+    pre-promotion `--tws` flag survives as a forcing alias."""
+    if getattr(args, "tws", False):
+        return True
+    return getattr(args, "engine", "tws") != "pandas-state"
+
+
 def _api_call(api: str, method: str, path: str, body=None):
     """Minimal LHClient: JSON in/out against a `serve`d API."""
     import urllib.error
@@ -393,7 +404,7 @@ def cmd_process(args) -> int:
         checkpoint_dir=args.checkpoint_dir,
         output_dir=args.snapshots_dir,
         executor=executor,
-        use_tws=bool(getattr(args, "tws", False)),
+        use_tws=_use_tws(args),
     )
     import pyspark.sql.functions as F
 
@@ -579,7 +590,7 @@ def cmd_serve(args) -> int:
     base = Path(args.base_dir)
     mgr = SparkEngineManager(spark, str(base / "engines"), executor=executor,
                              shared=bool(getattr(args, "shared", False)),
-                             use_tws=bool(getattr(args, "tws", False)))
+                             use_tws=_use_tws(args))
     api = LittleHorseAPI(spark, metadata=MetadataStore(str(base / "meta")),
                          engines=mgr)
     srv = LittleHorseHTTPServer(api, host=args.host, port=args.port).start()
@@ -635,7 +646,7 @@ def cmd_test(args) -> int:
 
     spark = _spark()
     workdir = Path(tempfile.mkdtemp(prefix="lh-harness-"))
-    use_tws = bool(getattr(args, "tws", False))
+    use_tws = _use_tws(args)
     mgr = SparkEngineManager(spark, str(workdir / "engines"),
                              executor=execute, trigger_seconds=0.2,
                              use_tws=use_tws)
@@ -735,9 +746,12 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--snapshots-dir", required=True)
     pr.add_argument("--checkpoint-dir", required=True)
     pr.add_argument("--executor", help="module.path:function for inline tasks")
-    pr.add_argument("--tws", action="store_true",
-                    help="use the transformWithStateInPandas engine "
-                         "(needs protobuf)")
+    pr.add_argument("--engine", choices=["tws", "pandas-state"],
+                    default="tws",
+                    help="state engine: tws (default, transformWith"
+                         "StateInPandas) or the applyInPandasWithState "
+                         "twin")
+    pr.add_argument("--tws", action="store_true", help=argparse.SUPPRESS)
     pr.set_defaults(fn=cmd_process)
 
     wk = sub.add_parser("work", help="standalone per-TaskDef worker "
@@ -763,9 +777,11 @@ def main(argv: list[str] | None = None) -> int:
     sv.add_argument("--shared", action="store_true",
                     help="one shared engine for all specs (one checkpoint/"
                          "state store; per-spec serving stores)")
-    sv.add_argument("--tws", action="store_true",
-                    help="run spec engines on the transformWithState"
-                         "InPandas runtime (needs protobuf)")
+    sv.add_argument("--engine", choices=["tws", "pandas-state"],
+                    default="tws",
+                    help="state engine for spec deployments (tws is "
+                         "the promoted default)")
+    sv.add_argument("--tws", action="store_true", help=argparse.SUPPRESS)
     sv.add_argument("--smoke", action="store_true", help=argparse.SUPPRESS)
     sv.set_defaults(fn=cmd_serve)
 
@@ -777,9 +793,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="runs per case launch")
     ts.add_argument("--api", help="drive an already-running API "
                                   "(default: boot an embedded one)")
-    ts.add_argument("--tws", action="store_true",
-                    help="run the embedded server's engines on the "
-                         "transformWithStateInPandas runtime")
+    ts.add_argument("--engine", choices=["tws", "pandas-state"],
+                    default="tws",
+                    help="state engine for the embedded server (tws is "
+                         "the promoted default)")
+    ts.add_argument("--tws", action="store_true", help=argparse.SUPPRESS)
     ts.set_defaults(fn=cmd_test)
 
     args = p.parse_args(argv)

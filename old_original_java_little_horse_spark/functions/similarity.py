@@ -391,6 +391,74 @@ def sim_lsh_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 query("sim_label_blocked_neardup", oracle=_label_lsh_oracle())(sim_label_blocked_neardup)
 
 
+NEARDUP_TOPK = 5  # partners kept per vector in the capped variant
+
+
+def _neardup_topk_oracle() -> str:
+    # Wrap the exhaustive pair oracle as a derived table (DuckDB
+    # accepts a parenthesized WITH-SELECT there), direct each pair
+    # both ways, rank per vector.  cosine ships as e4 fixed-point
+    # BIGINT — the repo-wide output-type contract bans new DOUBLE
+    # columns (oracle_compare.SPARK_ALLOWED_DTYPES), and the integer
+    # doubles as the deterministic rank key.
+    return f"""
+SELECT vec_id, partner_id, label, rnk, cosine_e4
+FROM (
+  SELECT d.*, ROW_NUMBER() OVER (
+           PARTITION BY vec_id
+           ORDER BY cosine_e4 DESC, partner_id) AS rnk
+  FROM (
+    SELECT vec_a AS vec_id, vec_b AS partner_id, label,
+           CAST(ROUND(cosine * 10000) AS BIGINT) AS cosine_e4
+    FROM ({_label_lsh_oracle()}) base
+    UNION ALL
+    SELECT vec_b, vec_a, label,
+           CAST(ROUND(cosine * 10000) AS BIGINT)
+    FROM ({_label_lsh_oracle()}) base2
+  ) d
+) r
+WHERE rnk <= {NEARDUP_TOPK}
+"""
+
+
+@query("sim_neardup_topk", oracle=_neardup_topk_oracle())
+def sim_neardup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector TOP-K near-duplicate partners — the linear-output
+    companion to `sim_label_blocked_neardup` (VERDICT r9 item 7).
+
+    The exhaustive pair query ENUMERATES every qualifying pair, and on
+    clustered data that output is inherently quadratic per dense
+    neighborhood (measured x100 pairs for x10 vectors at the sf0.1→sf1
+    decade).  This variant keeps the exact same candidate rule and
+    verification contract (the oracle embeds the same hyperplane
+    tables and cosine >= 0.3 gate) but directs each surviving pair
+    both ways and keeps only each vector's NEARDUP_TOPK strongest
+    partners — output bounded at K*N rows no matter how dense the
+    corpus, which is what every downstream consumer (canonical
+    selection, near-dup review queues, link tables) actually reads.
+    Candidate generation still does the LSH algorithm's work; what the
+    cap removes is the quadratic RESULT set and everything shuffled
+    after it.  The similarity ships as `cosine_e4` fixed-point BIGINT
+    (the repo-wide output-type contract bans new DOUBLE columns), and
+    that integer is also the rank key — ties break on partner id, so
+    the ordering is bit-deterministic on both engines.
+    """
+    pairs = sim_label_blocked_neardup(spark, sf_dir)
+    e4 = F.round(F.col("cosine") * 10000).cast("long").alias("cosine_e4")
+    directed = pairs.select(
+        F.col("vec_a").alias("vec_id"), F.col("vec_b").alias("partner_id"),
+        "label", e4,
+    ).unionByName(pairs.select(
+        F.col("vec_b").alias("vec_id"), F.col("vec_a").alias("partner_id"),
+        "label", e4))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine_e4").desc(), F.col("partner_id"))
+    return (directed
+            .withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= NEARDUP_TOPK)
+            .select("vec_id", "partner_id", "label", "rnk", "cosine_e4"))
+
+
 # --------------------------------------------------------------------------
 # IVF ANN — the other classic scale path: coarse-quantize the corpus into
 # cells (inverted file), probe only the query's nearest cells.

@@ -363,17 +363,23 @@ def test_http_metadata_deploy_run_query(spark):
         shutil.rmtree(workdir, ignore_errors=True)
 
 
-def test_server_restart_recovers_specs_and_runs(spark):
+@pytest.mark.parametrize("use_tws", [False, True],
+                         ids=["pandas-state", "tws"])
+def test_server_restart_recovers_specs_and_runs(spark, use_tws):
     """Process restart: a fresh MetadataStore replays the changelog, the
     API redeploys every stored WFSpec (checkpoints + serving stores
     resume), old runs stay GETtable, and new runs fold — the reference's
-    restart-topologies-from-store behavior."""
+    restart-topologies-from-store behavior.  Runs on BOTH engines: the
+    tws leg is the restart/recovery half of its promotion soak
+    (VERDICT r9 item 4) — the resumed checkpoint must replay RocksDB
+    state, native timers, and the changelog identically."""
     workdir = Path(tempfile.mkdtemp(prefix="http-restart-"))
     try:
         # -- process 1: deploy + run ----------------------------------
         store = MetadataStore(str(workdir / "meta"))
         mgr = SparkEngineManager(spark, str(workdir / "engines"),
-                                 executor=_executor, trigger_seconds=0.2)
+                                 executor=_executor, trigger_seconds=0.2,
+                                 use_tws=use_tws, state_partitions=4)
         api = LittleHorseAPI(spark, metadata=store, engines=mgr)
         srv = LittleHorseHTTPServer(api).start()
         try:
@@ -393,7 +399,8 @@ def test_server_restart_recovers_specs_and_runs(spark):
         # -- process 2: same dirs, fresh objects ----------------------
         store2 = MetadataStore(str(workdir / "meta"))
         mgr2 = SparkEngineManager(spark, str(workdir / "engines"),
-                                  executor=_executor, trigger_seconds=0.2)
+                                  executor=_executor, trigger_seconds=0.2,
+                                  use_tws=use_tws, state_partitions=4)
         api2 = LittleHorseAPI(spark, metadata=store2, engines=mgr2)
         srv2 = LittleHorseHTTPServer(api2).start()
         try:
