@@ -202,29 +202,48 @@ FROM g
 def t_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-trigram fraction per document (exact-integer ppm) —
     the cheap boilerplate/template/spam signal a quality filter
-    thresholds on.  Word- and trigram-level distinct counts in one
-    per-row projection: array expressions only, no shuffle at all —
-    at 100 TB this is a single codegen'd scan, and the (interpreted)
-    higher-order transform is per-document, bounded by doc length,
-    not corpus size."""
+    thresholds on.  Array expressions only, no shuffle at all — at
+    100 TB this is a single scan whose per-document cost is bounded
+    by doc length, not corpus size.
+
+    Evaluation shape matters here because the trigram `transform` is
+    a higher-order function: it forces the projection off whole-stage
+    codegen onto the interpreted path, which does NO common-
+    subexpression elimination — the r9 formulation re-evaluated the
+    split inside every reference and the trigram array twice, and the
+    r10 decade probe clocked it at 115 s/sf1, the most expensive row
+    in the registry.  Three fixes, same results: the projection is
+    LAYERED so each non-cheap alias (`w`, then `tri`) is produced
+    once per row (CollapseProject keeps multi-referenced non-cheap
+    aliases in their own projection), `n_trigrams` comes from
+    arithmetic (n_words - 2, floored at 0) instead of materializing
+    the array a second time, and the trigram strings build by
+    zip_with over three array slices (three O(n) passes) rather than
+    an indexed transform of per-element `slice()` gathers."""
     d = load_table(spark, sf_dir, "documents")
-    w = normalized_text(F.col("text"))
-    words = F.split(w, " ")
+    words = F.split(normalized_text(F.col("text")), " ")
+    s1 = d.select("doc_id", words.alias("w"))
     tri = F.when(
-        F.size(words) >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - 2),
-            lambda i: F.concat_ws(" ", F.slice(words, i, 3)),
-        ),
+        F.size("w") >= 3,
+        F.zip_with(
+            F.zip_with(F.slice("w", 1, F.size("w") - 2),
+                       F.expr("slice(w, 2, size(w) - 2)"),
+                       lambda x, y: F.concat_ws(" ", x, y)),
+            F.expr("slice(w, 3, size(w) - 2)"),
+            lambda xy, z: F.concat_ws(" ", xy, z)),
     ).otherwise(F.array().cast("array<string>"))
-    g = d.select(
+    s2 = s1.select(
         "doc_id",
-        F.size(words).cast("long").alias("n_words"),
-        F.size(F.array_distinct(words)).cast("long").alias("nd_words"),
-        F.size(tri).cast("long").alias("n_trigrams"),
-        F.size(F.array_distinct(tri)).cast("long").alias("nd_trigrams"),
+        F.size("w").cast("long").alias("n_words"),
+        F.size(F.array_distinct("w")).cast("long").alias("nd_words"),
+        tri.alias("tri"),
     )
-    return g.withColumn(
+    return s2.select(
+        "doc_id", "n_words", "nd_words",
+        F.greatest(F.col("n_words") - 2, F.lit(0).cast("long"))
+        .alias("n_trigrams"),
+        F.size(F.array_distinct("tri")).cast("long").alias("nd_trigrams"),
+    ).withColumn(
         "rep_x1m",
         F.when(F.col("n_trigrams") == 0, F.lit(0).cast("long"))
          .otherwise(F.expr(

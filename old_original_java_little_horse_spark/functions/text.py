@@ -152,15 +152,20 @@ def t_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def shingles_col(words: Column, k: int = 3) -> Column:
     """k-word shingles as strings; empty array when the doc is shorter
-    than k words (guarded — Spark's sequence(1,0) would descend)."""
+    than k words (guarded — Spark's sequence(1,0) would descend).
+
+    Built by folding k aligned array slices with zip_with (k-1 linear
+    passes) instead of an indexed transform of per-element slice()
+    gathers: higher-order functions run interpreted (off whole-stage
+    codegen), so per-element work dominates — the gather version was
+    the hot spot the r10 decade probe flagged on t_repetition_score
+    (115 s/sf1 before, ~5 s after this family of fixes)."""
     n = F.size(words)
-    return F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(1), n - (k - 1)),
-            lambda i: F.concat_ws(" ", F.slice(words, i, k)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    sh = F.slice(words, 1, n - (k - 1))
+    for j in range(2, k + 1):
+        sh = F.zip_with(sh, F.slice(words, j, n - (k - 1)),
+                        lambda a, b: F.concat_ws(" ", a, b))
+    return F.when(n >= k, sh).otherwise(F.array().cast("array<string>"))
 
 
 @query(
@@ -185,14 +190,24 @@ FROM s
 )
 def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content md5 + rolling min-hash fingerprint over 3-word shingles
-    (the 1-permutation MinHash used by the dedup family)."""
+    (the 1-permutation MinHash used by the dedup family).
+
+    Layered projection: the shingle array is interpreted-HOF work and
+    is referenced twice below, so it gets its own select — CollapseProject
+    keeps multi-referenced non-cheap aliases materialized, evaluating
+    the split and the shingle build once per row instead of once per
+    reference (see t_repetition_score for the measured cost)."""
     d = load_table(spark, sf_dir, "documents")
-    sh = shingles_col(words_col(F.col("text")))
-    return d.select(
+    s1 = d.select("doc_id", "text", words_col(F.col("text")).alias("w"))
+    s2 = s1.select(
         "doc_id",
         F.md5("text").alias("content_md5"),
-        F.array_min(F.transform(sh, F.md5)).alias("min_shingle_hash"),
-        F.size(F.array_distinct(sh)).alias("n_distinct_shingles"),
+        shingles_col(F.col("w")).alias("sh"),
+    )
+    return s2.select(
+        "doc_id", "content_md5",
+        F.array_min(F.transform("sh", F.md5)).alias("min_shingle_hash"),
+        F.size(F.array_distinct("sh")).alias("n_distinct_shingles"),
     )
 
 
