@@ -157,11 +157,19 @@ def main() -> None:
             pass  # a query that only works at larger SF still times below
     peer.wait_warm()
 
-    def time_head(name: str) -> float:
-        t0 = time.perf_counter()
-        df = specs[name].fn(spark, sf_dir)
-        df.collect() if name == "q1_pricing_summary" else df.count()
-        return time.perf_counter() - t0
+    head_errors: dict[str, str] = {}
+
+    def time_head(name: str) -> float | None:
+        """One timed HEAD execution; None on failure — a single broken
+        query must cost its own row, never the whole artifact."""
+        try:
+            t0 = time.perf_counter()
+            df = specs[name].fn(spark, sf_dir)
+            df.collect() if name == "q1_pricing_summary" else df.count()
+            return time.perf_counter() - t0
+        except Exception as e:  # noqa: BLE001
+            head_errors.setdefault(name, f"{type(e).__name__}: {e}"[:200])
+            return None
 
     # Interleaved timed passes: within every (pass, query) cell HEAD
     # and the replay peer run back-to-back, with the order alternating
@@ -172,15 +180,17 @@ def main() -> None:
     for pass_no in range(N_TIMED_RUNS):
         for name in names:
             if pass_no % 2 == 0:
-                samples[name].append(time_head(name))
+                h = time_head(name)
                 r = peer.time_query(name)
             else:
                 r = peer.time_query(name)
-                samples[name].append(time_head(name))
+                h = time_head(name)
+            if h is not None:
+                samples[name].append(h)
             if r is not None:
                 replay_samples[name].append(r)
     timings = {name: round(sorted(runs)[len(runs) // 2], 3)
-               for name, runs in samples.items()}
+               for name, runs in samples.items() if runs}
     total = round(sum(timings.values()), 3)
     replay = peer.finish(replay_samples, timings)
     # From here on, NOTHING may prevent the JSON line: a dying JVM
@@ -200,6 +210,8 @@ def main() -> None:
         "engine_fold_events_per_sec": fold_eps,
         "task_roundtrip_ms": roundtrip,
     }
+    if head_errors:
+        out["head_errors"] = head_errors
     if replay is not None:
         out["replay_prev"] = replay
     try:  # full artifact to disk too — immune to stdout tail capture
