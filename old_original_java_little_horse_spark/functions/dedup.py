@@ -393,23 +393,53 @@ FROM t
 def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash: bit i is the majority of md5(token) hex nibble
     i's top bit across tokens.  Near-dups differ in few bits; bucket
-    by signature (or by bit-bands) for candidate generation."""
+    by signature (or by bit-bands) for candidate generation.
+
+    Same execution shape as `simhash64_sigs` below (see its docstring
+    for the measurements): explode(tokens) → ONE md5 per token →
+    decode the first 16 hex chars into two ints → 16 bit indicators
+    packed into 32-bit lanes of 8 longs → one partial-aggregated
+    groupBy — everything whole-stage codegen.  The r9 form was the
+    `transform(sequence(1,16), i -> filter(split(...)))` array
+    expression that the 64-bit variant's notes call out as ~25×
+    slower: interpreted, re-splitting the text and re-hashing every
+    token PER BIT (the r10 decade probe clocked it at 36.8 s/sf1,
+    map-only; this form reads ~3 s).  32-bit lanes mean no token-
+    count cap is needed (overflow would take 2^32 tokens per doc),
+    so unlike the 64-bit signature no doc is excluded — matching
+    this query's oracle, which has no length guard."""
     d = load_table(spark, sf_dir, "documents")
-    # SQL-expression form: the band index `i` feeds substring's position
-    # argument, which the Python F.substring signature can't take as a
-    # lambda variable — the expr is still pure Catalyst (codegen'd).
-    sim = F.expr(
-        """
-        array_join(
-          transform(sequence(1, 16),
-            i -> CASE WHEN 2 * size(filter(split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' '),
-                           x -> instr('89abcdef', substring(md5(x), i, 1)) > 0))
-                      > size(split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' '))
-                 THEN '1' ELSE '0' END),
-          '')
-        """
-    )
-    return d.select("doc_id", sim.alias("simhash16"))
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(normalized_text(F.col("text")), " ")).alias("tok"))
+    hashed = toks.select("doc_id", F.md5("tok").alias("hh"))
+    ints = hashed.select(
+        "doc_id",
+        F.conv(F.substring("hh", 1, 8), 16, 10).cast("long").alias("c0"),
+        F.conv(F.substring("hh", 9, 8), 16, 10).cast("long").alias("c1"))
+
+    def _bit(i: int):
+        # 1-based hex char i of the digest; its nibble's top bit.
+        chunk, k = ("c0", i - 1) if i <= 8 else ("c1", i - 9)
+        return (F.shiftright(F.col(chunk), 4 * (7 - k) + 3)
+                .bitwiseAND(F.lit(1)))
+
+    packed_cols = []
+    for blk in range(8):
+        packed = (_bit(2 * blk + 1).cast("long")
+                  + F.shiftleft(_bit(2 * blk + 2).cast("long"), 32))
+        packed_cols.append(packed.alias(f"pk{blk}"))
+    counts = (ints.select("doc_id", *packed_cols)
+              .groupBy("doc_id")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   *[F.sum(f"pk{b}").alias(f"p{b}") for b in range(8)]))
+    chars = []
+    for i in range(1, 17):
+        blk, lane = (i - 1) // 2, (i - 1) % 2
+        cnt = (F.shiftrightunsigned(F.col(f"p{blk}"), 32 * lane)
+               .bitwiseAND(F.lit(0xFFFFFFFF)))
+        chars.append(F.when(2 * cnt > F.col("n"), "1").otherwise("0"))
+    return counts.select("doc_id", F.concat(*chars).alias("simhash16"))
 
 
 # --------------------------------------------------------------------------
