@@ -18,6 +18,7 @@ the process-isolated variant; here tasks run inline in the fold like
 
 from __future__ import annotations
 
+import json
 import shutil
 import threading
 from dataclasses import dataclass
@@ -110,6 +111,36 @@ class SparkEngineManager:
         # deploy/undeploy call _shared_restart internally.
         self._lock = threading.RLock()
 
+    def _pin_engine(self, root: Path) -> bool:
+        """Resolve which engine runs THIS deployment, pinned to
+        whatever created its checkpoint: a Structured Streaming
+        checkpoint cannot be resumed by the other engine (different
+        stateful operator AND state-store provider — Spark rejects
+        the mismatch), so the manager default applies to FRESH
+        deployments only.  The decision is durable in an
+        `engine.json` marker beside the checkpoint.  A checkpoint
+        with no marker predates the r10 default flip, when
+        applyInPandasWithState was the only engine that ever
+        deployed — exactly the upgrade case the pin exists for."""
+        marker = root / "engine.json"
+        if marker.exists():
+            try:
+                return json.loads(marker.read_text()).get("engine") == "tws"
+            except Exception:
+                pass  # unreadable marker: fall through to detection
+        offsets = root / "ckpt" / "offsets"
+        if offsets.is_dir() and any(offsets.iterdir()):
+            use_tws = False  # pre-marker checkpoint == pandas-state era
+        else:
+            use_tws = self.use_tws  # fresh deployment: manager default
+        root.mkdir(parents=True, exist_ok=True)
+        try:
+            marker.write_text(json.dumps(
+                {"engine": "tws" if use_tws else "pandas-state"}))
+        except OSError:
+            pass  # unpinnable (read-only fs): re-detected next boot
+        return use_tws
+
     # -- shared-mode plumbing ------------------------------------------------
 
     def _shared_restart(self) -> None:
@@ -134,7 +165,7 @@ class SparkEngineManager:
             serving_dirs=serving_dirs,
             executor=self.executor,
             trigger_seconds=self.trigger_seconds,
-            use_tws=self.use_tws,
+            use_tws=self._pin_engine(root),
             state_partitions=self.state_partitions,
         )
         for name, spec in self._specs.items():
@@ -178,7 +209,7 @@ class SparkEngineManager:
                     serving_dir=str(root / "serving"),
                     executor=self.executor,
                     trigger_seconds=self.trigger_seconds,
-                    use_tws=self.use_tws,
+                    use_tws=self._pin_engine(root),
                     state_partitions=self.state_partitions,
                 ),
             )

@@ -424,6 +424,67 @@ def test_server_restart_recovers_specs_and_runs(spark, use_tws):
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+def test_restart_pins_pre_promotion_checkpoint_to_pandas_state(spark):
+    """Upgrade path for the r10 tws default flip: a deployment whose
+    checkpoint was created by the applyInPandasWithState engine BEFORE
+    the engine marker existed (no engine.json) must be resumed on
+    pandas-state, not the new tws default — a checkpoint cannot be
+    resumed by the other engine (different stateful operator and
+    state-store provider).  Fresh deployments take the default and
+    stamp the marker."""
+    import json as _json
+
+    workdir = Path(tempfile.mkdtemp(prefix="http-upgrade-"))
+    try:
+        # -- "old release": explicit pandas-state deployment ----------
+        store = MetadataStore(str(workdir / "meta"))
+        mgr = SparkEngineManager(spark, str(workdir / "engines"),
+                                 executor=_executor, trigger_seconds=0.2,
+                                 use_tws=False, state_partitions=4)
+        api = LittleHorseAPI(spark, metadata=store, engines=mgr)
+        srv = LittleHorseHTTPServer(api).start()
+        try:
+            _req(srv.port, "POST", "/taskDef", {"name": "greet"})
+            st, _ = _req(srv.port, "POST", "/wfSpec", _greet_spec())
+            assert st == 201
+            st, r1 = _req(srv.port, "POST", "/wfrun",
+                          {"wf_spec_name": "greeter",
+                           "variables": {"who": "lin"}})
+            assert st == 201
+        finally:
+            srv.stop()
+            mgr.stop_all()
+        marker = workdir / "engines" / "greeter" / "engine.json"
+        assert _json.loads(marker.read_text())["engine"] == "pandas-state"
+        marker.unlink()  # simulate a pre-marker (pre-r10) deployment
+
+        # -- "new release": manager default is tws --------------------
+        store2 = MetadataStore(str(workdir / "meta"))
+        mgr2 = SparkEngineManager(spark, str(workdir / "engines"),
+                                  executor=_executor, trigger_seconds=0.2,
+                                  state_partitions=4)
+        assert mgr2.use_tws  # the promoted default
+        api2 = LittleHorseAPI(spark, metadata=store2, engines=mgr2)
+        srv2 = LittleHorseHTTPServer(api2).start()
+        try:
+            # pinned back to the checkpoint's engine, durably
+            assert _json.loads(marker.read_text())["engine"] == "pandas-state"
+            st, doc = _req(srv2.port, "GET", f"/wfrun/{r1['id']}")
+            assert st == 200 and doc["status"] == "COMPLETED"
+            st, r2 = _req(srv2.port, "POST", "/wfrun",
+                          {"wf_spec_name": "greeter",
+                           "variables": {"who": "rey"}})
+            assert st == 201
+            st, task0 = _req(srv2.port, "GET",
+                             f"/wfrun/{r2['id']}/taskRun/0/0")
+            assert st == 200 and task0["stdout"] == "hi rey"
+        finally:
+            srv2.stop()
+            mgr2.stop_all()
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
 def test_cli_serve_smoke(spark):
     """`lhctl-spark serve` boots metadata + engines + HTTP and, with a
     pre-stored spec, redeploys it at startup (the reference's API
