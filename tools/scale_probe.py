@@ -107,6 +107,24 @@ def main() -> int:
                         verbose=False)[0]
             b = measure(spark, base, app_id, specs, [name], big,
                         verbose=False)[0]
+            # Adaptive re-measure (the bench drift lesson, applied
+            # here): this sandbox shows minutes-long host stalls, and
+            # one stall landing inside a query's big half records a
+            # phantom super-linear row — an r10 window clocked a
+            # x1.7 query at x43.  A ratio over the audit bound is
+            # re-measured once per side and each side keeps its
+            # MINIMUM (load is strictly additive), so a stall must
+            # now span both attempts to survive into the artifact.
+            if b["sec"] > 12 * max(s["sec"], 1e-9):
+                s2 = measure(spark, base, app_id, specs, [name],
+                             args.small, verbose=False)[0]
+                b2 = measure(spark, base, app_id, specs, [name], big,
+                             verbose=False)[0]
+                s = min(s, s2, key=lambda r: r["sec"])
+                b = min(b, b2, key=lambda r: r["sec"])
+                remeasured = True
+            else:
+                remeasured = False
         except Exception as e:  # noqa: BLE001 — record, don't abort sweep
             out.append({"query": name, "error": f"{type(e).__name__}: {e}"})
             print(f"{name:28s} ERROR {type(e).__name__}: {e}", flush=True)
@@ -123,6 +141,8 @@ def main() -> int:
             "shufw_mb_sf1": round(b["shuffleWriteBytes"] / 2**20, 1),
             "spill_bytes": spill,
         }
+        if remeasured:
+            row["remeasured"] = True
         out.append(row)
         if not args.json:
             print(f"{name:28s} {s['sec']:7.2f}s -> {b['sec']:7.2f}s "
