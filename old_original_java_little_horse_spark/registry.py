@@ -58,7 +58,7 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # window, so one r7 query sits at position 51: t_decontaminate, chosen
 # because its sibling t_decontaminate_bloom holds fresh r9 evidence and
 # the builder carries it with full-registry parity runs (vanilla_drive
-# covers all 150 at sf0.01).  After round 10's driver pass, at most
+# covers the full registry at sf0.01).  After round 10's driver pass, at most
 # that one query keeps evidence older than r8.
 _CHECK_FIRST = [
     # never driver-checked: the r10 one-for-one swap-in replacing the
