@@ -47,61 +47,76 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
     return deco
 
 
-# Queries with the thinnest driver-check history, surfaced to the
-# front of the registry: the driver verifies queries in registry order
-# under a time budget (~50 rows), so whatever it cannot reach is
-# whatever sits at the tail.  Round-10 rotation (VERDICT r9 items 1+3):
-# the never-driver-checked round-10 swap-in leads (the r9 precedent —
-# a swap-in needs its green row THIS round), then dq_check_suite — the
-# single remaining r6-evidence query — then the 49-query block whose
-# latest driver evidence is round 7.  That is 51 queries for a ~50-row
-# window, so one r7 query sits at position 51: t_decontaminate, chosen
-# because its sibling t_decontaminate_bloom holds fresh r9 evidence and
-# the builder carries it with full-registry parity runs (vanilla_drive
-# covers the full registry at sf0.01).  After round 10's driver pass, at most
-# that one query keeps evidence older than r8.
-_CHECK_FIRST = [
-    # never driver-checked: the r10 one-for-one swap-in replacing the
-    # retired quadratic d_edit_distance_pairs (VERDICT r9 item 3)
-    "d_edit_shift_pairs",
-    # latest driver evidence: round 6 (the only one; VERDICT r9 #1)
-    "dq_check_suite",
-    # latest driver evidence: round 7 (all 49 of them)
-    "q1_pricing_summary", "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "p1_fanout_filter", "p2_nonnull_projection", "p3_alias_projection",
-    "j2_broadcast_enrich", "j3_lookup_join", "j4_fifo_correlation",
-    "j5_asof_join", "j6_range_count",
-    "a1_index_posting", "a2_status_rollup", "a5_all_ids", "a6_funnel",
-    "w1_position_numbering", "w2_latest_entry", "w3_timer_scan",
-    "w5_length_quantiles",
-    "s_alias_diff_except", "sort_limit_topn", "s3_serving_store_upsert",
-    "engine_streaming_fold", "engine_result_counts",
-    "engine_index_incremental",
-    "d_dedup_canonical", "d_dup_clusters", "d_ngram_jaccard_pairs",
-    "d_simhash_pairs",
-    "stream_doc_dedup", "stream_minhash_incremental",
-    "idx_search_lookup",
-    "t_lang_id", "t_quality_score", "t_token_count", "t_fingerprint",
-    "t_corpus_stats", "t_lm_score", "t_top_ngrams",
-    "t_distinctive_terms", "t_repetition_score", "t_pii_redact",
-    "t_doc_chunks", "t_segment_dedup", "t_hash_split",
-    "t_global_shuffle", "t_balanced_mix", "t_pack_sequences",
-    # position 51 — one past the nominal driver window; carried by the
-    # builder's full-registry parity runs this round (see comment above)
-    "t_decontaminate",
-]
+# Rotation: the driver verifies queries in registry order under a time
+# budget (~50 rows per round), so the ordering below decides which
+# queries get fresh driver evidence each round.  Rounds 1-10 maintained
+# a hand-written _CHECK_FIRST list; round 10 proved that fragile — a
+# new query (sim_neardup_topk) was added to the registry but not to the
+# list and shipped with no driver row (VERDICT r10 What's-wrong #1).
+# From round 11 the order is DERIVED from the recorded driver evidence
+# itself (the committed CORRECTNESS_r*.json artifacts): never-checked
+# queries first, then ascending latest-green-round, ties broken by
+# registration order.  A new registry entry has no artifact row, so it
+# automatically leads the next driver window — the omission class the
+# hand list allowed is impossible by construction.
+
+
+def _driver_evidence_rounds() -> dict[str, int]:
+    """Latest round with a green driver row per query, parsed from the
+    CORRECTNESS_r*.json artifacts committed at the repo root.
+
+    A row is green when rows+schema+hash all matched and no error was
+    recorded (rows-only checks count: hash_match is absent, not False).
+    Returns {} when no artifacts are readable (fresh checkout, driver
+    sandbox without history) — callers fall back to insertion order.
+    """
+    import json
+    import re
+    from pathlib import Path
+
+    latest: dict[str, int] = {}
+    root = Path(__file__).resolve().parent.parent
+    try:
+        artifacts = sorted(root.glob("CORRECTNESS_r*.json"))
+    except OSError:
+        return latest
+    for path in artifacts:
+        m = re.search(r"r(\d+)", path.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            rows = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            green = (
+                row.get("rows_match")
+                and row.get("schema_match", True)
+                and row.get("hash_match") is not False
+                and not row.get("err")
+            )
+            if green and rnd > latest.get(name, 0):
+                latest[name] = rnd
+
+
+    return latest
 
 
 def all_queries() -> dict[str, QuerySpec]:
     """Import every module that registers queries, then return them
-    with the least-driver-proven queries first (`_CHECK_FIRST`)."""
+    least-driver-proven first (never-checked, then oldest evidence)."""
     # Imports are deferred so `import registry` stays cheap.
     from .operators import analytics, indexing, layout, relational, run_index, skew, tpch  # noqa: F401
     from .functions import clustering, corpus, curation, dedup, expressions, multimodal, retrieval, similarity, sketches, text  # noqa: F401
     from .engine import queries as engine_queries  # noqa: F401
     from .streaming import queries as streaming_queries  # noqa: F401
 
-    out = {n: _REGISTRY[n] for n in _CHECK_FIRST if n in _REGISTRY}
-    out.update((n, s) for n, s in _REGISTRY.items() if n not in out)
-    return out
+    evidence = _driver_evidence_rounds()
+    order = {name: idx for idx, name in enumerate(_REGISTRY)}
+    ranked = sorted(_REGISTRY, key=lambda n: (evidence.get(n, 0), order[n]))
+    return {n: _REGISTRY[n] for n in ranked}

@@ -1,0 +1,73 @@
+"""Mechanical driver-rotation ordering (VERDICT r10 Next-round #1).
+
+The registry orders queries least-driver-proven first, derived from the
+committed CORRECTNESS_r*.json artifacts rather than a hand list — a new
+query has no artifact row and therefore automatically leads the next
+driver window.
+"""
+from __future__ import annotations
+
+import json
+
+from old_original_java_little_horse_spark import registry
+from old_original_java_little_horse_spark.registry import (
+    _driver_evidence_rounds,
+    all_queries,
+)
+
+
+def test_evidence_parser_reads_committed_artifacts():
+    ev = _driver_evidence_rounds()
+    # Artifacts are committed at the repo root; rounds 1-10 exist.
+    assert ev, "no CORRECTNESS artifacts found at repo root"
+    assert all(isinstance(r, int) and r >= 1 for r in ev.values())
+    # A green r10 row parsed as round 10.
+    assert ev.get("d_edit_shift_pairs") == 10
+
+
+def test_evidence_parser_rejects_non_green_rows(tmp_path, monkeypatch):
+    art = {
+        "good": {"rows_match": True, "schema_match": True, "hash_match": True, "err": None},
+        "rows_only": {"rows_match": True, "err": None},  # no hash oracle: counts
+        "hash_fail": {"rows_match": True, "schema_match": True, "hash_match": False, "err": None},
+        "errored": {"rows_match": True, "schema_match": True, "hash_match": True, "err": "boom"},
+        "garbage": "not-a-dict",
+    }
+    (tmp_path / "CORRECTNESS_r03.json").write_text(json.dumps(art))
+    pkg_dir = tmp_path / "pkg"
+    pkg_dir.mkdir()
+    monkeypatch.setattr(registry, "__file__", str(pkg_dir / "registry.py"))
+    ev = _driver_evidence_rounds()
+    assert ev == {"good": 3, "rows_only": 3}
+
+
+def test_ordering_puts_thin_evidence_first():
+    specs = all_queries()
+    names = list(specs)
+    ev = _driver_evidence_rounds()
+    ranks = [ev.get(n, 0) for n in names]
+    # Never-checked (rank 0) and oldest evidence lead; ranks ascend.
+    assert ranks == sorted(ranks)
+    # Every registered query appears exactly once.
+    assert len(names) == len(set(names))
+    assert set(names) == set(registry._REGISTRY)
+
+
+def test_new_query_would_lead_window(monkeypatch):
+    # Simulate: every existing query has fresh evidence except one new
+    # registration — the new one must surface to position 0.
+    real = dict(registry._REGISTRY)
+    names = list(real)
+    fake_evidence = {n: 9 for n in names[:-1]}  # last name: never checked
+    monkeypatch.setattr(registry, "_driver_evidence_rounds", lambda: fake_evidence)
+    ordered = list(all_queries())
+    assert ordered[0] == names[-1]
+
+
+def test_missing_artifacts_fall_back_to_insertion_order(tmp_path, monkeypatch):
+    pkg_dir = tmp_path / "pkg"
+    pkg_dir.mkdir()
+    monkeypatch.setattr(registry, "__file__", str(pkg_dir / "registry.py"))
+    assert _driver_evidence_rounds() == {}
+    ordered = list(all_queries())
+    assert ordered == list(registry._REGISTRY)
