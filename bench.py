@@ -373,6 +373,8 @@ class ReplayPeer:
         self._queue = None
         self._wt: Path | None = None
         self._warm_pending = False
+        self._stale: set[str] = set()  # timed-out queries whose late
+        # timing messages must be dropped, not attributed to a later one
         if os.environ.get("SPARK_GRAFT_NO_REPLAY"):
             self.error = "disabled"
             return
@@ -502,16 +504,47 @@ class ReplayPeer:
 
     def time_query(self, name: str) -> float | None:
         """One timed execution of `name` in the snapshot tree; None on
-        any failure (missing query, dead peer, per-query timeout)."""
+        any failure (missing query, dead peer, per-query timeout).
+
+        A per-query TIMEOUT does not kill the peer (ADVICE r10): one
+        host stall inside one replay query used to degrade the whole
+        round-over-round verdict to partial by losing every remaining
+        sample.  The query is skipped, its name remembered so a late
+        timing message is dropped instead of mis-attributed to the
+        next query (the runner processes commands serially, so replies
+        stay in send order).  `_die` is reserved for pipe/EOF/send
+        failures."""
+        import queue as _q
+
         if self._proc is None or name not in self.have:
             return None
         if not self._send({"cmd": "time", "query": name,
                            "sf_dir": self.sf_dir,
                            "collect": name == "q1_pricing_summary"}):
             return None
-        msg = self._recv("timing", timeout=float(
-            os.environ.get("SPARK_GRAFT_REPLAY_QUERY_TIMEOUT", "300")))
-        return None if msg is None else msg.get("sec")
+        timeout = float(os.environ.get("SPARK_GRAFT_REPLAY_QUERY_TIMEOUT", "300"))
+        deadline = time.monotonic() + timeout
+        while True:
+            left = deadline - time.monotonic()
+            if left <= 0:
+                self._stale.add(name)
+                self.error = self.error or f"query timeout: {name}"
+                return None
+            try:
+                msg = self._queue.get(timeout=min(left, 5.0))
+            except _q.Empty:
+                continue
+            if msg is None:
+                self._die(f"peer exited during {name}")
+                return None
+            if msg.get("type") != "timing":
+                continue  # unrelated message: drop and keep waiting
+            q = msg.get("query")
+            if q in self._stale:
+                self._stale.discard(q)  # straggler from a skipped query
+                continue
+            if q == name:
+                return msg.get("sec")
 
     def finish(self, replay_samples: dict[str, list[float]],
                head_timings: dict[str, float]) -> dict | None:

@@ -36,6 +36,56 @@ class EngineHandle:
     query: object  # StreamingQuery
 
 
+def pin_engine(ckpt_dir: Path, default_tws: bool,
+               marker: Path | None = None) -> bool:
+    """Resolve which engine runs a deployment, pinned to whatever
+    created its checkpoint: a Structured Streaming checkpoint cannot
+    be resumed by the other engine (different stateful operator AND
+    state-store provider — Spark rejects the mismatch), so
+    `default_tws` applies to FRESH checkpoints only.  The decision is
+    durable in an `engine.json` marker (by default inside the
+    checkpoint dir itself; the manager keeps its pre-existing location
+    beside the checkpoint).  A checkpoint with committed offsets but
+    no marker predates the r10 default flip, when
+    applyInPandasWithState was the only engine that ever deployed —
+    exactly the upgrade case the pin exists for.
+
+    Shared by the manager's deploy paths AND `cli.py cmd_process`
+    (ADVICE r10): re-running `process` over a pre-flip checkpoint must
+    resume with pandas-state no matter the current default.
+    """
+    marker = marker if marker is not None else ckpt_dir / "engine.json"
+    if marker.exists():
+        try:
+            return json.loads(marker.read_text()).get("engine") == "tws"
+        except Exception:
+            pass  # unreadable marker: fall through to detection
+    offsets = ckpt_dir / "offsets"
+    if offsets.is_dir() and any(offsets.iterdir()):
+        use_tws = False  # pre-marker checkpoint == pandas-state era
+    else:
+        use_tws = default_tws  # fresh deployment: caller's default
+    marker.parent.mkdir(parents=True, exist_ok=True)
+    try:
+        marker.write_text(json.dumps(
+            {"engine": "tws" if use_tws else "pandas-state"}))
+    except OSError:
+        if use_tws:
+            # A fresh tws checkpoint MUST be durably pinned: the
+            # marker-less fallback above reads offsets-without-marker
+            # as pandas-state, so the next boot would resume this
+            # checkpoint with the WRONG engine.  Fail the deploy now,
+            # with a message, rather than corrupt the resume later
+            # (ADVICE r10).
+            raise RuntimeError(
+                f"cannot write engine marker {marker} for a tws "
+                "deployment; deploy with --engine pandas-state or make "
+                "the checkpoint dir writable")
+        # pandas-state: the marker-less fallback re-detects it
+        # correctly next boot, so a failed write is benign.
+    return use_tws
+
+
 class SparkEngineManager:
     """Deploys/undeploys one continuous engine per WFSpec name.
 
@@ -112,34 +162,10 @@ class SparkEngineManager:
         self._lock = threading.RLock()
 
     def _pin_engine(self, root: Path) -> bool:
-        """Resolve which engine runs THIS deployment, pinned to
-        whatever created its checkpoint: a Structured Streaming
-        checkpoint cannot be resumed by the other engine (different
-        stateful operator AND state-store provider — Spark rejects
-        the mismatch), so the manager default applies to FRESH
-        deployments only.  The decision is durable in an
-        `engine.json` marker beside the checkpoint.  A checkpoint
-        with no marker predates the r10 default flip, when
-        applyInPandasWithState was the only engine that ever
-        deployed — exactly the upgrade case the pin exists for."""
-        marker = root / "engine.json"
-        if marker.exists():
-            try:
-                return json.loads(marker.read_text()).get("engine") == "tws"
-            except Exception:
-                pass  # unreadable marker: fall through to detection
-        offsets = root / "ckpt" / "offsets"
-        if offsets.is_dir() and any(offsets.iterdir()):
-            use_tws = False  # pre-marker checkpoint == pandas-state era
-        else:
-            use_tws = self.use_tws  # fresh deployment: manager default
-        root.mkdir(parents=True, exist_ok=True)
-        try:
-            marker.write_text(json.dumps(
-                {"engine": "tws" if use_tws else "pandas-state"}))
-        except OSError:
-            pass  # unpinnable (read-only fs): re-detected next boot
-        return use_tws
+        """`pin_engine` for this deployment root (marker lives beside
+        the checkpoint, the manager's pre-existing layout)."""
+        return pin_engine(root / "ckpt", self.use_tws,
+                          marker=root / "engine.json")
 
     # -- shared-mode plumbing ------------------------------------------------
 

@@ -108,8 +108,13 @@ class LittleHorseAPI:
         # eviction scan can never observe a mid-resize dict.
         self._run_engine_lock = threading.Lock()
         # Orders metadata on_change actions per (kind, name); see
-        # _meta_change.
+        # _meta_change.  One lock PER name: the gate must be atomic
+        # with the action for a given name, but a taskDef deploy must
+        # not serialize behind another name's minutes-long shared-mode
+        # engine restart (ADVICE r10).  The outer lock only guards the
+        # lock/seq dicts.
         self._meta_change_lock = threading.Lock()
+        self._meta_change_locks: dict[tuple[str, str | None], threading.Lock] = {}
         self._meta_change_seq: dict[tuple[str, str | None], int] = {}
         if metadata is not None and (engines is not None
                                      or task_deployer is not None):
@@ -139,15 +144,18 @@ class LittleHorseAPI:
         # OUTSIDE its lock, so two concurrent mutations of the same
         # name can arrive here in the opposite order from the
         # changelog.  `seq` is captured under the store lock; holding
-        # _meta_change_lock across the CHECK AND THE ACTION makes
+        # this name's lock across the CHECK AND THE ACTION makes
         # drop-if-stale atomic — without it, both events could pass
-        # the check and still act in the wrong order.  Deploys were
-        # already serialized by the engine manager's RLock, so the
-        # lock adds ordering, not new contention.
+        # the check and still act in the wrong order.  The lock is
+        # scoped per (kind, name) (ADVICE r10): ordering is only
+        # meaningful within one name, and a global lock made unrelated
+        # metadata events wait out another spec's engine restart.
         name = (new or old or {}).get("name")
+        key = (kind, name)
         with self._meta_change_lock:
+            lock = self._meta_change_locks.setdefault(key, threading.Lock())
+        with lock:
             if seq:
-                key = (kind, name)
                 if seq < self._meta_change_seq.get(key, 0):
                     return  # a newer mutation for this name already applied
                 self._meta_change_seq[key] = seq

@@ -63,17 +63,34 @@ def t_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     dotted phone can never be half-eaten by the IP pass (an IPv4 needs
     three dots; the email TLD is alphabetic) and replacement tokens
     contain no digits to re-match.  Pure per-row codegen — the 100 TB
-    cost is one scan."""
+    cost is one scan.
+
+    The email passes are gated behind `instr(text, '@') > 0`: the
+    pattern REQUIRES an '@', so @-free docs provably have zero
+    matches, and the substring probe is ~free next to the regex.  The
+    email pattern's `[...]+@` prefix makes it the expensive one —
+    every alnum run is scanned and backtracked at every start offset
+    when no '@' follows (measured 1.4 s count + 1.5 s replace of the
+    4.1 s sf1 wall, vs 0.35 s for the IP pass; the gate reads 1.2 s
+    total).  Semantics are untouched, so the ungated oracle matches.
+    The residual decade ratio is linear-in-chars: map-only (shuffle
+    amp 0), corpus chars scale exactly x10 sf0.1→sf1, wall below x10
+    = per-char regex cost plus a fixed JVM floor."""
     d = load_table(spark, sf_dir, "documents")
     t = F.col("text")
+    has_at = F.instr(t, "@") > 0
     clean = F.regexp_replace(
         F.regexp_replace(
-            F.regexp_replace(t, PII_EMAIL, "<EMAIL>"),
+            F.when(has_at, F.regexp_replace(t, PII_EMAIL, "<EMAIL>"))
+             .otherwise(t),
             PII_IP, "<IP>"),
         PII_PHONE, "<PHONE>")
     return d.select(
         "doc_id",
-        F.regexp_count(t, F.lit(PII_EMAIL)).alias("n_emails"),
+        # NULL text must stay NULL (the oracle's len(regexp_extract_all
+        # (NULL)) is NULL) — only a non-null @-free doc short-circuits.
+        F.when(t.isNotNull() & ~has_at, F.lit(0))
+         .otherwise(F.regexp_count(t, F.lit(PII_EMAIL))).alias("n_emails"),
         F.regexp_count(t, F.lit(PII_IP)).alias("n_ips"),
         F.regexp_count(t, F.lit(PII_PHONE)).alias("n_phones"),
         clean.alias("clean_text"),

@@ -409,9 +409,16 @@ def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     so unlike the 64-bit signature no doc is excluded — matching
     this query's oracle, which has no length guard."""
     d = load_table(spark, sf_dir, "documents")
+    # explode_outer, not explode: a NULL-text doc must still emit a
+    # signature row.  Its one NULL token hashes to NULL, the packed
+    # lane sums stay NULL, and every bit's `2*cnt > n` comparison is
+    # NULL -> otherwise('0') — exactly the oracle's NULL semantics
+    # (string_split(NULL) -> NULL list -> every CASE arm NULL -> '0'),
+    # which emits '0000000000000000' for such docs.  A plain explode
+    # dropped the row entirely (ADVICE r10).
     toks = d.select(
         "doc_id",
-        F.explode(F.split(normalized_text(F.col("text")), " ")).alias("tok"))
+        F.explode_outer(F.split(normalized_text(F.col("text")), " ")).alias("tok"))
     hashed = toks.select("doc_id", F.md5("tok").alias("hh"))
     ints = hashed.select(
         "doc_id",

@@ -35,6 +35,9 @@ EDGE_DOCS = [
     (11, "the quick brown fox jumps over the lazy dog today", "en", "src1"),
     (12, "the quick brown fox jumps over the lazy dog tonight", "en", "src1"),
     (13, "THE  QUICK   brown fox jumps over the lazy dog today", "en", "src1"),
+    (14, None, "en", "src0"),                         # NULL text (ADVICE r10:
+    # a plain explode silently dropped such docs from d_simhash while
+    # the oracle still emitted an all-zeros signature row)
 ]
 
 QUERIES = [
@@ -43,7 +46,16 @@ QUERIES = [
     "d_dup_clusters", "d_dedup_canonical",
     "d_edit_shift_pairs", "d_edit_segment_pairs",
     "t_lang_id", "t_quality_score", "t_token_count", "t_fingerprint",
-    "t_corpus_stats",
+    "t_corpus_stats", "t_pii_redact",
+    # round 11: the rest of the documents-table family, so every text
+    # operator is pinned on the NULL/empty/unicode/boundary corpus
+    "t_doc_chunks", "t_hash_split", "t_top_ngrams", "t_distinctive_terms",
+    "t_segment_dedup", "t_lm_score", "t_repetition_score",
+    "t_global_shuffle", "t_pack_sequences", "t_balanced_mix",
+    "t_decontaminate", "t_decontaminate_bloom", "t_stratified_sample",
+    "t_curated_corpus", "t_span_dedup", "t_source_overlap",
+    "t_dsir_weights", "t_dsir_resample", "t_bpe_merges", "t_bpe_encode",
+    "d_winnow_fingerprint_pairs", "d_url_dedup",
 ]
 
 
@@ -57,7 +69,8 @@ def edge_sf_dir(spark):
             if t != "documents" and src.exists():
                 shutil.copy(src, workdir / f"{t}.parquet")
         df = spark.createDataFrame(
-            [(i, txt, lang, src, len(txt)) for i, txt, lang, src in EDGE_DOCS],
+            [(i, txt, lang, src, len(txt) if txt is not None else None)
+             for i, txt, lang, src in EDGE_DOCS],
             schema="doc_id long, text string, lang string, source string, n_chars long",
         )
         # ONE plain parquet file, same layout as the driver's testdata.

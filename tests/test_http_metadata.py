@@ -166,6 +166,65 @@ def test_meta_change_drops_stale_out_of_order_event():
     assert eng.deploys[-1] == "greeter-v1"
 
 
+def test_meta_change_does_not_serialize_across_names():
+    """ADVICE r10: the stale-event gate is scoped per (kind, name) —
+    a taskDef deploy must not wait out another name's long engine
+    restart behind one global lock."""
+    import threading
+
+    deploy_started = threading.Event()
+    release_deploy = threading.Event()
+
+    class SlowEngines:
+        def deploy(self, spec):
+            deploy_started.set()
+            assert release_deploy.wait(10), "test deadlock"
+
+        def deploy_many(self, specs):
+            return []
+
+        def undeploy(self, name, purge=False):
+            pass
+
+        def get(self, name):
+            return None
+
+    class FakeTaskDeployer:
+        def __init__(self):
+            self.deployed = []
+
+        def deploy_task_def(self, doc):
+            self.deployed.append(doc["name"])
+
+        def undeploy_task_def(self, doc):
+            pass
+
+    td = FakeTaskDeployer()
+    api = LittleHorseAPI(None, engines=SlowEngines(), task_deployer=td)
+    t = threading.Thread(
+        target=api._meta_change,
+        args=("wfSpec", dict(_greet_spec(), id="g1"), None),
+        kwargs={"seq": 1}, daemon=True)
+    t.start()
+    assert deploy_started.wait(10)
+    # While the greeter engine restart is in flight, an unrelated
+    # taskDef event must complete immediately.
+    done = threading.Event()
+
+    def taskdef_event():
+        api._meta_change("taskDef", {"name": "other-task"}, None, seq=1)
+        done.set()
+
+    t2 = threading.Thread(target=taskdef_event, daemon=True)
+    t2.start()
+    finished = done.wait(5)
+    release_deploy.set()
+    t.join(10)
+    t2.join(10)
+    assert finished, "taskDef event serialized behind the engine restart"
+    assert td.deployed == ["other-task"]
+
+
 def _greet_task(subs: dict) -> dict:
     """Worker-contract executor (fn(subs) -> result) for `cli work`."""
     return {"stdout": f"hi {subs['name']}", "success": True, "returncode": 0}
@@ -197,11 +256,13 @@ def test_cli_work_out_of_process_worker(spark):
                       {"wf_spec_name": "greeter", "variables": {"who": "ada"}})
         assert st == 201
 
+        stop_file = workdir / "worker.stop"
         t = threading.Thread(target=cli_main, args=([
             "work", "--base-dir", str(workdir), "--spec", "greeter",
             "--task-def", "greet",
             "--executor", "tests.test_http_metadata:_greet_task",
-            "--poll", "0.3", "--max-seconds", "45"],), daemon=True)
+            "--poll", "0.3", "--max-seconds", "45",
+            "--stop-file", str(stop_file)],), daemon=True)
         t.start()
 
         doc = None
@@ -212,6 +273,13 @@ def test_cli_work_out_of_process_worker(spark):
             _time.sleep(0.3)
         assert doc is not None and doc["status"] == "COMPLETED", doc
         assert doc["thread_runs"][0]["task_runs"][0]["stdout"] == "hi ada"
+        # Drain the worker BEFORE teardown: an abandoned daemon thread
+        # would die mid-availableNow-batch when the session/workdir
+        # goes away (the suite runs with
+        # -W error::PytestUnhandledThreadExceptionWarning).
+        stop_file.write_text("")
+        t.join(30)
+        assert not t.is_alive(), "worker did not honor the stop file"
     finally:
         srv.stop()
         mgr.stop_all()

@@ -106,7 +106,7 @@ def probe(spark, n: int, trigger_seconds: float = 0.5,
             # the paged serving read scans ~n rows per poll; at 50k
             # keys a 50 ms cadence would spend more time polling than
             # folding, so back the poll off with n
-            time.sleep(0.05 if n <= 5000 else 0.5)
+            time.sleep(0.05 if n <= 5000 else (0.5 if n <= 100_000 else 2.0))
         else:
             raise TimeoutError(f"only {done}/{n} runs completed")
         wall = time.perf_counter() - t0
@@ -133,6 +133,27 @@ def probe(spark, n: int, trigger_seconds: float = 0.5,
             await_read_your_writes(q, timeout=60)
             barrier.append((time.perf_counter() - b0) * 1000.0)
         barrier.sort()
+
+        # State-store footprint with all N runs retained — the 100 TB
+        # deployment-sizing row (VERDICT r10 item 5): executor memory
+        # held by the store (progress stateOperators) and the durable
+        # checkpoint bytes on disk.
+        state_rows = state_mem = None
+        last = q.lastProgress or (progress[-1] if progress else None)
+        for p in [last] + list(reversed(progress)):
+            ops = (p or {}).get("stateOperators") or []
+            if ops and ops[0].get("numRowsTotal"):
+                state_rows = ops[0].get("numRowsTotal")
+                state_mem = ops[0].get("memoryUsedBytes")
+                break
+        state_disk = 0
+        state_dir = os.path.join(workdir, "ckpt", "state")
+        for root_, _dirs, files in os.walk(state_dir):
+            for fn in files:
+                try:
+                    state_disk += os.path.getsize(os.path.join(root_, fn))
+                except OSError:
+                    pass
         return {
             "n_runs": n,
             "trigger_ms": int(trigger_seconds * 1000),
@@ -144,6 +165,12 @@ def probe(spark, n: int, trigger_seconds: float = 0.5,
             "batch_s_median": round(durs[len(durs) // 2], 3) if durs else None,
             "batch_s_max": round(durs[-1], 3) if durs else None,
             "barrier_ms_p50": round(barrier[len(barrier) // 2], 1),
+            "state_rows": state_rows,
+            "state_mem_mb": round(state_mem / 2**20, 1) if state_mem else None,
+            "state_disk_mb": round(state_disk / 2**20, 1),
+            "state_mem_mb_per_100k": (
+                round(state_mem / 2**20 / (n / 100_000), 1)
+                if state_mem else None),
         }
     finally:
         q.stop()
@@ -158,6 +185,8 @@ def main() -> None:
                          "largest N (the sizing-table knob sweep)")
     ap.add_argument("--tws", action="store_true",
                     help="probe the transformWithStateInPandas engine")
+    ap.add_argument("--parts", type=int, default=8,
+                    help="state_partitions for the --ns step runs")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -165,12 +194,15 @@ def main() -> None:
 
     spark = get_spark("engine-scale-probe")
 
-    def run_one(n: int, parts: int = 8) -> dict:
+    def run_one(n: int, parts: int | None = None) -> dict:
+        parts = args.parts if parts is None else parts
         r = probe(spark, n, state_partitions=parts, use_tws=args.tws)
         print(f"  N={n} parts={parts}: wall {r['wall_s']}s, "
               f"{r['fold_ev_per_s']} ev/s, "
               f"batch med/max {r['batch_s_median']}/{r['batch_s_max']}s, "
-              f"barrier p50 {r['barrier_ms_p50']}ms", file=sys.stderr)
+              f"barrier p50 {r['barrier_ms_p50']}ms, "
+              f"state {r['state_mem_mb']}MB mem / {r['state_disk_mb']}MB disk",
+              file=sys.stderr)
         return r
 
     steps = [run_one(n) for n in args.ns]
