@@ -102,8 +102,6 @@ def _driver_evidence_rounds() -> dict[str, int]:
             )
             if green and rnd > latest.get(name, 0):
                 latest[name] = rnd
-
-
     return latest
 
 

@@ -112,12 +112,20 @@ def probe(spark, n: int, trigger_seconds: float = 0.5,
         wall = time.perf_counter() - t0
 
         # The completing batch's progress entry posts AFTER its sink
-        # returns; give the query two idle triggers to quiesce before
-        # harvesting, and exclude the warm-up batches (codegen) so the
-        # decade ratio compares steady-state fold work.
-        time.sleep(2 * trigger_seconds + 0.5)
-        progress = [p for p in (q.recentProgress or [])
-                    if p and p.get("batchId", -1) > base_batch]
+        # returns — and the serving store shows COMPLETED rows while
+        # the trigger is still committing (bucket writes land before
+        # the batch commit), so a big single-batch fold can drain the
+        # poll loop seconds before its progress posts.  Wait (bounded)
+        # until a busy post-warmup entry exists, then exclude warm-up
+        # batches (codegen) so the decade ratio compares steady state.
+        harvest_deadline = time.monotonic() + max(30.0, n / 10_000)
+        while True:
+            progress = [p for p in (q.recentProgress or [])
+                        if p and p.get("batchId", -1) > base_batch]
+            if (any(p.get("numInputRows", 0) > 0 for p in progress)
+                    or time.monotonic() > harvest_deadline):
+                break
+            time.sleep(trigger_seconds)
         folded = sum(p.get("numInputRows", 0) for p in progress)
         durs = sorted(
             p["durationMs"]["triggerExecution"] / 1000.0
