@@ -375,6 +375,9 @@ class ReplayPeer:
         self._warm_pending = False
         self._stale: set[str] = set()  # timed-out queries whose late
         # timing messages must be dropped, not attributed to a later one
+        self._consecutive_timeouts = 0  # 2 in a row == a wedged peer,
+        # not a slow query: the serial runner is still stuck, so every
+        # further send would burn its full timeout too — die instead
         if os.environ.get("SPARK_GRAFT_NO_REPLAY"):
             self.error = "disabled"
             return
@@ -513,7 +516,10 @@ class ReplayPeer:
         timing message is dropped instead of mis-attributed to the
         next query (the runner processes commands serially, so replies
         stay in send order).  `_die` is reserved for pipe/EOF/send
-        failures."""
+        failures — and for TWO timeouts in a row, which means the
+        serial runner is wedged (a stall much longer than the
+        timeout): without that bound every subsequent query would burn
+        its full timeout against the stuck runner too."""
         import queue as _q
 
         if self._proc is None or name not in self.have:
@@ -527,6 +533,10 @@ class ReplayPeer:
         while True:
             left = deadline - time.monotonic()
             if left <= 0:
+                self._consecutive_timeouts += 1
+                if self._consecutive_timeouts >= 2:
+                    self._die(f"peer wedged: consecutive timeouts at {name}")
+                    return None
                 self._stale.add(name)
                 self.error = self.error or f"query timeout: {name}"
                 return None
@@ -544,6 +554,7 @@ class ReplayPeer:
                 self._stale.discard(q)  # straggler from a skipped query
                 continue
             if q == name:
+                self._consecutive_timeouts = 0
                 return msg.get("sec")
 
     def finish(self, replay_samples: dict[str, list[float]],

@@ -19,6 +19,7 @@ the process-isolated variant; here tasks run inline in the fold like
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import threading
 from dataclasses import dataclass
@@ -36,23 +37,58 @@ class EngineHandle:
     query: object  # StreamingQuery
 
 
+def detect_checkpoint_engine(ckpt_dir: Path) -> bool | None:
+    """Which engine created this checkpoint, read from Spark's OWN
+    record: every committed offsets file carries the session conf the
+    batch ran under, including `spark.sql.streaming.stateStore.
+    providerClass` — the tws engine requires (and `_tws_confs` sets)
+    the RocksDB provider, pandas-state runs the default HDFS-backed
+    one, and a provider mismatch is exactly what Spark rejects on
+    resume.  Returns True (tws), False (committed offsets, not
+    RocksDB — the pandas-state / pre-flip era), or None (no committed
+    offsets: a fresh checkpoint, caller's default applies)."""
+    import re
+
+    offsets = ckpt_dir / "offsets"
+    try:
+        files = sorted(p for p in offsets.iterdir()
+                       if p.is_file() and not p.name.startswith("."))
+    except OSError:
+        return None
+    for path in reversed(files):
+        try:
+            txt = path.read_text()
+        except OSError:
+            continue
+        m = re.search(
+            r'"spark\.sql\.streaming\.stateStore\.providerClass"\s*:\s*"([^"]+)"',
+            txt)
+        if m:
+            return m.group(1).endswith("RocksDBStateStoreProvider")
+    # Offsets exist but record no provider: treat as the pre-flip
+    # pandas-state era (the conservative historical read).
+    return False if files else None
+
+
 def pin_engine(ckpt_dir: Path, default_tws: bool,
                marker: Path | None = None) -> bool:
     """Resolve which engine runs a deployment, pinned to whatever
     created its checkpoint: a Structured Streaming checkpoint cannot
     be resumed by the other engine (different stateful operator AND
     state-store provider — Spark rejects the mismatch), so
-    `default_tws` applies to FRESH checkpoints only.  The decision is
-    durable in an `engine.json` marker (by default inside the
-    checkpoint dir itself; the manager keeps its pre-existing location
-    beside the checkpoint).  A checkpoint with committed offsets but
-    no marker predates the r10 default flip, when
-    applyInPandasWithState was the only engine that ever deployed —
-    exactly the upgrade case the pin exists for.
+    `default_tws` applies to FRESH checkpoints only.  Detection order:
+    the `engine.json` marker (a cache of the decision), else the
+    providerClass Spark recorded in the checkpoint's own offsets
+    metadata (`detect_checkpoint_engine` — authoritative for ANY
+    marker-less checkpoint, whichever engine or release created it),
+    else the caller's default for a fresh checkpoint.  The marker is
+    written atomically and is self-healing: a lost or corrupt marker
+    is re-derived from the offsets record next boot.
 
     Shared by the manager's deploy paths AND `cli.py cmd_process`
-    (ADVICE r10): re-running `process` over a pre-flip checkpoint must
-    resume with pandas-state no matter the current default.
+    (ADVICE r10): re-running `process` over a checkpoint the other
+    engine created must resume on that engine, not the current
+    default.
     """
     marker = marker if marker is not None else ckpt_dir / "engine.json"
     if marker.exists():
@@ -60,29 +96,16 @@ def pin_engine(ckpt_dir: Path, default_tws: bool,
             return json.loads(marker.read_text()).get("engine") == "tws"
         except Exception:
             pass  # unreadable marker: fall through to detection
-    offsets = ckpt_dir / "offsets"
-    if offsets.is_dir() and any(offsets.iterdir()):
-        use_tws = False  # pre-marker checkpoint == pandas-state era
-    else:
-        use_tws = default_tws  # fresh deployment: caller's default
+    detected = detect_checkpoint_engine(ckpt_dir)
+    use_tws = default_tws if detected is None else detected
     marker.parent.mkdir(parents=True, exist_ok=True)
     try:
-        marker.write_text(json.dumps(
+        tmp = marker.with_name(marker.name + ".tmp")
+        tmp.write_text(json.dumps(
             {"engine": "tws" if use_tws else "pandas-state"}))
+        os.replace(tmp, marker)
     except OSError:
-        if use_tws:
-            # A fresh tws checkpoint MUST be durably pinned: the
-            # marker-less fallback above reads offsets-without-marker
-            # as pandas-state, so the next boot would resume this
-            # checkpoint with the WRONG engine.  Fail the deploy now,
-            # with a message, rather than corrupt the resume later
-            # (ADVICE r10).
-            raise RuntimeError(
-                f"cannot write engine marker {marker} for a tws "
-                "deployment; deploy with --engine pandas-state or make "
-                "the checkpoint dir writable")
-        # pandas-state: the marker-less fallback re-detects it
-        # correctly next boot, so a failed write is benign.
+        pass  # benign: the offsets record re-derives it next boot
     return use_tws
 
 

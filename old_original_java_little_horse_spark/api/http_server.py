@@ -151,7 +151,25 @@ class LittleHorseAPI:
         # meaningful within one name, and a global lock made unrelated
         # metadata events wait out another spec's engine restart.
         name = (new or old or {}).get("name")
-        key = (kind, name)
+        # A RENAME mutates TWO names' timelines: the undeploy of the
+        # old name must be gated under the OLD name's own key, or a
+        # concurrent newer event recreating that name (its seq is
+        # higher) could deploy first and then be undeployed by this
+        # late-arriving rename — metadata would say the name exists
+        # while its engine is stopped.  Sequential, not nested, lock
+        # acquisition: no ordering deadlock.
+        old_name = (old or {}).get("name")
+        if (kind == "wfSpec" and new is not None and old_name
+                and old_name != name and self.engines is not None):
+            self._keyed_meta_action(
+                (kind, old_name), seq,
+                lambda: self.engines.undeploy(old_name))
+        self._keyed_meta_action(
+            (kind, name), seq,
+            lambda: self._meta_change_locked(kind, new, old))
+
+    def _keyed_meta_action(self, key: tuple[str, str | None], seq: int,
+                           action) -> None:
         with self._meta_change_lock:
             lock = self._meta_change_locks.setdefault(key, threading.Lock())
         with lock:
@@ -159,7 +177,7 @@ class LittleHorseAPI:
                 if seq < self._meta_change_seq.get(key, 0):
                     return  # a newer mutation for this name already applied
                 self._meta_change_seq[key] = seq
-            self._meta_change_locked(kind, new, old)
+            action()
 
     def _meta_change_locked(self, kind: str, new: dict | None,
                             old: dict | None):
@@ -180,13 +198,10 @@ class LittleHorseAPI:
         name = (new or old or {}).get("name")
         if new is not None:
             # A re-POST that RENAMES the spec (same id, new name)
-            # deploys under the new name — the engine registered under
-            # the old name must be undeployed too, or its continuous
-            # query runs (and serves list/search) forever for a name
-            # that no longer resolves in metadata.
-            old_name = (old or {}).get("name")
-            if old_name and old_name != new.get("name"):
-                self.engines.undeploy(old_name)
+            # deploys under the new name; the old name's engine is
+            # undeployed by the caller (_meta_change) under the OLD
+            # name's own seq gate, so a newer recreate of that name
+            # cannot be clobbered by this late rename.
             self.engines.deploy(new)
         elif old is not None:
             self.engines.undeploy(old["name"])

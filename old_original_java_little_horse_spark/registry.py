@@ -61,6 +61,9 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # hand list allowed is impossible by construction.
 
 
+_EVIDENCE_CACHE: dict[str, dict[str, int]] = {}
+
+
 def _driver_evidence_rounds() -> dict[str, int]:
     """Latest round with a green driver row per query, parsed from the
     CORRECTNESS_r*.json artifacts committed at the repo root.
@@ -69,6 +72,8 @@ def _driver_evidence_rounds() -> dict[str, int]:
     recorded (rows-only checks count: hash_match is absent, not False).
     Returns {} when no artifacts are readable (fresh checkout, driver
     sandbox without history) — callers fall back to insertion order.
+    Memoized per resolved root: the artifacts are immutable within a
+    process and all_queries() is called on every entry-point path.
     """
     import json
     import re
@@ -76,6 +81,9 @@ def _driver_evidence_rounds() -> dict[str, int]:
 
     latest: dict[str, int] = {}
     root = Path(__file__).resolve().parent.parent
+    cached = _EVIDENCE_CACHE.get(str(root))
+    if cached is not None:
+        return cached
     try:
         artifacts = sorted(root.glob("CORRECTNESS_r*.json"))
     except OSError:
@@ -102,6 +110,7 @@ def _driver_evidence_rounds() -> dict[str, int]:
             )
             if green and rnd > latest.get(name, 0):
                 latest[name] = rnd
+    _EVIDENCE_CACHE[str(root)] = latest
     return latest
 
 

@@ -37,6 +37,19 @@ def test_query_timeout_keeps_peer_alive_and_drops_straggler(monkeypatch):
     assert "a" not in peer._stale  # consumed exactly once
 
 
+def test_two_consecutive_timeouts_mean_a_wedged_peer(monkeypatch):
+    """A single stall skips one query; a SECOND timeout in a row means
+    the serial runner is stuck — burning every remaining query's full
+    timeout against it helps nobody, so the peer dies."""
+    monkeypatch.setenv("SPARK_GRAFT_REPLAY_QUERY_TIMEOUT", "0.2")
+    peer = _bare_peer(monkeypatch)
+    assert peer.time_query("a") is None
+    assert peer._proc is not None
+    assert peer.time_query("b") is None
+    assert peer._proc is None  # dead: the runner is wedged
+    assert peer.error  # first failure recorded for partial_error
+
+
 def test_peer_exit_still_dies(monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_REPLAY_QUERY_TIMEOUT", "30")
     peer = _bare_peer(monkeypatch)

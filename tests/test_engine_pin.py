@@ -7,14 +7,22 @@ from __future__ import annotations
 import json
 from pathlib import Path
 
-import pytest
+from old_original_java_little_horse_spark.api.engines import (
+    detect_checkpoint_engine,
+    pin_engine,
+)
 
-from old_original_java_little_horse_spark.api.engines import pin_engine
+_HDFS_OFFSETS = (
+    'v1\n{"batchWatermarkMs":0,"conf":{'
+    '"spark.sql.streaming.stateStore.providerClass":'
+    '"org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"}}'
+    "\n{}\n")
+_ROCKSDB_OFFSETS = _HDFS_OFFSETS.replace("HDFSBacked", "RocksDB")
 
 
-def _mk_offsets(ckpt: Path):
+def _mk_offsets(ckpt: Path, txt: str = _HDFS_OFFSETS):
     (ckpt / "offsets").mkdir(parents=True)
-    (ckpt / "offsets" / "0").write_text("{}")
+    (ckpt / "offsets" / "0").write_text(txt)
 
 
 def test_fresh_checkpoint_takes_default_and_stamps_marker(tmp_path):
@@ -32,6 +40,27 @@ def test_markerless_committed_checkpoint_pins_pandas_state(tmp_path):
     assert json.loads((ckpt / "engine.json").read_text())["engine"] == "pandas-state"
 
 
+def test_markerless_tws_checkpoint_detected_from_offsets(tmp_path):
+    """An r10-era `cli process` tws checkpoint has committed offsets
+    and NO marker — the providerClass Spark recorded in them must pin
+    it back to tws even when the caller asks for pandas-state."""
+    ckpt = tmp_path / "ckpt"
+    _mk_offsets(ckpt, _ROCKSDB_OFFSETS)
+    assert detect_checkpoint_engine(ckpt) is True
+    assert pin_engine(ckpt, default_tws=False) is True
+    assert json.loads((ckpt / "engine.json").read_text())["engine"] == "tws"
+
+
+def test_detection_tristate(tmp_path):
+    assert detect_checkpoint_engine(tmp_path / "none") is None  # fresh
+    hdfs = tmp_path / "hdfs"
+    _mk_offsets(hdfs)
+    assert detect_checkpoint_engine(hdfs) is False
+    legacy = tmp_path / "legacy"
+    _mk_offsets(legacy, "{}")  # offsets without a provider record
+    assert detect_checkpoint_engine(legacy) is False
+
+
 def test_custom_marker_location(tmp_path):
     root = tmp_path / "root"
     ckpt = root / "ckpt"
@@ -40,20 +69,30 @@ def test_custom_marker_location(tmp_path):
     assert not (ckpt / "engine.json").exists()
 
 
-def test_unwritable_marker_fails_fresh_tws_deploy(tmp_path, monkeypatch):
+def test_unwritable_marker_is_benign_and_self_heals(tmp_path, monkeypatch):
+    """A lost marker is recoverable: the offsets record re-derives the
+    engine next boot, so a failed marker write must not fail the
+    deploy — and the later detection must return the TRUE engine."""
     ckpt = tmp_path / "ckpt"
+    _mk_offsets(ckpt, _ROCKSDB_OFFSETS)
 
     def boom(self, *a, **k):
         raise OSError("read-only fs")
 
     monkeypatch.setattr(Path, "write_text", boom)
-    # tws MUST be durably pinned: the marker-less fallback reads
-    # offsets-without-marker as pandas-state, so a lost marker would
-    # resume this checkpoint with the wrong engine next boot.
-    with pytest.raises(RuntimeError, match="engine marker"):
-        pin_engine(ckpt, default_tws=True)
-    # pandas-state is what the fallback detects anyway: benign.
-    assert pin_engine(ckpt, default_tws=False) is False
+    assert pin_engine(ckpt, default_tws=False) is True  # detected tws
+    monkeypatch.undo()
+    assert not (ckpt / "engine.json").exists()
+    # next boot: no marker, offsets present -> detection heals the pin
+    assert pin_engine(ckpt, default_tws=False) is True
+    assert json.loads((ckpt / "engine.json").read_text())["engine"] == "tws"
+
+
+def test_marker_write_is_atomic(tmp_path):
+    ckpt = tmp_path / "ckpt"
+    pin_engine(ckpt, default_tws=True)
+    # no orphan temp file left beside the marker
+    assert [p.name for p in ckpt.iterdir() if "tmp" in p.name] == []
 
 
 def test_corrupt_marker_falls_back_to_detection(tmp_path):

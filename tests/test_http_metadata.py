@@ -166,6 +166,46 @@ def test_meta_change_drops_stale_out_of_order_event():
     assert eng.deploys[-1] == "greeter-v1"
 
 
+def test_late_rename_cannot_clobber_recreated_old_name():
+    """A rename mutates TWO names' timelines.  If the rename (seq 5,
+    A->B) is delivered AFTER a newer event recreating name A (seq 6),
+    its undeploy of A must be dropped by A's own seq gate — otherwise
+    metadata says A exists while its engine is stopped."""
+    class FakeEngines:
+        def __init__(self):
+            self.deploys, self.undeploys = [], []
+
+        def deploy(self, spec):
+            self.deploys.append((spec["name"], spec["id"]))
+
+        def deploy_many(self, specs):
+            return []
+
+        def undeploy(self, name, purge=False):
+            self.undeploys.append(name)
+
+        def get(self, name):
+            return None
+
+    eng = FakeEngines()
+    api = LittleHorseAPI(None, engines=eng)
+    a1 = dict(_greet_spec(), id="id-1", name="A")
+    renamed = dict(_greet_spec(), id="id-1", name="B")
+    a2 = dict(_greet_spec(), id="id-2", name="A")
+    # changelog order: rename A->B (seq 5), then recreate A (seq 6);
+    # delivery inverted.
+    api._meta_change("wfSpec", a2, None, seq=6)       # recreate A first
+    api._meta_change("wfSpec", renamed, a1, seq=5)    # late rename
+    assert ("A", "id-2") in eng.deploys               # recreate applied
+    assert ("B", "id-1") in eng.deploys               # rename's deploy applied
+    assert eng.undeploys == []                        # A's undeploy DROPPED
+    # in changelog order the undeploy does run
+    eng2 = FakeEngines()
+    api2 = LittleHorseAPI(None, engines=eng2)
+    api2._meta_change("wfSpec", renamed, a1, seq=5)
+    assert eng2.undeploys == ["A"]
+
+
 def test_meta_change_does_not_serialize_across_names():
     """ADVICE r10: the stale-event gate is scoped per (kind, name) —
     a taskDef deploy must not wait out another name's long engine

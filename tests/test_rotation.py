@@ -21,8 +21,9 @@ def test_evidence_parser_reads_committed_artifacts():
     # Artifacts are committed at the repo root; rounds 1-10 exist.
     assert ev, "no CORRECTNESS artifacts found at repo root"
     assert all(isinstance(r, int) and r >= 1 for r in ev.values())
-    # A green r10 row parsed as round 10.
-    assert ev.get("d_edit_shift_pairs") == 10
+    # A green r10 row parsed as at-least round 10 (later rounds may
+    # legitimately refresh it).
+    assert ev.get("d_edit_shift_pairs", 0) >= 10
 
 
 def test_evidence_parser_rejects_non_green_rows(tmp_path, monkeypatch):

@@ -114,16 +114,20 @@ def probe(spark, n: int, trigger_seconds: float = 0.5,
         # The completing batch's progress entry posts AFTER its sink
         # returns — and the serving store shows COMPLETED rows while
         # the trigger is still committing (bucket writes land before
-        # the batch commit), so a big single-batch fold can drain the
-        # poll loop seconds before its progress posts.  Wait (bounded)
-        # until a busy post-warmup entry exists, then exclude warm-up
-        # batches (codegen) so the decade ratio compares steady state.
+        # the batch commit), so a fold can drain the poll loop seconds
+        # before its progress posts.  Wait (bounded) until the busy
+        # entries account for the WHOLE backlog — a multi-batch fold's
+        # final (typically largest) batch must not be missed just
+        # because earlier batches already posted — then exclude the
+        # warm-up batches (codegen) so the ratio compares steady state.
+        # The backlog is n run-starts plus the task events each run's
+        # fold re-ingests, so >= n is the conservative floor.
         harvest_deadline = time.monotonic() + max(30.0, n / 10_000)
         while True:
             progress = [p for p in (q.recentProgress or [])
                         if p and p.get("batchId", -1) > base_batch]
-            if (any(p.get("numInputRows", 0) > 0 for p in progress)
-                    or time.monotonic() > harvest_deadline):
+            folded_so_far = sum(p.get("numInputRows", 0) for p in progress)
+            if folded_so_far >= n or time.monotonic() > harvest_deadline:
                 break
             time.sleep(trigger_seconds)
         folded = sum(p.get("numInputRows", 0) for p in progress)
