@@ -171,10 +171,16 @@ _CMS_DEPTHS_SQL = f"(SELECT unnest({list(range(CMS_DEPTH))}) AS depth) d"
 
 def cms_register_table(ev: DataFrame) -> DataFrame:
     """The CMS register build shared by both CMS queries: replicate
-    ×depth, salt-hash to a bucket, one map-side-combined rollup."""
-    rows = ev.select(F.col("user_id").cast("string").alias("uid")) \
-             .withColumn("depth", F.explode(F.array(
-                 *[F.lit(i) for i in range(CMS_DEPTH)])))
+    ×depth, salt-hash to a bucket, one map-side-combined rollup.
+
+    NULL keys do not enter the sketch (mirrored by the oracles'
+    `WHERE user_id IS NOT NULL`): Spark's concat_ws SKIPS a NULL uid
+    (hashing just the salt) while SQL's `||` propagates it — the only
+    portable contract is to exclude the key."""
+    rows = (ev.where(F.col("user_id").isNotNull())
+              .select(F.col("user_id").cast("string").alias("uid"))
+              .withColumn("depth", F.explode(F.array(
+                  *[F.lit(i) for i in range(CMS_DEPTH)]))))
     bucket = F.conv(
         F.substring(F.md5(F.concat_ws(":", "uid", "depth")), 1, 2),
         16, 10).cast("long")
@@ -212,6 +218,7 @@ SELECT d.depth,
          AS bucket,
        CAST(COUNT(*) AS BIGINT) AS total
 FROM events, {_CMS_DEPTHS_SQL}
+WHERE user_id IS NOT NULL
 GROUP BY 1, 2
 """,
 )
@@ -241,9 +248,11 @@ WITH reg AS (
            AS bucket,
          CAST(COUNT(*) AS BIGINT) AS total
   FROM events, {_CMS_DEPTHS_SQL}
+  WHERE user_id IS NOT NULL
   GROUP BY 1, 2
 ), exact AS (
   SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n FROM events
+  WHERE user_id IS NOT NULL
   GROUP BY user_id ORDER BY exact_n DESC, user_id LIMIT 5
 ), probe AS (
   SELECT e.user_id, e.exact_n, d.depth,
@@ -273,7 +282,11 @@ def sk_cms_point_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     depths = F.array(*[F.lit(i) for i in range(CMS_DEPTH)])
     reg = cms_register_table(ev)
-    exact = (ev.groupBy("user_id")
+    # NULL keys excluded like the register build — and the NULLS-
+    # FIRST/LAST default differs between engines, so a NULL group in
+    # the top-5 tie-break would diverge anyway.
+    exact = (ev.where(F.col("user_id").isNotNull())
+             .groupBy("user_id")
              .agg(F.count(F.lit(1)).alias("exact_n"))
              .orderBy(F.col("exact_n").desc(), "user_id").limit(5))
     probe = (exact.withColumn("depth", F.explode(depths))
@@ -305,6 +318,7 @@ BOTTOMK_K = 256  # sample size: rows with the k smallest md5(event_id)
 WITH s AS (
   SELECT CAST(round(value * 100, 0) AS BIGINT) AS cents
   FROM events
+  WHERE value IS NOT NULL
   ORDER BY md5(CAST(event_id AS VARCHAR)) LIMIT {BOTTOMK_K}
 ), a AS (
   SELECT list_sort(list(cents)) AS v, CAST(COUNT(*) AS BIGINT) AS k FROM s
@@ -336,13 +350,20 @@ def sk_bottomk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort exchange over everything) — this is the one you run on the
     whole corpus when that sort is the bottleneck."""
     ev = load_table(spark, sf_dir, "events")
-    sample = (ev.select(
-        F.md5(F.col("event_id").cast("string")).alias("hx"),
-        F.round(F.col("value") * 100, 0).cast("long").alias("cents"))
+    # NULL values are excluded from the sketch on BOTH sides:
+    # collect_list silently skips NULLs while count(*) counts them, so
+    # a NULL-valued event would desync k from |v| and push the rank
+    # selector past the array's end (found by the events edge corpus).
+    sample = (ev.where(F.col("value").isNotNull())
+        .select(
+            F.md5(F.col("event_id").cast("string")).alias("hx"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"))
         .orderBy("hx").limit(BOTTOMK_K))
     a = sample.agg(F.sort_array(F.collect_list("cents")).alias("v"),
                    F.count(F.lit(1)).alias("k"))
-    at = lambda num, den: F.element_at(  # noqa: E731 — rank selector
+    at = lambda num, den: F.try_element_at(  # noqa: E731 — rank selector;
+        # try_: an all-NULL corpus gives k=0 -> rank 1 on an empty
+        # array, which must be NULL (DuckDB's v[1]), not an error
         "v", (F.lit(1) + ((F.col("k") - 1) * num) / den).cast("int"))
     return a.select(
         "k",

@@ -123,6 +123,12 @@ def j5_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (is_err), and among clicks sharing one (user_id, ts) instant the
     running `last` lands on the max event_id — the oracle dedupes its
     click side to the same rule.
+
+    NULL-key rule: a window PARTITION groups NULL user_ids together,
+    but the oracle's ASOF JOIN `ON e.user_id = c.user_id` never
+    matches NULL — so clicks in the NULL partition are excluded from
+    the running-last (a NULL-user error still emits its LEFT row with
+    no match, exactly the join's semantics).
     """
     e = load_table(spark, sf_dir, "events")
     tagged = (
@@ -135,7 +141,8 @@ def j5_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (Window.partitionBy("user_id").orderBy("ts", "is_err", "event_id")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     last_clk = F.last(
-        F.when(F.col("is_err") == 0, F.struct("ts", "event_id")),
+        F.when((F.col("is_err") == 0) & F.col("user_id").isNotNull(),
+               F.struct("ts", "event_id")),
         ignorenulls=True,
     ).over(w)
     return (
@@ -430,7 +437,11 @@ def j7_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                  > SESSION_GAP_US)).cast("long")
     m = e.select(
         "user_id", "ts",
-        (F.col("event_type") == "error").cast("long").alias("is_err"),
+        # NULL-key rule: the oracle's LEFT JOIN `ON s.user_id =
+        # err.user_id` never matches a NULL user, so a NULL-user
+        # session reports 0 errors even when the error sits inside it.
+        ((F.col("event_type") == "error") & F.col("user_id").isNotNull())
+        .cast("long").alias("is_err"),
         F.sum(is_new).over(run).alias("session_idx"),
     )
     return m.groupBy("user_id", "session_idx").agg(
@@ -479,8 +490,13 @@ def w6_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     → final (cohort, offset) rollup whose key cardinality is
     O(weeks²), tiny forever — each partial-aggregated map-side."""
     e = load_table(spark, sf_dir, "events")
-    a = (e.select("user_id",
-                  F.expr(f"unix_micros(ts) div {US_PER_WEEK}").alias("wk"))
+    # NULL-key rule: the oracle's `a JOIN f ON a.user_id = f.user_id`
+    # drops NULL users (a join never matches NULL); the window-min
+    # formulation would happily give the NULL partition a cohort, so
+    # filter it to the join's semantics.
+    a = (e.where(F.col("user_id").isNotNull())
+         .select("user_id",
+                 F.expr(f"unix_micros(ts) div {US_PER_WEEK}").alias("wk"))
          .distinct())
     cohort = F.min("wk").over(Window.partitionBy("user_id"))
     return (a.withColumn("cohort_wk", cohort)
