@@ -24,7 +24,15 @@ N_QUERIES = 10  # vec_id < 10 are the query vectors
 
 
 def quantized(c: Column) -> Column:
-    """array<float> → array<long> of round(x*1000): exact integer space."""
+    """array<float> → array<long> of round(x*1000): exact integer space.
+
+    Domain contract: components must satisfy |x| <= ~3e5 so that a
+    64-dim int64 dot product cannot overflow (sum of 64 squares of
+    |q| <= 3.8e8 stays under 2^63).  Real embedding pipelines are
+    unit-normalized (|x| <= 1), far inside the bound; a component
+    beyond it overflows the BIGINT dot on BOTH engines (Spark ANSI
+    long overflow, DuckDB BIGINT overflow) rather than silently
+    wrapping."""
     return F.transform(c, lambda x: F.round(x.cast("double") * 1000, 0).cast("long"))
 
 
@@ -39,10 +47,48 @@ def cosine_q(a: Column, b: Column) -> Column:
     return dot_q(a, b) / F.sqrt(dot_q(a, a).cast("double") * dot_q(b, b).cast("double"))
 
 
-_QUANT_ORACLE = """
+def directed_vectors(spark: SparkSession, sf_dir: str,
+                     with_label: bool = False) -> DataFrame:
+    """The cosine family's vector universe: quantized embeddings with
+    a usable DIRECTION — NULL embeddings excluded (no vector at all;
+    Arrow UDF batches cannot hold them and the oracles' list
+    comprehension yields NULL), zero-norm vectors excluded (cosine
+    against them is an ANSI division by zero).  Mirrors the shared
+    `_QUANT_ORACLE` CTE chain exactly; the distance family (IVF /
+    k-means / PQ) keeps zero vectors and filters only NULLs
+    (`_QUANT_POS_ORACLE`)."""
+    cols = ["vec_id", "label"] if with_label else ["vec_id"]
+    return (load_table(spark, sf_dir, "embeddings")
+            .where(F.col("embedding").isNotNull())
+            .select(*cols, quantized(F.col("embedding")).alias("v"))
+            .withColumn("norm2", dot_q(F.col("v"), F.col("v")).cast("double"))
+            .where(F.col("norm2") > 0))
+
+
+# Vector-universe rule (r11, pinned by the embeddings edge corpus):
+# a row with a NULL embedding has no usable vector on either engine
+# (Spark's Arrow UDFs cannot batch it; SQL list comprehension yields
+# NULL) and is excluded EVERYWHERE.  The cosine family additionally
+# excludes zero-norm vectors — cosine against the zero vector is
+# undefined (ANSI division by zero), so "no direction" rows cannot be
+# queried or matched.  The distance family (IVF/k-means/PQ) keeps
+# zero vectors: they have a position even without a direction.
+_QUANT_POS_ORACLE = """
 WITH q AS (
   SELECT vec_id, [CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT) for x in embedding] AS v
   FROM embeddings
+  WHERE embedding IS NOT NULL
+)
+"""
+
+_QUANT_ORACLE = """
+WITH q0 AS (
+  SELECT vec_id, [CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT) for x in embedding] AS v
+  FROM embeddings
+  WHERE embedding IS NOT NULL
+), q AS (
+  SELECT vec_id, v FROM q0
+  WHERE list_sum([v[i] * v[i] for i in generate_series(1, len(v))]) > 0
 )
 """
 
@@ -76,9 +122,7 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB you first block candidates (see `sim_lsh_bucketed`),
     then run exactly this verification kernel on the survivors.
     """
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", quantized(F.col("embedding")).alias("v")
-    ).withColumn("norm2", dot_q(F.col("v"), F.col("v")).cast("double"))
+    e = directed_vectors(spark, sf_dir)
     qs = e.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
         F.col("norm2").alias("qnorm2"),
@@ -170,13 +214,10 @@ def sim_label_blocked_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .dedup import grid_self_pairs
 
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", quantized(F.col("embedding")).alias("v")
-    )
-    # Precompute norms once per vector (not per pair): the pair
-    # expression then evaluates ONE interpreted array-dot instead of
-    # three — measured ~3x on the bucketed self-join.
-    e = e.withColumn("norm2", dot_q(F.col("v"), F.col("v")).cast("double"))
+    # directed_vectors precomputes norms once per vector (not per
+    # pair): the pair expression then evaluates ONE interpreted
+    # array-dot instead of three — measured ~3x on the bucketed join.
+    e = directed_vectors(spark, sf_dir, with_label=True)
     sigs = e.select(
         "vec_id", "label",
         F.explode(_bucket_ids_udf(N_TABLES, BITS_PER_TABLE)(F.col("v"))).alias("bucket"),
@@ -367,9 +408,7 @@ def sim_lsh_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-plane sums — pure codegen, exact integers, so the DuckDB
     oracle reproduces the ranking bit-for-bit.
     """
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", quantized(F.col("embedding")).alias("v")
-    ).withColumn("norm2", dot_q(F.col("v"), F.col("v")).cast("double"))
+    e = directed_vectors(spark, sf_dir)
     sigs = e.select(
         "vec_id", "v", "norm2",
         F.explode(_bucket_ids_udf(ANN_TABLES, ANN_BITS)(F.col("v"))).alias("bucket"),
@@ -499,9 +538,7 @@ def sim_neardup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the vectors, and the final per-vector rank — every intermediate
     is O(N); a degenerate bucket costs W*m on one reducer, linear.
     """
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", quantized(F.col("embedding")).alias("v")
-    ).withColumn("norm2", dot_q(F.col("v"), F.col("v")).cast("double"))
+    e = directed_vectors(spark, sf_dir, with_label=True)
     sigs = e.select(
         "vec_id", "label",
         F.explode(_bucket_ids_udf(N_TABLES, BITS_PER_TABLE)(F.col("v"))).alias("bucket"),
@@ -559,7 +596,7 @@ _IVF_DIST2 = ("list_sum([(x.v[i] - c.c[i]) * (x.v[i] - c.c[i])"
 # `//` and SQL FLOOR(s/n) agree, and with |s| < 2^53 the double
 # division inside FLOOR is exact enough that both engines floor the
 # same value).  Empty cells keep their seed vector.
-_IVF_ASSIGN_CTES = _QUANT_ORACLE + f"""
+_IVF_ASSIGN_CTES = _QUANT_POS_ORACLE + f"""
 , cent0 AS (
   SELECT vec_id - {IVF_SEED_LO} AS cid, v AS c FROM q
   WHERE vec_id BETWEEN {IVF_SEED_LO} AND {IVF_SEED_HI}
@@ -697,7 +734,9 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DuckDB oracle reproduces assignment, training, probing, and
     ranking bit-for-bit.
     """
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()  # positional family: zero OK
+    ).select(
         "vec_id", quantized(F.col("embedding")).alias("v")
     ).withColumn("norm2", dot_q(F.col("v"), F.col("v")).cast("double"))
     centroids = _ivf_train(e)
@@ -737,7 +776,7 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sim_label_centroids",
-    oracle=_QUANT_ORACLE.replace("vec_id,", "vec_id, label,") + """
+    oracle=_QUANT_POS_ORACLE.replace("vec_id,", "vec_id, label,") + """
 SELECT label, i - 1 AS pos,
        CAST(SUM(v[i]) AS BIGINT) AS sum_q,
        CAST(COUNT(*) AS BIGINT)  AS n_vecs
@@ -754,7 +793,8 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange, so shuffle volume is independent of corpus size — the
     same shape a distributed k-means/IVF trainer uses per iteration.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull())  # positional family: zero OK
     parts = e.select(
         "label",
         F.posexplode(quantized(F.col("embedding"))).alias("pos", "xq"),
@@ -770,7 +810,7 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _SIM_CLUSTERS_ORACLE = _label_lsh_oracle().replace(
-    "WITH q AS", "WITH RECURSIVE q AS", 1).replace(
+    "WITH q0 AS", "WITH RECURSIVE q0 AS", 1).replace(
     """SELECT c.vec_a, c.vec_b, c.label,
        CAST(ROUND(
          list_sum([x.v[i] * y.v[i] for i in generate_series(1, len(x.v))]) * 1.0 /
@@ -801,6 +841,11 @@ WHERE list_sum([x.v[i] * y.v[i] for i in generate_series(1, len(x.v))]) * 1.0 /
 SELECT e.vec_id, COALESCE(c.cluster_id, e.vec_id) AS cluster_id
 FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.node
 """)
+# String-surgery guard: both .replace anchors must have matched — a
+# silent no-match (e.g. after a parent-CTE rename) ships an oracle
+# DuckDB rejects only at run time (found when the r11 q0 chain landed).
+assert _SIM_CLUSTERS_ORACLE.lstrip().startswith("WITH RECURSIVE")
+assert ", pairs AS (" in _SIM_CLUSTERS_ORACLE
 
 
 @query("sim_dup_clusters", oracle=_SIM_CLUSTERS_ORACLE)
@@ -855,7 +900,9 @@ def sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     back broadcast.  The oracle replays seeding, the Lloyd round and
     the assignment bit-for-bit (the `assign` CTE shared with
     `sim_ivf_ann`'s oracle)."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()  # positional family: zero OK
+    ).select(
         "vec_id", quantized(F.col("embedding")).alias("v"))
     centroids = _ivf_train(e)
     assign = e.select(
@@ -880,7 +927,7 @@ PQ_SEED_LO, PQ_SEED_HI = 10, 137  # 128 deterministic codebook seeds
 PQ_TOP_K = 3
 PQ_LLOYD_ROUNDS = 1
 
-_PQ_ORACLE = _QUANT_ORACLE + f"""
+_PQ_ORACLE = _QUANT_POS_ORACLE + f"""
 , cb0 AS (
   SELECT (vec_id - {PQ_SEED_LO}) AS k, t.m,
          [v[t.m * {PQ_SUB} + j] for j in generate_series(1, {PQ_SUB})] AS cw
@@ -1008,7 +1055,9 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     and ADC bit-for-bit."""
     import numpy as np
 
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()  # positional family: zero OK
+    ).select(
         "vec_id", quantized(F.col("embedding")).alias("v"))
     # ONE bounded collect for both driver artifacts (seeds + queries)
     art_rows = sorted(
@@ -1132,9 +1181,8 @@ def sim_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`sim_label_blocked_neardup`'s grid) and run this kernel on the
     survivors; the full-scan form here is the correctness oracle of
     that composition."""
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", quantized(F.col("embedding")).alias("v")
-    ).withColumn("n2", dot_q(F.col("v"), F.col("v")))
+    e = (directed_vectors(spark, sf_dir).drop("norm2")
+         .withColumn("n2", dot_q(F.col("v"), F.col("v"))))  # exact long
     ev = (e.where(F.col("vec_id") < SEMDECON_EVAL_MAX)
           .select(F.col("v").alias("ev"), F.col("n2").alias("en2")))
     tr = e.where(F.col("vec_id") >= SEMDECON_EVAL_MAX)
