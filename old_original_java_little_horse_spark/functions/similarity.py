@@ -26,13 +26,15 @@ N_QUERIES = 10  # vec_id < 10 are the query vectors
 def quantized(c: Column) -> Column:
     """array<float> → array<long> of round(x*1000): exact integer space.
 
-    Domain contract: components must satisfy |x| <= ~3e5 so that a
-    64-dim int64 dot product cannot overflow (sum of 64 squares of
-    |q| <= 3.8e8 stays under 2^63).  Real embedding pipelines are
-    unit-normalized (|x| <= 1), far inside the bound; a component
-    beyond it overflows the BIGINT dot on BOTH engines (Spark ANSI
-    long overflow, DuckDB BIGINT overflow) rather than silently
-    wrapping."""
+    Domain contract: |x| <= ~3e5 keeps a single 64-dim int64 dot
+    product from overflowing (sum of 64 squares of |q| <= 3.8e8 stays
+    under 2^63) — but the bound is PER-EXPRESSION, and consumers that
+    multiply dots again tighten it: `sim_semantic_decontaminate`'s
+    cross-multiplied compare (25·dot² vs 4·n2·n2) documents |x| <= ~2
+    at its site.  Real embedding pipelines are unit-normalized
+    (|x| <= 1), far inside every bound; a component beyond one
+    overflows the BIGINT arithmetic on BOTH engines (Spark ANSI long
+    overflow, DuckDB BIGINT overflow) rather than silently wrapping."""
     return F.transform(c, lambda x: F.round(x.cast("double") * 1000, 0).cast("long"))
 
 
@@ -58,11 +60,29 @@ def directed_vectors(spark: SparkSession, sf_dir: str,
     k-means / PQ) keeps zero vectors and filters only NULLs
     (`_QUANT_POS_ORACLE`)."""
     cols = ["vec_id", "label"] if with_label else ["vec_id"]
+    # ONE interpreted array-dot per row: n2 (exact long, what the
+    # cross-multiplied integer compares consume) is computed once and
+    # norm2 is its double cast for the cosine denominators — dot_q is
+    # an interpreted HOF with no CSE across projections (the r10
+    # lesson), so computing it twice would double the hot path.
     return (load_table(spark, sf_dir, "embeddings")
             .where(F.col("embedding").isNotNull())
             .select(*cols, quantized(F.col("embedding")).alias("v"))
-            .withColumn("norm2", dot_q(F.col("v"), F.col("v")).cast("double"))
-            .where(F.col("norm2") > 0))
+            .withColumn("n2", dot_q(F.col("v"), F.col("v")))
+            .where(F.col("n2") > 0)
+            .withColumn("norm2", F.col("n2").cast("double")))
+
+
+def positional_vectors(spark: SparkSession, sf_dir: str,
+                       with_label: bool = False) -> DataFrame:
+    """The distance family's vector universe (IVF / k-means / PQ /
+    centroids): only NULL embeddings are excluded — a zero vector has
+    a POSITION even without a direction, so it clusters and encodes
+    normally.  Mirrors `_QUANT_POS_ORACLE`."""
+    cols = ["vec_id", "label"] if with_label else ["vec_id"]
+    return (load_table(spark, sf_dir, "embeddings")
+            .where(F.col("embedding").isNotNull())
+            .select(*cols, quantized(F.col("embedding")).alias("v")))
 
 
 # Vector-universe rule (r11, pinned by the embeddings edge corpus):
@@ -538,7 +558,12 @@ def sim_neardup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the vectors, and the final per-vector rank — every intermediate
     is O(N); a degenerate bucket costs W*m on one reducer, linear.
     """
-    e = directed_vectors(spark, sf_dir, with_label=True)
+    # label.isNotNull: the window PARTITION below groups NULL labels
+    # together, but the oracle's candidate join `a.label = b.label`
+    # never matches NULL — two NULL-label near-identical vectors must
+    # produce no pair on either engine (the j5/j7 lesson, same round).
+    e = (directed_vectors(spark, sf_dir, with_label=True)
+         .where(F.col("label").isNotNull()))
     sigs = e.select(
         "vec_id", "label",
         F.explode(_bucket_ids_udf(N_TABLES, BITS_PER_TABLE)(F.col("v"))).alias("bucket"),
@@ -654,15 +679,21 @@ FROM ranked WHERE rnk <= 3
 def _ivf_cells_udf(centroids, nprobe: int):
     """array<bigint> of the `nprobe` nearest cell ids, nearest first.
 
-    One numpy pass: d² = |v|² − 2·V@C.T + |c|² in exact int64 (the
-    quantized space), stable argsort so distance ties break on the
-    lower cell id — the same (d2, cid) order the oracle's window uses.
-    nprobe=1 gives the corpus-side cell assignment.
+    `centroids` is a sorted list of (cid, vector) pairs — REAL cell
+    ids, not list positions, so a seed row missing from the universe
+    (NULL embedding) leaves a gap exactly like the oracle's sparse
+    `vec_id - IVF_SEED_LO` cids instead of silently shifting every
+    later cell (r11 self-review).  One numpy pass: d² = |v|² − 2·V@C.T
+    + |c|² in exact int64 (the quantized space), stable argsort over
+    cid-ascending rows so distance ties break on the lower cell id —
+    the same (d2, cid) order the oracle's window uses.  nprobe=1 gives
+    the corpus-side cell assignment.
     """
     import numpy as np
 
-    C = np.array(centroids, dtype=np.int64)            # (C, DIM)
-    cnorm = np.einsum("ij,ij->i", C, C)                # (C,)
+    cids = np.array([c for c, _ in centroids], dtype=np.int64)   # (C,)
+    C = np.array([v for _, v in centroids], dtype=np.int64)      # (C, DIM)
+    cnorm = np.einsum("ij,ij->i", C, C)                          # (C,)
 
     @F.pandas_udf("array<bigint>")
     def cells(v):
@@ -675,7 +706,7 @@ def _ivf_cells_udf(centroids, nprobe: int):
         d2 = (np.einsum("ij,ij->i", V, V)[:, None]
               - 2 * (V @ C.T) + cnorm[None, :])        # (n, C) exact int64
         order = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
-        return pd.Series(order.tolist())
+        return pd.Series(cids[order].tolist())
 
     return cells
 
@@ -684,23 +715,28 @@ def _ivf_train(e) -> list:
     """Seed centroids (quantized vectors vec_id 10..73) refined by
     IVF_LLOYD_ROUNDS exact-integer Lloyd rounds — the shared trainer
     behind `sim_ivf_ann` (index build) and `sim_kmeans_assign`
-    (cluster table).  Per round: one Arrow-batched assignment pass,
-    one (cid, pos) partial-agg shuffle whose output is C*DIM rows —
-    corpus-size independent — and a bounded driver fetch; floor
-    division matches the oracle's FLOOR(s/n)."""
+    (cluster table).  Returns sorted (cid, vector) pairs keyed by the
+    oracle's cid = vec_id - IVF_SEED_LO, so a missing seed (NULL
+    embedding) is a GAP on both engines, never an off-by-one.  Per
+    round: one Arrow-batched assignment pass, one (cid, pos)
+    partial-agg shuffle whose output is C*DIM rows — corpus-size
+    independent — and a bounded driver fetch; floor division matches
+    the oracle's FLOOR(s/n)."""
     cent_rows = (e.where(F.col("vec_id").between(IVF_SEED_LO, IVF_SEED_HI))
                   .select("vec_id", "v").collect())
-    centroids = [list(r.v) for r in sorted(cent_rows, key=lambda r: r.vec_id)]
+    cents = {int(r.vec_id) - IVF_SEED_LO: list(r.v) for r in cent_rows}
     for _ in range(IVF_LLOYD_ROUNDS):
         assign0 = e.select(
-            "v", _ivf_cells_udf(centroids, 1)(F.col("v"))[0].alias("cid"))
+            "v",
+            _ivf_cells_udf(sorted(cents.items()), 1)(F.col("v"))[0]
+            .alias("cid"))
         sums = (assign0.select("cid", F.posexplode("v").alias("pos", "x"))
                 .groupBy("cid", "pos")
                 .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
                 .collect())
         for r in sums:  # floor division == the oracle's FLOOR(s/n)
-            centroids[r.cid][r.pos] = r.s // r.n
-    return centroids
+            cents[r.cid][r.pos] = r.s // r.n
+    return sorted(cents.items())
 
 
 @query("sim_ivf_ann", oracle=_IVF_ORACLE)
@@ -734,11 +770,8 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DuckDB oracle reproduces assignment, training, probing, and
     ranking bit-for-bit.
     """
-    e = load_table(spark, sf_dir, "embeddings").where(
-        F.col("embedding").isNotNull()  # positional family: zero OK
-    ).select(
-        "vec_id", quantized(F.col("embedding")).alias("v")
-    ).withColumn("norm2", dot_q(F.col("v"), F.col("v")).cast("double"))
+    e = positional_vectors(spark, sf_dir).withColumn(
+        "norm2", dot_q(F.col("v"), F.col("v")).cast("double"))
     centroids = _ivf_train(e)
     corpus = e.select(
         "vec_id", "v", "norm2",
@@ -793,12 +826,8 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange, so shuffle volume is independent of corpus size — the
     same shape a distributed k-means/IVF trainer uses per iteration.
     """
-    e = load_table(spark, sf_dir, "embeddings").where(
-        F.col("embedding").isNotNull())  # positional family: zero OK
-    parts = e.select(
-        "label",
-        F.posexplode(quantized(F.col("embedding"))).alias("pos", "xq"),
-    )
+    e = positional_vectors(spark, sf_dir, with_label=True)
+    parts = e.select("label", F.posexplode("v").alias("pos", "xq"))
     return parts.groupBy("label", "pos").agg(
         F.sum("xq").alias("sum_q"),
         F.count(F.lit(1)).alias("n_vecs"),
@@ -900,10 +929,7 @@ def sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     back broadcast.  The oracle replays seeding, the Lloyd round and
     the assignment bit-for-bit (the `assign` CTE shared with
     `sim_ivf_ann`'s oracle)."""
-    e = load_table(spark, sf_dir, "embeddings").where(
-        F.col("embedding").isNotNull()  # positional family: zero OK
-    ).select(
-        "vec_id", quantized(F.col("embedding")).alias("v"))
+    e = positional_vectors(spark, sf_dir)
     centroids = _ivf_train(e)
     assign = e.select(
         "vec_id",
@@ -1055,10 +1081,7 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     and ADC bit-for-bit."""
     import numpy as np
 
-    e = load_table(spark, sf_dir, "embeddings").where(
-        F.col("embedding").isNotNull()  # positional family: zero OK
-    ).select(
-        "vec_id", quantized(F.col("embedding")).alias("v"))
+    e = positional_vectors(spark, sf_dir)
     # ONE bounded collect for both driver artifacts (seeds + queries)
     art_rows = sorted(
         e.where((F.col("vec_id").between(PQ_SEED_LO, PQ_SEED_HI))
@@ -1067,6 +1090,17 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         key=lambda r: r.vec_id)
     seed_rows = [r for r in art_rows
                  if PQ_SEED_LO <= r.vec_id <= PQ_SEED_HI]
+    if len(seed_rows) != PQ_K:
+        # Loud data contract, not a silent desync: the codebook keys
+        # codewords by vec_id - PQ_SEED_LO, so a seed row missing from
+        # the vector universe (NULL embedding) would shift every later
+        # codeword against the oracle's sparse k (r11 self-review; the
+        # IVF trainer handles gaps sparsely, PQ's dense (K, M, SUB)
+        # reshape cannot).
+        raise ValueError(
+            f"PQ codebook needs all {PQ_K} seed vectors (vec_id "
+            f"{PQ_SEED_LO}..{PQ_SEED_HI}) with non-NULL embeddings; "
+            f"found {len(seed_rows)}")
     q_rows = [r for r in art_rows if r.vec_id < N_QUERIES]
     cb = np.array([list(r.v) for r in seed_rows], dtype=np.int64)
     cb = cb.reshape(PQ_K, PQ_M, PQ_SUB).transpose(1, 0, 2)  # (M, K, SUB)
@@ -1181,8 +1215,7 @@ def sim_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`sim_label_blocked_neardup`'s grid) and run this kernel on the
     survivors; the full-scan form here is the correctness oracle of
     that composition."""
-    e = (directed_vectors(spark, sf_dir).drop("norm2")
-         .withColumn("n2", dot_q(F.col("v"), F.col("v"))))  # exact long
+    e = directed_vectors(spark, sf_dir).drop("norm2")  # n2: exact long
     ev = (e.where(F.col("vec_id") < SEMDECON_EVAL_MAX)
           .select(F.col("v").alias("ev"), F.col("n2").alias("en2")))
     tr = e.where(F.col("vec_id") >= SEMDECON_EVAL_MAX)

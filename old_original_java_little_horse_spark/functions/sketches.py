@@ -362,9 +362,14 @@ def sk_bottomk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = sample.agg(F.sort_array(F.collect_list("cents")).alias("v"),
                    F.count(F.lit(1)).alias("k"))
     at = lambda num, den: F.try_element_at(  # noqa: E731 — rank selector;
-        # try_: an all-NULL corpus gives k=0 -> rank 1 on an empty
-        # array, which must be NULL (DuckDB's v[1]), not an error
-        "v", (F.lit(1) + ((F.col("k") - 1) * num) / den).cast("int"))
+        # greatest(..., 1): k=0 makes every rank expression 0 (int
+        # truncation of 1 - num/den), and Spark's try_element_at
+        # REJECTS index 0 outright (INVALID_INDEX_OF_ZERO) instead of
+        # returning NULL — clamp to 1, where try_ on the empty array
+        # gives the NULL the oracle's v[0]-on-NULL-list produces.
+        "v", F.greatest(
+            (F.lit(1) + ((F.col("k") - 1) * num) / den).cast("int"),
+            F.lit(1)))
     return a.select(
         "k",
         at(1, 2).alias("p50_cents"),

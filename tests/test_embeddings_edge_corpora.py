@@ -9,8 +9,10 @@ labels, and a NULL embedding row.  Every similarity query must still
 hash-match its DuckDB oracle here.
 
 The corpus keeps the real sf0.001 table and rewrites only the tail
-(vec_id >= 490) plus one query vector, so the IVF/PQ/k-means seed
-rows (vec_id 10..73) and the query set keep their structure.
+(vec_id >= 489) plus one query vector, so the seed rows — IVF/k-means
+vec_id 10..73, PQ codebook vec_id 10..137 — and the query set keep
+their structure (a NULL embedding inside the seed ranges is a
+different contract: IVF handles the gap sparsely, PQ raises).
 """
 from __future__ import annotations
 
@@ -66,14 +68,21 @@ def edge_sf_dir(spark):
         df.loc[df.vec_id == 492, "label"] = int(
             df.loc[df.vec_id == 493, "label"].iloc[0])
         setvec(496, -base)                       # exact negation (cos -1)
-        # One dominant component, inside the quantization domain
-        # (|x| small enough that int64 dot products cannot overflow —
-        # see quantized()'s contract note).
+        # One dominant component, inside EVERY consumer's quantization
+        # domain (semantic-decontaminate squares dots, so |x| must stay
+        # ~O(10) — see quantized()'s contract note).
         big = [0.001] * DIM
-        big[7] = 1000.0
+        big[7] = 10.0
         setvec(498, big)
         setvec(499, [0.5] * DIM)                 # constant vector
-        # NULL label + NULL embedding rows
+        # TWO NULL-label vectors with IDENTICAL embeddings: they share
+        # every LSH bucket and verify at cosine 1.0, but a NULL label
+        # must match NOTHING (join semantics) — a window formulation
+        # that groups the NULL partition would pair them (the masked
+        # r11 sim_neardup_topk bug; one NULL row alone can't catch it).
+        setvec(494, base)
+        setvec(495, base)
+        df.loc[df.vec_id == 495, "label"] = None
         df.loc[df.vec_id == 494, "label"] = None
         df["label"] = df["label"].astype("Int64")
         emb = df["embedding"].astype(object)

@@ -109,6 +109,32 @@ def test_events_edge_parity(spark, edge_sf_dir, name):
     assert res["ok"], res
 
 
+def test_bottomk_on_all_null_values(spark, edge_sf_dir):
+    """k=0 fencepost: with every `value` NULL the sample is empty and
+    all three rank selectors evaluate to index 0 — Spark's
+    try_element_at rejects 0 outright (INVALID_INDEX_OF_ZERO), so the
+    selector clamps to 1 and must return the oracle's NULL quantiles,
+    not raise (r11 self-review)."""
+    import pandas as pd
+
+    specs = all_queries()
+    workdir = Path(tempfile.mkdtemp(prefix="edge-nullvals-"))
+    try:
+        for t in TABLES:
+            src = Path(edge_sf_dir) / f"{t}.parquet"
+            if t != "events" and src.exists():
+                shutil.copy(src, workdir / f"{t}.parquet")
+        ev = pd.read_parquet(Path(edge_sf_dir) / "events.parquet")
+        ev["value"] = None
+        ev["value"] = ev["value"].astype("float64")
+        ev.to_parquet(workdir / "events.parquet")
+        res = compare(spark, str(workdir), "sk_bottomk_quantiles",
+                      specs["sk_bottomk_quantiles"])
+        assert res["ok"], res
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
 def test_corpus_exercises_the_fenceposts(spark, edge_sf_dir):
     """Sanity that the corpus hits what it claims: u1's first two
     events share a session (diff == gap is NOT a break) and the third
