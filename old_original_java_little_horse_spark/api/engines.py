@@ -50,9 +50,21 @@ def detect_checkpoint_engine(ckpt_dir: Path) -> bool | None:
     import re
 
     offsets = ckpt_dir / "offsets"
+
+    # Offsets filenames are batch ids; sort NUMERICALLY so batch 10
+    # outranks batch 9 (lexicographic order would scan '9' first once
+    # ids pass one digit — ADVICE r11).  Non-numeric names (none today)
+    # sort after the numeric ones, by name.
+    def _batch_key(p: Path):
+        try:
+            return (0, int(p.name), p.name)
+        except ValueError:
+            return (1, 0, p.name)
+
     try:
-        files = sorted(p for p in offsets.iterdir()
-                       if p.is_file() and not p.name.startswith("."))
+        files = sorted((p for p in offsets.iterdir()
+                        if p.is_file() and not p.name.startswith(".")),
+                       key=_batch_key)
     except OSError:
         return None
     for path in reversed(files):

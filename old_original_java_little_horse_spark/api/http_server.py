@@ -164,6 +164,15 @@ class LittleHorseAPI:
             self._keyed_meta_action(
                 (kind, old_name), seq,
                 lambda: self.engines.undeploy(old_name))
+        elif (kind == "taskDef" and new is not None and old_name
+                and old_name != name and self.task_deployer is not None):
+            # Same rename rule for taskDef workers (ADVICE r11): the
+            # old name's undeploy runs under the OLD name's seq gate,
+            # so a late-arriving rename cannot undeploy a worker a
+            # newer, higher-seq event just recreated under that name.
+            self._keyed_meta_action(
+                (kind, old_name), seq,
+                lambda: self.task_deployer.undeploy_task_def(old))
         self._keyed_meta_action(
             (kind, name), seq,
             lambda: self._meta_change_locked(kind, new, old))
@@ -184,9 +193,12 @@ class LittleHorseAPI:
         if kind == "taskDef" and self.task_deployer is not None:
             # TaskDef.processChange/remove (TaskDef.java:95-129):
             # first POST deploys the worker; a re-POST redeploys only
-            # if the doc actually changed; DELETE undeploys.
+            # if the doc actually changed; DELETE undeploys.  A RENAME
+            # skips the old undeploy here — the caller (_meta_change)
+            # ran it under the OLD name's own seq gate.
             if new is not None:
-                if old is not None and old != new:
+                if (old is not None and old != new
+                        and old.get("name") == new.get("name")):
                     self.task_deployer.undeploy_task_def(old)
                 if old is None or old != new:
                     self.task_deployer.deploy_task_def(new)

@@ -61,7 +61,7 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # hand list allowed is impossible by construction.
 
 
-_EVIDENCE_CACHE: dict[str, dict[str, int]] = {}
+_EVIDENCE_CACHE: dict[tuple, dict[str, int]] = {}
 
 
 def _driver_evidence_rounds() -> dict[str, int]:
@@ -72,8 +72,11 @@ def _driver_evidence_rounds() -> dict[str, int]:
     recorded (rows-only checks count: hash_match is absent, not False).
     Returns {} when no artifacts are readable (fresh checkout, driver
     sandbox without history) — callers fall back to insertion order.
-    Memoized per resolved root: the artifacts are immutable within a
-    process and all_queries() is called on every entry-point path.
+    Memoized on the artifact set's (path, mtime) fingerprint (ADVICE
+    r11): a long-lived process that writes a new CORRECTNESS_r*.json
+    and calls all_queries() again re-derives the order instead of
+    serving the stale artifact set; unchanged artifacts stay a cheap
+    stat-only hit.
     """
     import json
     import re
@@ -81,13 +84,22 @@ def _driver_evidence_rounds() -> dict[str, int]:
 
     latest: dict[str, int] = {}
     root = Path(__file__).resolve().parent.parent
-    cached = _EVIDENCE_CACHE.get(str(root))
-    if cached is not None:
-        return cached
     try:
         artifacts = sorted(root.glob("CORRECTNESS_r*.json"))
     except OSError:
         return latest
+
+    def _mtime(p: Path) -> int:
+        try:
+            return p.stat().st_mtime_ns
+        except OSError:
+            return -1
+
+    cache_key = (str(root),
+                 tuple((str(p), _mtime(p)) for p in artifacts))
+    cached = _EVIDENCE_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
     for path in artifacts:
         m = re.search(r"r(\d+)", path.name)
         if not m:
@@ -110,7 +122,8 @@ def _driver_evidence_rounds() -> dict[str, int]:
             )
             if green and rnd > latest.get(name, 0):
                 latest[name] = rnd
-    _EVIDENCE_CACHE[str(root)] = latest
+    _EVIDENCE_CACHE.clear()  # one live fingerprint per process is enough
+    _EVIDENCE_CACHE[cache_key] = latest
     return latest
 
 

@@ -61,6 +61,29 @@ def test_detection_tristate(tmp_path):
     assert detect_checkpoint_engine(legacy) is False
 
 
+def test_detection_reads_newest_offsets_numerically(tmp_path):
+    """ADVICE r11: offsets filenames are batch ids; lexicographic
+    order scans '9' before '10'.  Detection must read the genuinely
+    newest committed batch first — pinned here by making only batch 12
+    carry a provider record and planting a conflicting record in an
+    older batch."""
+    ckpt = tmp_path / "ckpt"
+    (ckpt / "offsets").mkdir(parents=True)
+    # batches 2 and 9 say HDFS; only the newest (12) says RocksDB — a
+    # provider flip can't happen in real life, which is exactly why
+    # the newest-first read order is the observable contract here.
+    (ckpt / "offsets" / "2").write_text(_HDFS_OFFSETS)
+    (ckpt / "offsets" / "9").write_text(_HDFS_OFFSETS)
+    (ckpt / "offsets" / "12").write_text(_ROCKSDB_OFFSETS)
+    assert detect_checkpoint_engine(ckpt) is True
+    # provider-less newest batch falls through to the next-newest
+    (ckpt / "offsets" / "13").write_text("v1\n{}\n{}\n")
+    assert detect_checkpoint_engine(ckpt) is True
+    # non-numeric names don't crash detection
+    (ckpt / "offsets" / "metadata-ish").write_text("v1\n{}\n{}\n")
+    assert detect_checkpoint_engine(ckpt) is True
+
+
 def test_custom_marker_location(tmp_path):
     root = tmp_path / "root"
     ckpt = root / "ckpt"

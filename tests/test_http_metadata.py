@@ -206,6 +206,52 @@ def test_late_rename_cannot_clobber_recreated_old_name():
     assert eng2.undeploys == ["A"]
 
 
+def test_late_taskdef_rename_cannot_clobber_recreated_old_name():
+    """ADVICE r11: the wfSpec rename rule applies to taskDef workers
+    too.  A late-arriving taskDef rename (seq 5, A->B) delivered after
+    a newer event recreating A (seq 6) must have its undeploy of A
+    dropped by A's own seq gate — otherwise a worker metadata says
+    exists is stopped."""
+    class FakeTaskDeployer:
+        def __init__(self):
+            self.deploys, self.undeploys = [], []
+
+        def deploy_task_def(self, doc):
+            self.deploys.append((doc["name"], doc.get("id")))
+
+        def undeploy_task_def(self, doc):
+            self.undeploys.append(doc["name"])
+
+    td = FakeTaskDeployer()
+    api = LittleHorseAPI(None, task_deployer=td)
+    a1 = {"name": "A", "id": "id-1"}
+    renamed = {"name": "B", "id": "id-1"}
+    a2 = {"name": "A", "id": "id-2"}
+    # changelog order: rename A->B (seq 5), then recreate A (seq 6);
+    # delivery inverted.
+    api._meta_change("taskDef", a2, None, seq=6)      # recreate A first
+    api._meta_change("taskDef", renamed, a1, seq=5)   # late rename
+    assert ("A", "id-2") in td.deploys                # recreate applied
+    assert ("B", "id-1") in td.deploys                # rename's deploy applied
+    assert td.undeploys == []                         # A's undeploy DROPPED
+    # in changelog order the undeploy does run, exactly once
+    td2 = FakeTaskDeployer()
+    api2 = LittleHorseAPI(None, task_deployer=td2)
+    api2._meta_change("taskDef", a1, None, seq=1)
+    api2._meta_change("taskDef", renamed, a1, seq=2)
+    assert td2.undeploys == ["A"]
+    assert td2.deploys == [("A", "id-1"), ("B", "id-1")]
+    # a same-name doc change still undeploys the old worker inline
+    td3 = FakeTaskDeployer()
+    api3 = LittleHorseAPI(None, task_deployer=td3)
+    v1 = {"name": "A", "id": "id-1"}
+    v2 = {"name": "A", "id": "id-2"}
+    api3._meta_change("taskDef", v1, None, seq=1)
+    api3._meta_change("taskDef", v2, v1, seq=2)
+    assert td3.undeploys == ["A"]
+    assert td3.deploys == [("A", "id-1"), ("A", "id-2")]
+
+
 def test_meta_change_does_not_serialize_across_names():
     """ADVICE r10: the stale-event gate is scoped per (kind, name) —
     a taskDef deploy must not wait out another name's long engine

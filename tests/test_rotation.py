@@ -65,6 +65,31 @@ def test_new_query_would_lead_window(monkeypatch):
     assert ordered[0] == names[-1]
 
 
+def test_new_artifact_invalidates_evidence_cache(tmp_path, monkeypatch):
+    """ADVICE r11: a long-lived process that writes a new
+    CORRECTNESS_r*.json and asks for the ordering again must see the
+    new artifact — the memo is keyed on the artifact set's
+    (path, mtime) fingerprint, not the process lifetime."""
+    pkg_dir = tmp_path / "pkg"
+    pkg_dir.mkdir()
+    monkeypatch.setattr(registry, "__file__", str(pkg_dir / "registry.py"))
+    row = {"rows_match": True, "schema_match": True,
+           "hash_match": True, "err": None}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({"a": row}))
+    assert _driver_evidence_rounds() == {"a": 1}
+    # same process, new artifact: the stale memo must not be served
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({"b": row}))
+    assert _driver_evidence_rounds() == {"a": 1, "b": 2}
+    # rewriting an existing artifact in place also invalidates (mtime)
+    import os
+    path = tmp_path / "CORRECTNESS_r02.json"
+    path.write_text(json.dumps({"b": row, "c": row}))
+    os.utime(path, ns=(1, 2))  # force a distinct mtime fingerprint
+    assert _driver_evidence_rounds() == {"a": 1, "b": 2, "c": 2}
+    # unchanged artifact set: served from the memo (same object back)
+    assert _driver_evidence_rounds() is _driver_evidence_rounds()
+
+
 def test_missing_artifacts_fall_back_to_insertion_order(tmp_path, monkeypatch):
     pkg_dir = tmp_path / "pkg"
     pkg_dir.mkdir()

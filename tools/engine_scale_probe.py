@@ -127,8 +127,31 @@ def probe(spark, n: int, trigger_seconds: float = 0.5,
             progress = [p for p in (q.recentProgress or [])
                         if p and p.get("batchId", -1) > base_batch]
             folded_so_far = sum(p.get("numInputRows", 0) for p in progress)
-            if folded_so_far >= n or time.monotonic() > harvest_deadline:
+            if time.monotonic() > harvest_deadline:
                 break
+            if folded_so_far >= n:
+                # >= n is a conservative FLOOR, not the backlog (each
+                # run's fold re-ingests its task events), so the final
+                # — typically largest — batch may still be committing.
+                # Wait one extra trigger and only stop once the busy
+                # batches are quiescent: no new input-carrying batchId
+                # and an unchanged row total (ADVICE r11).  Idle
+                # no-data batches keep advancing batchId, so quiesce
+                # on BUSY entries only; the deadline stays the bound.
+                def _busy_max(entries):
+                    return max((p.get("batchId", -1) for p in entries
+                                if p.get("numInputRows", 0) > 0),
+                               default=-1)
+                last_busy = _busy_max(progress)
+                time.sleep(max(trigger_seconds, 1.0))
+                again = [p for p in (q.recentProgress or [])
+                         if p and p.get("batchId", -1) > base_batch]
+                if (_busy_max(again) == last_busy
+                        and sum(p.get("numInputRows", 0) for p in again)
+                        == folded_so_far):
+                    progress = again
+                    break
+                continue
             time.sleep(trigger_seconds)
         folded = sum(p.get("numInputRows", 0) for p in progress)
         durs = sorted(
