@@ -395,27 +395,41 @@ class ReplayPeer:
             capture_output=True, text=True, timeout=60).stdout.strip()
         if not head:
             head = "<unknown-head>"  # keep the HEAD-skip filter a no-op
-        # A round's final tree is marked either by the driver's early
-        # "end-of-round snapshot" commits (rounds 2-6) or, since round
-        # 7, by its "round N: verdict/advice/correctness/bench" commit
-        # — prefer the most recent so the replay measures the PREVIOUS
-        # round, not a fossil.  Skip HEAD itself: the driver may run
-        # bench at a fresh round-end commit.
+        # $SPARK_GRAFT_REPLAY_COMMIT pins the peer to an arbitrary rev
+        # (tools/ab_movers.py uses this for targeted regression A/Bs);
+        # otherwise pick the previous round's final tree, marked either
+        # by the driver's early "end-of-round snapshot" commits (rounds
+        # 2-6) or, since round 7, by its "round N:
+        # verdict/advice/correctness/bench" commit — prefer the most
+        # recent so the replay measures the PREVIOUS round, not a
+        # fossil.  Skip HEAD itself: the driver may run bench at a
+        # fresh round-end commit.
         import re
-        log = subprocess.run(
-            ["git", "log", "-E", "--grep",
-             r"^round [0-9]+: (end-of-round snapshot|verdict/advice)",
-             "-n", "20", "--format=%H %s"],
-            cwd=self.repo, capture_output=True, text=True, timeout=60)
-        pat = re.compile(
-            r"^[0-9a-f]{40} round \d+: "
-            r"(end-of-round snapshot|verdict/advice/correctness/bench)")
-        lines = [ln for ln in log.stdout.splitlines()
-                 if pat.match(ln) and not ln.startswith(head)]
-        if not lines:
-            self.error = "no prior round-end commit"
-            return
-        self.commit, _, self.subject = lines[0].partition(" ")
+        pinned = os.environ.get("SPARK_GRAFT_REPLAY_COMMIT")
+        if pinned:
+            rev = subprocess.run(
+                ["git", "rev-parse", pinned], cwd=self.repo,
+                capture_output=True, text=True, timeout=60)
+            self.commit = rev.stdout.strip()
+            if not self.commit:
+                self.error = f"unresolvable replay commit: {pinned}"
+                return
+            self.subject = f"(pinned: {pinned})"
+        else:
+            log = subprocess.run(
+                ["git", "log", "-E", "--grep",
+                 r"^round [0-9]+: (end-of-round snapshot|verdict/advice)",
+                 "-n", "20", "--format=%H %s"],
+                cwd=self.repo, capture_output=True, text=True, timeout=60)
+            pat = re.compile(
+                r"^[0-9a-f]{40} round \d+: "
+                r"(end-of-round snapshot|verdict/advice/correctness/bench)")
+            lines = [ln for ln in log.stdout.splitlines()
+                     if pat.match(ln) and not ln.startswith(head)]
+            if not lines:
+                self.error = "no prior round-end commit"
+                return
+            self.commit, _, self.subject = lines[0].partition(" ")
         tmp = Path(tempfile.mkdtemp(prefix="bench-replay-"))
         self._wt = tmp / "wt"
         subprocess.run(
