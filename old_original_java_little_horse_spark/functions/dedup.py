@@ -657,6 +657,25 @@ WITH t AS (
 """
 
 
+def simhash_band_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sig, bkey) band rows — the self-join input of
+    `d_simhash_pairs`, shared with its candidate counter
+    (`enum_candidates.py`) so the counted work can never drift from
+    the executed plan.  Band key: table id in the high bits, the
+    table's 16 signature bits in the low — one long, no string
+    building."""
+    sigs = simhash64_sigs(spark, sf_dir)
+    return sigs.select(
+        "doc_id", "sig",
+        F.explode(F.array(*[
+            F.shiftrightunsigned(F.col("sig"), 48 - SIMHASH_BAND_W * t)
+             .bitwiseAND(F.lit((1 << SIMHASH_BAND_W) - 1))
+             .bitwiseOR(F.lit(t << 60))
+            for t in range(SIMHASH_BANDS)
+        ])).alias("bkey"),
+    )
+
+
 @query(
     "d_simhash_pairs",
     oracle=_SIMHASH64_ORACLE_SIGS + f"""
@@ -698,18 +717,7 @@ def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # here would pin cache for the session — the query function can't
     # unpersist after returning its lazy DataFrame).  At 100 TB a
     # dedup pipeline writes the signature table between passes anyway.
-    sigs = simhash64_sigs(spark, sf_dir)
-    # Band key: table id in the high bits, the table's 16 signature
-    # bits in the low — one long, no string building.
-    bands = sigs.select(
-        "doc_id", "sig",
-        F.explode(F.array(*[
-            F.shiftrightunsigned(F.col("sig"), 48 - SIMHASH_BAND_W * t)
-             .bitwiseAND(F.lit((1 << SIMHASH_BAND_W) - 1))
-             .bitwiseOR(F.lit(t << 60))
-            for t in range(SIMHASH_BANDS)
-        ])).alias("bkey"),
-    )
+    bands = simhash_band_keys(spark, sf_dir)
     # Both sigs ride through the candidate join (`carry_cols`) so
     # verification needs no lookup joins.  dedup=False: a pair whose
     # signatures agree in m bands met the join m times, and the old
@@ -880,6 +888,34 @@ HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
 """
 
 
+def winnow_live_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Df-capped winnowing fingerprint postings (doc_id, h) — the
+    self-join input of `d_winnow_fingerprint_pairs`, shared with its
+    candidate counter (`enum_candidates.py`) so the counted work can
+    never drift from the executed plan.  One row per (doc, distinct
+    fingerprint); postings wider than WINNOW_MAX_DF are dropped."""
+    d = load_table(spark, sf_dir, "documents")
+    k, w = WINNOW_K, WINNOW_W
+    words = F.split(
+        F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+    doc = d.select("doc_id", words.alias("w"))
+    hs = F.expr(
+        f"CASE WHEN size(w) >= {k} THEN "
+        f"transform(sequence(1, size(w) - {k - 1}), "
+        f"i -> cast(conv(substring(md5(array_join(slice(w, i, {k}), ' ')), "
+        f"1, 14), 16, 10) AS bigint)) ELSE array() END")
+    fp = F.expr(
+        f"array_distinct(CASE WHEN size(hs) >= {w} THEN "
+        f"transform(sequence(1, size(hs) - {w - 1}), "
+        f"i -> array_min(slice(hs, i, {w}))) ELSE array() END)")
+    posting = (doc.withColumn("hs", hs)
+               .select("doc_id", F.explode(fp).alias("h")))
+    return (posting
+            .withColumn("_df", F.count(F.lit(1)).over(
+                Window.partitionBy("h")))
+            .where(F.col("_df") <= WINNOW_MAX_DF).drop("_df"))
+
+
 @query("d_winnow_fingerprint_pairs", oracle=_WINNOW_ORACLE)
 def d_winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS, Schleimer/Wilkerson/Aiken SIGMOD 2003)
@@ -900,26 +936,7 @@ def d_winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     otherwise emit O(df²) pairs at 100 TB), reusing the same hash
     partitioning, and the pair rollup is the one remaining exchange.
     """
-    d = load_table(spark, sf_dir, "documents")
-    k, w = WINNOW_K, WINNOW_W
-    words = F.split(
-        F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
-    doc = d.select("doc_id", words.alias("w"))
-    hs = F.expr(
-        f"CASE WHEN size(w) >= {k} THEN "
-        f"transform(sequence(1, size(w) - {k - 1}), "
-        f"i -> cast(conv(substring(md5(array_join(slice(w, i, {k}), ' ')), "
-        f"1, 14), 16, 10) AS bigint)) ELSE array() END")
-    fp = F.expr(
-        f"array_distinct(CASE WHEN size(hs) >= {w} THEN "
-        f"transform(sequence(1, size(hs) - {w - 1}), "
-        f"i -> array_min(slice(hs, i, {w}))) ELSE array() END)")
-    posting = (doc.withColumn("hs", hs)
-               .select("doc_id", F.explode(fp).alias("h")))
-    live = (posting
-            .withColumn("_df", F.count(F.lit(1)).over(
-                Window.partitionBy("h")))
-            .where(F.col("_df") <= WINNOW_MAX_DF).drop("_df"))
+    live = winnow_live_postings(spark, sf_dir)
     a, b = live.alias("a"), live.alias("b")
     return (a.join(b, (F.col("a.h") == F.col("b.h"))
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -991,6 +1008,56 @@ FROM cand WHERE levenshtein(pa, pb) <= {_EDIT_MAX}
 """
 
 
+def edit_prefix_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, p) normalized {pre}-char prefixes — the shared
+    root of both edit-pair queries and their candidate counters
+    (`enum_candidates.py`)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", "lang",
+        F.substring(normalized_text(F.col("text")), 1, _EDIT_PREFIX)
+        .alias("p"))
+
+
+def edit_aligned_live(base: DataFrame) -> DataFrame:
+    """Df-capped aligned segments (doc_id, lang, p, i, s) — the
+    posting side of both edit-pair self-joins.  At most one row per
+    (doc, i): a doc has one segment per aligned position."""
+    segs = (base.select(
+        "doc_id", "lang", "p",
+        F.posexplode(F.expr(
+            f"transform(sequence(0, {_EDIT_MAX}), "
+            f"i -> substring(p, 1 + {_SEG_LEN} * int(i), {_SEG_LEN}))"
+        )).alias("i", "s"))
+        .where(F.col("s") != ""))
+    return (segs.withColumn(
+        "_df", F.count(F.lit(1)).over(Window.partitionBy("lang", "i", "s")))
+        .where(F.col("_df") <= _SEG_MAX_DF).drop("_df"))
+
+
+def edit_shift_substrings(base: DataFrame) -> DataFrame:
+    """Shifted-substring side of `d_edit_shift_pairs`: admissible
+    shifts dlt of each segment start, -min(SEG_LEN*i, k) <= dlt <= +k;
+    duplicates within one position collapse JVM-side (array_distinct)
+    before the explode, so at most one row per (doc, i, s)."""
+    return (base.select(
+        "doc_id", "lang", "p",
+        F.posexplode(F.expr(
+            f"transform(sequence(0, {_EDIT_MAX}), i -> array_distinct("
+            f"  filter(transform("
+            f"    sequence(-least({_SEG_LEN} * int(i), {_EDIT_MAX}),"
+            f"             {_EDIT_MAX}),"
+            f"    dlt -> substring(p, 1 + {_SEG_LEN} * int(i) + int(dlt),"
+            f"                     {_SEG_LEN})),"
+            f"  s -> s <> '')))"
+        )).alias("i", "arr"))
+        .select("doc_id", "lang", "p", "i",
+                F.explode("arr").alias("s")))
+
+
+edit_prefix_base.__doc__ = edit_prefix_base.__doc__.format(pre=_EDIT_PREFIX)
+
+
 @query("d_edit_shift_pairs", oracle=_SHIFT_ORACLE)
 def d_edit_shift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ALL pairs within bounded edit distance on the normalized
@@ -1032,37 +1099,9 @@ def d_edit_shift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     `distinct()` on normalized pair ids, then one threshold-banded
     JVM `levenshtein` per surviving candidate.  No Python anywhere.
     """
-    d = load_table(spark, sf_dir, "documents")
-    base = d.select(
-        "doc_id", "lang",
-        F.substring(normalized_text(F.col("text")), 1, _EDIT_PREFIX)
-        .alias("p"))
-    segs = (base.select(
-        "doc_id", "lang", "p",
-        F.posexplode(F.expr(
-            f"transform(sequence(0, {_EDIT_MAX}), "
-            f"i -> substring(p, 1 + {_SEG_LEN} * int(i), {_SEG_LEN}))"
-        )).alias("i", "s"))
-        .where(F.col("s") != ""))
-    live = (segs.withColumn(
-        "_df", F.count(F.lit(1)).over(Window.partitionBy("lang", "i", "s")))
-        .where(F.col("_df") <= _SEG_MAX_DF).drop("_df"))
-    # Substring side: admissible shifts dlt of each segment start,
-    # -min(SEG_LEN*i, k) <= dlt <= +k; duplicates within one position
-    # collapse JVM-side (array_distinct) before the explode.
-    subs = (base.select(
-        "doc_id", "lang", "p",
-        F.posexplode(F.expr(
-            f"transform(sequence(0, {_EDIT_MAX}), i -> array_distinct("
-            f"  filter(transform("
-            f"    sequence(-least({_SEG_LEN} * int(i), {_EDIT_MAX}),"
-            f"             {_EDIT_MAX}),"
-            f"    dlt -> substring(p, 1 + {_SEG_LEN} * int(i) + int(dlt),"
-            f"                     {_SEG_LEN})),"
-            f"  s -> s <> '')))"
-        )).alias("i", "arr"))
-        .select("doc_id", "lang", "p", "i",
-                F.explode("arr").alias("s")))
+    base = edit_prefix_base(spark, sf_dir)
+    live = edit_aligned_live(base)
+    subs = edit_shift_substrings(base)
     a_lt = F.col("a.doc_id") < F.col("b.doc_id")
     cand = (live.alias("a")
             .join(subs.alias("b"),
@@ -1153,21 +1192,7 @@ def d_edit_segment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     m segments meets m times), then the threshold-banded
     `levenshtein` projection.  No Python anywhere.
     """
-    d = load_table(spark, sf_dir, "documents")
-    base = d.select(
-        "doc_id", "lang",
-        F.substring(normalized_text(F.col("text")), 1, _EDIT_PREFIX)
-        .alias("p"))
-    segs = (base.select(
-        "doc_id", "lang", "p",
-        F.posexplode(F.expr(
-            f"transform(sequence(0, {_EDIT_MAX}), "
-            f"i -> substring(p, 1 + {_SEG_LEN} * int(i), {_SEG_LEN}))"
-        )).alias("i", "s"))
-        .where(F.col("s") != ""))
-    live = (segs.withColumn(
-        "_df", F.count(F.lit(1)).over(Window.partitionBy("lang", "i", "s")))
-        .where(F.col("_df") <= _SEG_MAX_DF).drop("_df"))
+    live = edit_aligned_live(edit_prefix_base(spark, sf_dir))
     cand = (live.alias("a")
             .join(live.alias("r"),
                   (F.col("a.lang") == F.col("r.lang"))

@@ -197,6 +197,18 @@ WHERE list_sum([x.v[i] * y.v[i] for i in generate_series(1, len(x.v))]) * 1.0 /
 """
 
 
+def neardup_block_sigs(e: DataFrame) -> DataFrame:
+    """(vec_id, label, bucket) blocking rows over a directed-vectors
+    frame — the self-join input of `sim_label_blocked_neardup`, shared
+    with its candidate counter (`enum_candidates.py`) so the counted
+    work can never drift from the executed plan.  One row per
+    (vector, LSH table): N_TABLES buckets per vector."""
+    return e.select(
+        "vec_id", "label",
+        F.explode(_bucket_ids_udf(N_TABLES, BITS_PER_TABLE)(F.col("v"))).alias("bucket"),
+    )
+
+
 def sim_label_blocked_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: candidates share BOTH
     the label and a hyperplane-LSH bucket (any of the OR'd tables),
@@ -207,20 +219,20 @@ def sim_label_blocked_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate self-join is grid-sub-bucketed (`grid_self_pairs`) so a
     dense cell spreads over P² reducers instead of pinning one.
 
-    Scale posture (measured, sf0.1→sf1 probe; r11 adjudication of the
-    over-bound decade row): this query ENUMERATES near-dup pairs, and
-    on clustered data that workload is inherently quadratic within
-    each dense neighborhood.  Counted at the r11 probe corpora: x10
-    vectors → candidate pairs x102 (51.8k → 5.28M, the sum of m²/2
-    over (label, bucket) cells) and verified output x125 (616 → 77k
-    rows), while the sf1 wall IMPROVED round-over-round (20.8 → 15.7
-    s) and wall per candidate DROPPED 40 → 3 µs — wall is sub-linear
-    in the work actually demanded, spill stays 0, and the grid spreads
-    every dense cell (no reducer hot-spot).  A probe wall-ratio above
-    the x12 audit bound here (x9.9 r10, x14.1 r11 — the r11 read is
-    denominator noise: the sf0.1 side halved between windows while sf1
-    got faster) therefore measures the RESULT SET's growth, not a plan
-    defect; per-candidate cost is the honest unit and it is falling.
+    Scale posture: this query ENUMERATES near-dup pairs, and on
+    clustered data that workload is inherently quadratic within each
+    dense neighborhood — so wall-ratio against a x10 data step is the
+    WRONG unit; per-candidate cost is the honest one.  Since r12 the
+    decade probe MEASURES that adjudication instead of re-arguing it:
+    `tools/scale_probe.py` counts this query's candidate pairs at both
+    scales via `enum_candidates.py` (the counter shares this module's
+    `neardup_block_sigs`, so the counted work cannot drift from the
+    executed plan) and records `candidates_small/big` and
+    `us_per_candidate_*` next to the wall columns; the audit bound for
+    enumerate-contract queries trips on per-candidate GROWTH, not wall
+    ratio.  r11 reference point: x10 vectors → candidates x102,
+    verified output x125, wall-per-candidate falling 40 → 3 µs, spill
+    0, and the grid spreads every dense cell (no reducer hot-spot).
     The (table, bucket) fanout is FIXED (BITS_PER_TABLE), so it
     divides constants, not asymptotics — by design, because the
     oracle inlines the same constants and candidate recall must match
@@ -238,10 +250,7 @@ def sim_label_blocked_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pair): the pair expression then evaluates ONE interpreted
     # array-dot instead of three — measured ~3x on the bucketed join.
     e = directed_vectors(spark, sf_dir, with_label=True)
-    sigs = e.select(
-        "vec_id", "label",
-        F.explode(_bucket_ids_udf(N_TABLES, BITS_PER_TABLE)(F.col("v"))).alias("bucket"),
-    )
+    sigs = neardup_block_sigs(e)
     cand = grid_self_pairs(sigs, ["label", "bucket"], id_col="vec_id").select(
         F.col("id_a").alias("vec_a"), F.col("id_b").alias("vec_b"))
     x = e.select(F.col("vec_id").alias("xid"), F.col("label").alias("label"),

@@ -69,6 +69,8 @@ def main() -> int:
 
     from shuffle_audit import measure, open_status_api
 
+    from old_original_java_little_horse_spark.functions.enum_candidates import (
+        ENUM_COUNTERS)
     from old_original_java_little_horse_spark.registry import all_queries
     from old_original_java_little_horse_spark.session import get_spark
 
@@ -143,15 +145,61 @@ def main() -> int:
         }
         if remeasured:
             row["remeasured"] = True
+        # Enumerate-contract queries (VERDICT r11 item 3): their
+        # output/candidate set grows quadratically within dense
+        # neighborhoods BY CONTRACT, so the honest scale unit is wall
+        # per candidate, measured via the query's own blocking
+        # structure (enum_candidates.py shares the sig builders).  The
+        # audit bound for these rows trips on per-candidate growth —
+        # `enum_ok` — not on wall_ratio.
+        if name in ENUM_COUNTERS:
+            try:
+                c_s = ENUM_COUNTERS[name](spark, args.small)
+                c_b = ENUM_COUNTERS[name](spark, big)
+                us_s = s["sec"] * 1e6 / max(c_s, 1)
+                us_b = b["sec"] * 1e6 / max(c_b, 1)
+                row.update({
+                    "enum_contract": True,
+                    "candidates_small": c_s,
+                    "candidates_big": c_b,
+                    "cand_ratio": round(c_b / max(c_s, 1), 2),
+                    "us_per_candidate_small": round(us_s, 2),
+                    "us_per_candidate_big": round(us_b, 2),
+                    # <= ~1: per-candidate cost flat or falling — the
+                    # 1.5 slack absorbs fixed overhead amortization
+                    # differences between the two scales.
+                    "enum_ok": us_b <= 1.5 * us_s,
+                })
+            except Exception as e:  # noqa: BLE001 — counter is additive
+                row["enum_contract"] = True
+                row["enum_error"] = f"{type(e).__name__}: {e}"[:200]
         out.append(row)
         if not args.json:
+            extra = ""
+            if row.get("candidates_big") is not None:
+                extra = (f" cand x{row['cand_ratio']} "
+                         f"us/cand {row['us_per_candidate_small']}"
+                         f"->{row['us_per_candidate_big']}"
+                         f" {'OK' if row['enum_ok'] else 'GROWING'}")
             print(f"{name:28s} {s['sec']:7.2f}s -> {b['sec']:7.2f}s "
                   f"x{row['wall_ratio']:<5.2f} amp {row['amp_sf0.1']:.3f}"
-                  f"->{row['amp_sf1']:.3f} spill={spill}", flush=True)
+                  f"->{row['amp_sf1']:.3f} spill={spill}{extra}", flush=True)
 
     spark.stop()
+    # The audit verdict, computed per the honest unit of each row:
+    # enumerate-contract rows pass on flat/falling per-candidate cost
+    # (enum_ok), everything else on the x12 wall-ratio bound.
+    def _violates(r: dict) -> bool:
+        if "wall_ratio" not in r:
+            return False
+        if "enum_ok" in r:           # enumerate contract, counted
+            return not r["enum_ok"]
+        return r["wall_ratio"] > 12  # incl. enum rows whose counter errored
+
+    violations = [r["query"] for r in out if _violates(r)]
     if args.json:
-        print(json.dumps({"small": args.small, "big": big, "rows": out}))
+        print(json.dumps({"small": args.small, "big": big,
+                          "violations": violations, "rows": out}))
     else:
         ok = [r for r in out if "wall_ratio" in r]
         worst = max(ok, key=lambda r: r["wall_ratio"], default=None)
@@ -159,7 +207,8 @@ def main() -> int:
             print(f"\nworst wall ratio: {worst['query']} "
                   f"x{worst['wall_ratio']}; total spill "
                   f"{sum(r['spill_bytes'] for r in ok)}; "
-                  f"errors {len(out) - len(ok)}")
+                  f"errors {len(out) - len(ok)}; "
+                  f"bound violations {violations or 'none'}")
     return 0
 
 
