@@ -754,14 +754,15 @@ WITH euro AS (
   WHERE r_name = 'EUROPE'
 ), offer AS (
   SELECT l_partkey AS p_partkey, s_suppkey, s_name, n_name,
-         MIN(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
-             // CAST(l_quantity AS BIGINT)) AS cost_cents
+         MIN(CASE WHEN CAST(l_quantity AS BIGINT) = 0 THEN NULL
+                  ELSE CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                       // CAST(l_quantity AS BIGINT) END) AS cost_cents
   FROM lineitem JOIN euro ON l_suppkey = s_suppkey
   GROUP BY 1, 2, 3, 4
 ), best AS (
   SELECT p_partkey, s_suppkey, s_name, n_name, cost_cents,
          ROW_NUMBER() OVER (PARTITION BY p_partkey
-                            ORDER BY cost_cents, s_suppkey) AS rk
+                            ORDER BY cost_cents NULLS LAST, s_suppkey) AS rk
   FROM offer
 )
 SELECT p_partkey, s_name, n_name, cost_cents
@@ -777,6 +778,15 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Unit cost is exact-integer: price to cents (one float round whose
     parity w4 already proves), then BIGINT floor-division by quantity
     — MIN over integers is order-independent, so the hash can't drift.
+    Two edges the r12 dims corpus pinned: a ZERO quantity is an
+    explicit NULL cost (Spark 4 runs ANSI, where a bare `div` THROWS
+    DIVIDE_BY_ZERO — one malformed line must not kill the query;
+    DuckDB's `//` quietly returns NULL, so the oracle states the same
+    CASE), and the argmin window orders `cost_cents` NULLS LAST on
+    BOTH engines — Spark's asc default is NULLS FIRST and DuckDB's is
+    NULLS LAST, so an all-NULL-cost offer would otherwise WIN the
+    argmin on Spark and lose it on DuckDB.  A NULL cost must never
+    beat a real one.
     Scale shape: supplier x nation x region collapse to a BROADCAST
     dim (supplier is the small side by construction), lineitem takes
     ONE exchange into the (part, supplier) partial-aggregated offer
@@ -792,8 +802,9 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
              .join(r.where(F.col("r_name") == "EUROPE"),
                    n.n_regionkey == F.col("r_regionkey"))
              .select("s_suppkey", "s_name", "n_name"))
-    cost = F.expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT) "
-                  "div CAST(l_quantity AS BIGINT)")
+    cost = F.expr("CASE WHEN CAST(l_quantity AS BIGINT) = 0 THEN NULL "
+                  "ELSE CAST(round(l_extendedprice * 100, 0) AS BIGINT) "
+                  "div CAST(l_quantity AS BIGINT) END")
     offer = (li.join(F.broadcast(euro), li.l_suppkey == euro.s_suppkey)
              .groupBy(F.col("l_partkey").alias("p_partkey"),
                       "s_suppkey", "s_name", "n_name")
@@ -801,7 +812,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     best = offer.withColumn(
         "rk", F.row_number().over(
             Window.partitionBy("p_partkey")
-            .orderBy("cost_cents", "s_suppkey")))
+            .orderBy(F.col("cost_cents").asc_nulls_last(), "s_suppkey")))
     return (best.where(F.col("rk") == 1)
             .select("p_partkey", "s_name", "n_name", "cost_cents"))
 
