@@ -1043,9 +1043,13 @@ def _ntile_bucket(k: int, rank_col: str = "_grank",
     """The NTILE(k) arithmetic as an integer column expression: with
     n rows, q = n div k and r = n mod k, the first r buckets hold
     q+1 rows.  Integer division throughout (expr's div, never /):
-    when q = 0 the otherwise-branch divides by zero, but rank <= t
-    always holds there (t = n) and non-ANSI div-by-zero is NULL, not
-    an error."""
+    when q = 0 the otherwise-branch would divide by zero, but rank
+    <= t always holds there (t = n), and CaseWhen evaluates ONLY the
+    matched branch per row — which is the load-bearing guard under
+    Spark 4's default ANSI mode, where an *evaluated* div-by-zero
+    THROWS (the q2 lesson, r12 dims corpus); the n < k cells in
+    tests/test_exact_ntile.py pin it.  Do not rewrite this as
+    arithmetic over both branches."""
     q = F.expr(f"{total_col} div {k}")
     r = F.expr(f"{total_col} % {k}")
     t = (q + 1) * r

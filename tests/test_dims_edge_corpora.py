@@ -15,6 +15,10 @@ plants, on top of sf0.001:
   name, a NULL brand, a NULL size, and two parts sharing one
   (brand, size) cell (q16's group must merge their suppliers);
 - customers with a NULL nation key / NULL segment (q13/q22 paths);
+- an EXACT duplicate EUROPE region row (nation⋈region fanout must
+  double the European rollups identically on both engines), a nation
+  with a NULL region key, and a SECOND nation named NATION_7 under a
+  fresh key (q20 filters by name — both nations' suppliers pass);
 - lineitem rows wiring the new dims into each query's edge: a
   contested q2 argmin (two European suppliers at the SAME min
   cost_cents — the suppkey tie-break is now load-bearing), an offer
@@ -100,6 +104,14 @@ def _mk_lineitem_rows():
     li(99906, 1000, 103, 2, 41.0, 410.00)
     li(99907, 1005, 104, 1, 100.4, 1004.00)
     li(99908, 1002, 104, 1, 100.5, 1005.00)
+    # q20 via the duplicate-name nation: supplier 109 sits in the
+    # SECOND nation named NATION_7 (key 77) and ships 150 units of
+    # red part 1000 — it must appear in q20's output.  Supplier 110's
+    # nation has a NULL region key, so its line must vanish from
+    # every region-joining rollup (q2/q11) but still count where only
+    # nation-by-name or no nation is involved.
+    li(99917, 1000, 109, 1, 150.0, 1500.00)
+    li(99918, 1000, 110, 1, 10.0, 100.00)
     # q16: part 1003 (Brand#77, size 9) shipped by suppliers 104
     # (acctbal exactly 0 — NOT in arrears), 105 (-0.005 — excluded)
     # and 106 (NULL acctbal — NOT excluded); part 1004 (same
@@ -138,11 +150,36 @@ def _mk_lineitem_rows():
 def edge_sf_dir(spark):
     workdir = Path(tempfile.mkdtemp(prefix="edge-dims-"))
     try:
+        edited = ("supplier", "part", "customer", "lineitem",
+                  "nation", "region")
         for t in TABLES:
             src = Path(SF_SMOKE) / f"{t}.parquet"
-            if t not in ("supplier", "part", "customer", "lineitem") \
-                    and src.exists():
+            if t not in edited and src.exists():
                 shutil.copy(src, workdir / f"{t}.parquet")
+
+        # region: an EXACT duplicate of the EUROPE row — every
+        # nation⋈region join fans out 2x for European nations, which
+        # must double q11's per-part cents and q2's offer rows
+        # IDENTICALLY on both engines (group-bys absorb the fanout,
+        # sums double on both).
+        r = pd.read_parquet(Path(SF_SMOKE) / "region.parquet")
+        r = pd.concat([r, pd.DataFrame([
+            dict(r_regionkey=3, r_name="EUROPE")])], ignore_index=True)
+        r["r_regionkey"] = r["r_regionkey"].astype("Int32")
+        r.to_parquet(workdir / "region.parquet")
+
+        # nation: a NULL region key (drops from region joins) and a
+        # SECOND nation named NATION_7 under a fresh key — q20 filters
+        # by NAME, so supplier 109 (below) must pass through the
+        # duplicate-name nation, pinning name-vs-key distinction.
+        n = pd.read_parquet(Path(SF_SMOKE) / "nation.parquet")
+        n = pd.concat([n, pd.DataFrame([
+            dict(n_nationkey=76, n_name="NATION_EDGE76", n_regionkey=None),
+            dict(n_nationkey=77, n_name="NATION_7", n_regionkey=0),
+        ])], ignore_index=True)
+        for col in ("n_nationkey", "n_regionkey"):
+            n[col] = n[col].astype("Int32")
+        n.to_parquet(workdir / "nation.parquet")
 
         s = pd.read_parquet(Path(SF_SMOKE) / "supplier.parquet")
         s_new = pd.DataFrame([
@@ -163,6 +200,10 @@ def edge_sf_dir(spark):
                  s_acctbal=75.0),
             dict(s_suppkey=108, s_name="Supplier#EDGE108", s_nationkey=23,
                  s_acctbal=75.0),
+            dict(s_suppkey=109, s_name="Supplier#EDGE109", s_nationkey=77,
+                 s_acctbal=30.0),  # the duplicate-name NATION_7
+            dict(s_suppkey=110, s_name="Supplier#EDGE110", s_nationkey=76,
+                 s_acctbal=30.0),  # nation with a NULL region key
         ])
         s = pd.concat([s, s_new], ignore_index=True)
         s["s_nationkey"] = s["s_nationkey"].astype("Int32")
