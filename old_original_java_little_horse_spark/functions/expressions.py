@@ -263,13 +263,30 @@ def x_mutation_remove_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "x_jsonpath",
     oracle="""
-SELECT event_id,
-       CAST(json_extract(props, '$.k') AS BIGINT)                      AS k_value,
-       CAST(json_extract(
-         '{"run":{"meta":{"k":' || CAST(json_extract(props,'$.k') AS BIGINT) || '}}}',
-         '$.run.meta.k') AS BIGINT)                                    AS nested_k,
-       COALESCE(CAST(json_extract(props, '$.missing') AS BIGINT), -1)  AS with_default
-FROM events
+WITH kx AS (
+  SELECT event_id, props,
+         CASE WHEN json_valid(props)
+               AND regexp_matches(trim(json_extract_string(props, '$.k')),
+                                  '^[+-]?[0-9]+$')
+              THEN TRY_CAST(trim(json_extract_string(props, '$.k')) AS BIGINT)
+         END AS k_value
+  FROM events
+)
+SELECT event_id, k_value,
+       CASE WHEN k_value IS NOT NULL THEN
+         TRY_CAST(json_extract_string(
+           '{"run":{"meta":{"k":' || CAST(k_value AS VARCHAR) || '}}}',
+           '$.run.meta.k') AS BIGINT)
+       END AS nested_k,
+       COALESCE(
+         CASE WHEN json_valid(props)
+               AND regexp_matches(
+                     trim(json_extract_string(props, '$.missing')),
+                     '^[+-]?[0-9]+$')
+              THEN TRY_CAST(trim(json_extract_string(props, '$.missing'))
+                            AS BIGINT)
+         END, -1) AS with_default
+FROM kx
 """,
 )
 def x_jsonpath(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -278,16 +295,31 @@ def x_jsonpath(spark: SparkSession, sf_dir: str) -> DataFrame:
     `get_json_object` covers the `$.a.b` subset the harness uses; the
     engine fold falls back to a Python JSONPath walker for exotic
     paths (slices, filters) inside `applyInPandas`.
+
+    MALFORMED data is a contained NULL, never a crash or a divergence
+    (r12 hostile-props corpus): `try_cast` instead of `cast` — under
+    Spark 4's default ANSI mode a bare cast of a non-numeric
+    extraction ('{"k": "abc"}') THROWS, killing the query on one bad
+    event.  The oracle mirrors Spark's exact semantics, which differ
+    from DuckDB's defaults in three ways it must neutralize:
+    (1) DuckDB's `json_extract` ERRORS on malformed JSON text where
+    `get_json_object` returns NULL → guard with `json_valid`;
+    (2) DuckDB TRY_CASTs '1.5' to 2 (rounds) where Spark's
+    string→BIGINT grammar yields NULL → integral-string regex gate;
+    (3) DuckDB casts JSON true to 1 where Spark stringifies to
+    'true' → NULL — the same regex gate covers it.
     """
     e = load_table(spark, sf_dir, "events")
-    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    k = F.get_json_object(F.col("props"), "$.k").try_cast("bigint")
     nested = F.concat(F.lit('{"run":{"meta":{"k":'), k.cast("string"), F.lit("}}}"))
     return e.select(
         "event_id",
         k.alias("k_value"),
-        F.get_json_object(nested, "$.run.meta.k").cast("bigint").alias("nested_k"),
+        F.get_json_object(nested, "$.run.meta.k").try_cast("bigint")
+        .alias("nested_k"),
         F.coalesce(
-            F.get_json_object(F.col("props"), "$.missing").cast("bigint"), F.lit(-1)
+            F.get_json_object(F.col("props"), "$.missing")
+            .try_cast("bigint"), F.lit(-1)
         ).alias("with_default"),
     )
 

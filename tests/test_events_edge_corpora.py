@@ -63,6 +63,20 @@ EDGE_EVENTS = [
     # u8 — day-boundary pair (cohort/RFM date bucketing).
     (18, datetime(2024, 1, 1, 23, 59, 59, 999999), 8, "signup", 3.0, '{"k": 18}'),
     (19, datetime(2024, 1, 2, 0, 0, 0), 8, "purchase", 4.0, '{"k": 19}'),
+    # u9 — HOSTILE props (r12): every JSONPath read must be a
+    # contained NULL, never an ANSI cast error (Spark) or a JSON
+    # parse error (DuckDB), and the two engines' unlike defaults
+    # (DuckDB rounds '1.5' to 2 and casts true to 1) must be
+    # neutralized by x_jsonpath's integral-string gate.
+    (20, BASE + timedelta(minutes=30), 9, "view", 1.0, '{"k": "abc"}'),
+    (21, BASE + timedelta(minutes=31), 9, "view", 1.0, "not-json"),
+    (22, BASE + timedelta(minutes=32), 9, "view", 1.0, '{"k": 1.5}'),
+    (23, BASE + timedelta(minutes=33), 9, "view", 1.0, '{"k": true}'),
+    (24, BASE + timedelta(minutes=34), 9, "view", 1.0, '{"k": null}'),
+    (25, BASE + timedelta(minutes=35), 9, "view", 1.0, None),
+    (26, BASE + timedelta(minutes=36), 9, "view", 1.0, '{"k": " 7 "}'),
+    (27, BASE + timedelta(minutes=37), 9, "view", 1.0,
+     '{"k": 99999999999999999999}'),  # overflows BIGINT: NULL, not error
 ]
 
 QUERIES = [
@@ -74,6 +88,7 @@ QUERIES = [
     "a5_all_ids",
     "sk_hll_registers", "sk_kmv_distinct", "sk_cms_registers",
     "sk_cms_point_queries", "sk_bottomk_quantiles", "sk_kmv_set_ops",
+    "x_jsonpath", "p2_nonnull_projection",
 ]
 
 
