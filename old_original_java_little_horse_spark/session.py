@@ -100,20 +100,34 @@ def ship_package(spark: SparkSession) -> None:
     import it.  Zipping the package and `addPyFile`-ing it works the
     same on local[N] and on a 1000-executor cluster, so call this
     before running any Python-side operator.  Idempotent per session.
+
+    The zip name is CONTENT-ADDRESSED (md5 of the sorted source
+    bytes): executors cache fetched files BY NAME and fail any task
+    whose re-fetch mismatches the cached copy, so a fixed name breaks
+    the moment two processes from different trees share one host —
+    exactly what the interleaved bench harness does (HEAD and the
+    ReplayPeer's snapshot worktree, r12 A/B postmortem).  Distinct
+    contents now get distinct names; identical trees share the cache.
     """
+    import hashlib
     import pathlib
     import tempfile
     import zipfile
 
     pkg_dir = pathlib.Path(__file__).resolve().parent
-    zip_path = pathlib.Path(tempfile.gettempdir()) / f"{pkg_dir.name}_pyfiles.zip"
-    newest_src = max(p.stat().st_mtime for p in pkg_dir.rglob("*.py"))
-    if not zip_path.exists() or zip_path.stat().st_mtime < newest_src:
-        tmp = zip_path.with_suffix(".tmp")
+    digest = hashlib.md5()
+    sources = sorted(pkg_dir.rglob("*.py"))
+    for p in sources:
+        digest.update(str(p.relative_to(pkg_dir)).encode())
+        digest.update(p.read_bytes())
+    zip_path = (pathlib.Path(tempfile.gettempdir())
+                / f"{pkg_dir.name}_pyfiles-{digest.hexdigest()[:16]}.zip")
+    if not zip_path.exists():
+        tmp = zip_path.with_suffix(f".{os.getpid()}.tmp")
         with zipfile.ZipFile(tmp, "w") as z:
-            for p in sorted(pkg_dir.rglob("*.py")):
+            for p in sources:
                 z.write(p, f"{pkg_dir.name}/{p.relative_to(pkg_dir)}")
-        tmp.replace(zip_path)
+        tmp.replace(zip_path)  # atomic: concurrent builders converge
     shipped = getattr(spark, "_oojlh_shipped", None)
     if shipped != str(zip_path):
         spark.sparkContext.addPyFile(str(zip_path))

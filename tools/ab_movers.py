@@ -75,7 +75,11 @@ def main() -> None:
     def time_head(name: str) -> float | None:
         try:
             t0 = time.perf_counter()
-            specs[name].fn(spark, args.sf_dir).count()
+            df = specs[name].fn(spark, args.sf_dir)
+            # Mirror ReplayPeer.time_query exactly: the peer collects
+            # q1 (bench.py parity), so HEAD must too — counting on one
+            # side only skews that query's ratio by the collect cost.
+            df.collect() if name == "q1_pricing_summary" else df.count()
             return time.perf_counter() - t0
         except Exception as e:  # noqa: BLE001
             errors.setdefault(name, f"{type(e).__name__}: {e}"[:200])
