@@ -13,10 +13,19 @@ Reading the output:
 - `wall_ratio` ≈ ≤12 means near-linear for a 10× data step (some
   superlinearity from sort/shuffle log factors and fixed overheads
   amortizing differently is expected; >>12 names a scale break).
+- ENUMERATE-CONTRACT queries (`enum_candidates.ENUM_COUNTERS`) are
+  judged on wall-per-candidate instead: their candidate/output sets
+  grow quadratically within dense neighborhoods BY CONTRACT, so the
+  probe counts the exact candidate join rows at both scales
+  (`candidates_small/big`, `us_per_candidate_*`) and `enum_ok` trips
+  only when per-candidate cost GROWS (>1.5×) — wall_ratio on these
+  rows measures the result set, not plan health (VERDICT r11 item 3).
 - `amp` (shuffle-write bytes / source bytes) should be roughly
   scale-INVARIANT: a rising amplification is a quadratic pair
   explosion or a broadcast flipping to a shuffle join.
 - `spill` must stay 0 at both scales on this 128 GiB host.
+- the JSON artifact's `violations` list applies the per-row honest
+  unit mechanically; empty = every query passes its own bound.
 
     python tools/scale_probe.py                  # default top-10 list
     python tools/scale_probe.py --only d_ --only sim_
