@@ -24,7 +24,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..registry import query
-from ..sources.parquet import load_table
+from ..sources.parquet import load_table, timed_events
 
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
 
@@ -39,7 +39,7 @@ SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
 WITH o AS (
   SELECT user_id, event_id, ts, value,
          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ), m AS (
   SELECT user_id, ts, value,
          SUM(CASE WHEN prev IS NULL
@@ -65,7 +65,7 @@ def w4_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation all partition on user_id, so Spark plans ONE exchange
     and reuses its sort — the linear-scan sessionizer that holds at
     any scale (no time-range self-join)."""
-    e = load_table(spark, sf_dir, "events")
+    e = timed_events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     prev = F.lag("ts").over(w)
@@ -92,12 +92,14 @@ def w4_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j5_asof_join",
     oracle="""
 WITH err AS (
-  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+  SELECT event_id, user_id, ts FROM events
+  WHERE event_type = 'error' AND ts IS NOT NULL
 ), clk AS (
   -- tie rule: among clicks sharing one (user_id, ts) instant, the match
   -- is the max event_id — dedupe here so the ASOF pick is deterministic
   SELECT MAX(event_id) AS event_id, user_id, ts
-  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+  FROM events WHERE event_type = 'click' AND ts IS NOT NULL
+  GROUP BY user_id, ts
 )
 SELECT e.event_id                       AS error_event_id,
        e.user_id,
@@ -130,7 +132,7 @@ def j5_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the running-last (a NULL-user error still emits its LEFT row with
     no match, exactly the join's semantics).
     """
-    e = load_table(spark, sf_dir, "events")
+    e = timed_events(spark, sf_dir)
     tagged = (
         e.where(F.col("event_type").isin("click", "error"))
         .select(
@@ -213,16 +215,17 @@ def w5_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a6_funnel",
     oracle="""
 WITH fv AS (
-  SELECT user_id, MIN(ts) AS v FROM events WHERE event_type = 'view' GROUP BY user_id
+  SELECT user_id, MIN(ts) AS v FROM events
+  WHERE event_type = 'view' AND ts IS NOT NULL GROUP BY user_id
 ), fc AS (
   SELECT e.user_id, MIN(e.ts) AS c
   FROM events e JOIN fv ON e.user_id = fv.user_id
-  WHERE e.event_type = 'click' AND e.ts >= fv.v
+  WHERE e.event_type = 'click' AND e.ts IS NOT NULL AND e.ts >= fv.v
   GROUP BY e.user_id
 ), fp AS (
   SELECT e.user_id, MIN(e.ts) AS p
   FROM events e JOIN fc ON e.user_id = fc.user_id
-  WHERE e.event_type = 'purchase' AND e.ts >= fc.c
+  WHERE e.event_type = 'purchase' AND e.ts IS NOT NULL AND e.ts >= fc.c
   GROUP BY e.user_id
 ), staged AS (
   SELECT u.user_id,
@@ -230,7 +233,7 @@ WITH fv AS (
               WHEN fc.c IS NOT NULL THEN 'clicked'
               WHEN fv.v IS NOT NULL THEN 'viewed'
               ELSE 'none' END AS stage
-  FROM (SELECT DISTINCT user_id FROM events) u
+  FROM (SELECT DISTINCT user_id FROM events WHERE ts IS NOT NULL) u
   LEFT JOIN fv ON u.user_id = fv.user_id
   LEFT JOIN fc ON u.user_id = fc.user_id
   LEFT JOIN fp ON u.user_id = fp.user_id
@@ -245,7 +248,7 @@ def a6_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage's first event).  Three user-keyed partial aggs + three
     user-keyed joins — all the same key, so co-partitioned under one
     exchange family; the final stage rollup is a 4-row result."""
-    e = load_table(spark, sf_dir, "events")
+    e = timed_events(spark, sf_dir)
     users = e.select("user_id").distinct()
     fv = (e.where(F.col("event_type") == "view")
           .groupBy("user_id").agg(F.min("ts").alias("v")))
@@ -277,9 +280,10 @@ RANGE_WINDOW_US = 5 * 60 * 1_000_000  # +/- 5-minute association window
     "j6_range_count",
     oracle=f"""
 WITH err AS (
-  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+  SELECT event_id, user_id, ts FROM events
+  WHERE event_type = 'error' AND ts IS NOT NULL
 ), clk AS (
-  SELECT user_id, ts FROM events WHERE event_type = 'click'
+  SELECT user_id, ts FROM events WHERE event_type = 'click' AND ts IS NOT NULL
 )
 SELECT e.event_id AS error_event_id,
        e.user_id,
@@ -309,7 +313,7 @@ def j6_range_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins.  One exchange on the composite key, plus the final
     per-error rollup reusing the error keys.
     """
-    e = load_table(spark, sf_dir, "events")
+    e = timed_events(spark, sf_dir)
     err = (e.where(F.col("event_type") == "error")
            .select("event_id", "user_id", F.unix_micros("ts").alias("t")))
     clk = (e.where(F.col("event_type") == "click")
@@ -346,7 +350,7 @@ SELECT epoch_us(date_trunc('hour', ts))   AS window_start_us,
        CAST(COUNT(*) AS BIGINT)           AS n_events,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
        CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
-FROM events GROUP BY 1, 2
+FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 """,
 )
 def a7_event_rate_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -363,7 +367,7 @@ def a7_event_rate_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     twinning).  Tumbling windows align to the epoch, so the oracle's
     `date_trunc('hour')` is the same bucketing under the pinned-UTC
     session."""
-    e = load_table(spark, sf_dir, "events")
+    e = timed_events(spark, sf_dir)
     return (
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
@@ -389,7 +393,7 @@ def a7_event_rate_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH o AS (
   SELECT user_id, event_id, ts, event_type,
          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ), m AS (
   SELECT user_id, ts,
          SUM(CASE WHEN prev IS NULL
@@ -404,7 +408,8 @@ WITH o AS (
          CAST(COUNT(*) AS BIGINT) AS n_events
   FROM m GROUP BY 1, 2
 ), err AS (
-  SELECT user_id, epoch_us(ts) AS t FROM events WHERE event_type = 'error'
+  SELECT user_id, epoch_us(ts) AS t FROM events
+  WHERE event_type = 'error' AND ts IS NOT NULL
 )
 SELECT s.user_id, s.session_idx, s.start_us, s.end_us, s.n_events,
        CAST(COUNT(err.t) AS BIGINT) AS n_errors
@@ -428,7 +433,7 @@ def j7_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     join; per-key cost never depends on how many errors a power user
     has.  (For intervals that are NOT derived from the probe stream,
     `j6_range_count` shows the bucketized equi-join rewrite.)"""
-    e = load_table(spark, sf_dir, "events")
+    e = timed_events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     prev = F.lag("ts").over(w)
@@ -465,7 +470,7 @@ US_PER_WEEK = 7 * 86_400 * 1_000_000
 WITH a AS (
   SELECT DISTINCT user_id,
          epoch_us(ts) // {US_PER_WEEK} AS wk
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ), f AS (
   SELECT user_id, MIN(wk) AS cohort_wk FROM a GROUP BY user_id
 )
@@ -489,7 +494,7 @@ def w6_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts.  ONE scan; exchanges: (user, week) distinct → user window
     → final (cohort, offset) rollup whose key cardinality is
     O(weeks²), tiny forever — each partial-aggregated map-side."""
-    e = load_table(spark, sf_dir, "events")
+    e = timed_events(spark, sf_dir)
     # NULL-key rule: the oracle's `a JOIN f ON a.user_id = f.user_id`
     # drops NULL users (a join never matches NULL); the window-min
     # formulation would happily give the NULL partition a cohort, so
@@ -572,7 +577,7 @@ ZSCORE_K = 3    # flag when |n - mean| > K sigma
 WITH hourly AS (
   SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hour_us,
          CAST(COUNT(*) AS BIGINT) AS n_events
-  FROM events GROUP BY 1, 2
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 ), win AS (
   SELECT event_type, hour_us, n_events,
          COUNT(*)        OVER w AS w_n,
@@ -610,7 +615,7 @@ def a8_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     time, not event volume.  At 100 TB the same two-stage shape
     holds: the raw stream never reaches the window, only the
     hourly rollup does."""
-    e = load_table(spark, sf_dir, "events")
+    e = timed_events(spark, sf_dir)
     hourly = (e.groupBy("event_type",
                         F.unix_micros(F.date_trunc("hour", "ts"))
                         .alias("hour_us"))
@@ -643,7 +648,7 @@ WITH daily AS (
   SELECT user_id, CAST(ts AS DATE) AS day,
          CAST(COUNT(*) AS BIGINT) AS n,
          CAST(SUM(CAST(round(value * 1000000, 0) AS BIGINT)) AS BIGINT) AS sv
-  FROM events GROUP BY 1, 2
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 ), span AS (
   SELECT user_id, MIN(day) AS mn, MAX(day) AS mx FROM daily GROUP BY 1
 ), grid AS (
@@ -690,7 +695,7 @@ def w8_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid day per user is by construction observed, so LOCF never
     emits NULL.
     """
-    e = load_table(spark, sf_dir, "events")
+    e = timed_events(spark, sf_dir)
     daily = (e.select("user_id", F.to_date("ts").alias("day"),
                       F.round(F.col("value") * 1000000, 0)
                       .cast("long").alias("v"))
@@ -817,7 +822,7 @@ WITH seq AS (
   SELECT event_type AS src,
          lead(event_type) OVER (PARTITION BY user_id
                                 ORDER BY ts, event_id) AS dst
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ), pair AS (
   SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n_trans
   FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2
@@ -849,7 +854,7 @@ def a9_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     over events.  At 100 TB only the first exchange touches raw data,
     and it is the partitioning the source would already be bucketed
     by."""
-    e = load_table(spark, sf_dir, "events")
+    e = timed_events(spark, sf_dir)
     uw = Window.partitionBy("user_id").orderBy("ts", "event_id")
     pair = (e.select(F.col("event_type").alias("src"),
                      F.lead("event_type").over(uw).alias("dst"))
@@ -876,6 +881,7 @@ SELECT (epoch_us(ts) // 900000000) * 900000000 - i * 900000000
        CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
          AS value_cents
 FROM events CROSS JOIN (SELECT CAST(UNNEST([0, 1, 2, 3]) AS BIGINT) AS i)
+WHERE ts IS NOT NULL
 GROUP BY 1, 2
 """,
 )
@@ -897,7 +903,7 @@ def w9_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality is wall-clock × |types|, not event volume.  The same
     expression runs under `readStream` + watermark for the continuous
     twin (`stream_event_rates`)."""
-    e = load_table(spark, sf_dir, "events")
+    e = timed_events(spark, sf_dir)
     return (
         e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"),
                   "event_type")
@@ -924,6 +930,7 @@ WITH seq AS (
          lead(event_type, 1) OVER w AS e2,
          lead(event_type, 2) OVER w AS e3
   FROM events
+  WHERE ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), paths AS (
   SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n_paths
@@ -947,7 +954,7 @@ def a10_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject (per-partition heads merged on the driver,
     never a full sort).  Ties break on the path labels so the cut is
     total and engine-independent."""
-    e = load_table(spark, sf_dir, "events")
+    e = timed_events(spark, sf_dir)
     uw = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return (e.select(F.col("event_type").alias("e1"),
                      F.lead("event_type", 1).over(uw).alias("e2"),

@@ -30,7 +30,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..registry import query
-from ..sources.parquet import load_table
+from ..sources.parquet import load_table, timed_events
 
 
 def _dec12(c):  # prices: fits max ~1e10 with 2 decimals
@@ -393,19 +393,27 @@ def a5_all_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_id, user_id,
        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS position,
-       DENSE_RANK() OVER (PARTITION BY user_id ORDER BY event_type)   AS number
-FROM events
+       DENSE_RANK() OVER (PARTITION BY user_id
+                          ORDER BY event_type NULLS LAST)              AS number
+FROM events WHERE ts IS NOT NULL
 """,
 )
 def w1_position_numbering(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """position = append index; number = logical node counter."""
-    e = load_table(spark, sf_dir, "events")
+    """position = append index; number = logical node counter.
+
+    Both rank orders are NULL-pinned (r12 NULL-ts corpus): `ts` via
+    the timed_events contract (ledger #6), and `event_type` NULLS
+    LAST explicitly on BOTH engines — an untyped event must rank
+    after the typed ones, where Spark's ascending default would rank
+    it FIRST and DuckDB's LAST."""
+    e = timed_events(spark, sf_dir)
     byu = Window.partitionBy("user_id")
     return e.select(
         "event_id",
         "user_id",
         F.row_number().over(byu.orderBy("ts", "event_id")).alias("position"),
-        F.dense_rank().over(byu.orderBy("event_type")).alias("number"),
+        F.dense_rank().over(
+            byu.orderBy(F.col("event_type").asc_nulls_last())).alias("number"),
     )
 
 
@@ -420,13 +428,13 @@ SELECT user_id, event_id AS latest_event_id, event_type AS latest_type
 FROM (
   SELECT user_id, event_id, event_type,
          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ) WHERE rn = 1
 """,
 )
 def w2_latest_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """getLatestEntry: top-1-per-group by recency."""
-    e = load_table(spark, sf_dir, "events")
+    e = timed_events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
     return (
         e.withColumn("rn", F.row_number().over(w))

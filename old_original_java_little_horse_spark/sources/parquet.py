@@ -50,6 +50,29 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
 
+def timed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events with a non-NULL timestamp — the TIME-ORDERED operator
+    contract (COVERAGE.md parity-divergence ledger #6).
+
+    Every operator whose semantics ride on `ts` (session gaps, as-of
+    matches, interval joins, tumbling/sliding/range windows, date
+    spines, path order, recency) consumes THIS loader, and its DuckDB
+    oracle states the same `ts IS NOT NULL` — because the two engines
+    place NULLs on OPPOSITE ends of an ascending sort by default
+    (Spark NULLS FIRST, DuckDB NULLS LAST) and a session or as-of
+    match at a NULL instant has no defined meaning in either.  On the
+    streaming side NULL event times are not structurally dropped
+    either (a NULL window can never be closed by a watermark — it
+    would sit in state forever — and dropDuplicatesWithinWatermark
+    passes NULL-ts rows through, measured r12), so the twins filter
+    before watermarking.  Operators that don't read `ts` (sketches,
+    projections, id scans) keep consuming `load_table` — an
+    untimestamped event still counts there."""
+    from pyspark.sql import functions as F
+
+    return load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+
+
 def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view so ``spark.sql`` parity
     queries can reference them by name."""

@@ -21,7 +21,7 @@ from ..functions.dedup import (
 )
 from ..registry import query
 from ..session import scoped_conf
-from ..sources.parquet import load_table
+from ..sources.parquet import load_table, timed_events
 from .engine import run_streaming_availablenow
 
 # Replay-harness state-store sizing: these parity queries fold a few
@@ -300,7 +300,7 @@ SESSION_GAP_US = 30 * 60 * 1_000_000
 WITH o AS (
   SELECT user_id, event_id, ts, value,
          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ), m AS (
   SELECT user_id, ts, value,
          SUM(CASE WHEN prev IS NULL
@@ -341,7 +341,7 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     workdir = tempfile.mkdtemp(prefix="stream-sess-q-")
     ev_dir = f"{workdir}/events"
-    load_table(spark, sf_dir, "events") \
+    timed_events(spark, sf_dir) \
         .select("user_id", "ts", "value") \
         .repartition(3).write.parquet(ev_dir)
     schema = spark.read.parquet(ev_dir).schema
@@ -382,7 +382,7 @@ SELECT epoch_us(date_trunc('hour', ts))   AS window_start_us,
        event_type,
        CAST(COUNT(*) AS BIGINT)           AS n_events,
        CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
-FROM events GROUP BY 1, 2
+FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 """,
 )
 def stream_event_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -421,6 +421,7 @@ SELECT (epoch_us(ts) // 900000000) * 900000000 - i * 900000000
        CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
          AS value_cents
 FROM events CROSS JOIN (SELECT CAST(UNNEST([0, 1, 2, 3]) AS BIGINT) AS i)
+WHERE ts IS NOT NULL
 GROUP BY 1, 2
 """,
 )
@@ -455,7 +456,7 @@ def _windowed_rates_replay(spark: SparkSession, sf_dir: str,
     workdir = tempfile.mkdtemp(prefix="stream-rates-q-")
     ev_dir = f"{workdir}/events"
     os.makedirs(ev_dir)
-    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    ev = timed_events(spark, sf_dir).select("ts", "event_type", "value")
     # Three time slices (ntile over ts) + the flush sentinel, staged
     # as separate directories and moved into the source dir run by run.
     from pyspark.sql import Window as _W
@@ -604,9 +605,9 @@ SELECT e.user_id,
        epoch_us(e.ts) AS error_us,
        epoch_us(c.ts) AS click_us
 FROM (SELECT user_id, event_id, ts FROM events
-      WHERE event_type = 'error') e
+      WHERE event_type = 'error' AND ts IS NOT NULL) e
 JOIN (SELECT user_id, event_id, ts FROM events
-      WHERE event_type = 'click') c
+      WHERE event_type = 'click' AND ts IS NOT NULL) c
   ON e.user_id = c.user_id
  AND abs(epoch_us(e.ts) - epoch_us(c.ts)) <= {_SSJOIN_WINDOW_US}
 """,
@@ -641,7 +642,7 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     err_dir, clk_dir = f"{workdir}/errors", f"{workdir}/clicks"
     os.makedirs(err_dir)
     os.makedirs(clk_dir)
-    ev = load_table(spark, sf_dir, "events")
+    ev = timed_events(spark, sf_dir)
     cut = ev.agg(F.expr(
         "percentile_approx(unix_micros(ts), 0.5, 10000)")).collect()[0][0]
     sides = {"e": ("error", err_dir), "c": ("click", clk_dir)}
@@ -705,7 +706,7 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_id,
        CAST(round(value * 100, 0) AS BIGINT) AS value_cents
-FROM events
+FROM events WHERE ts IS NOT NULL
 """,
 )
 def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -733,7 +734,7 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     workdir = tempfile.mkdtemp(prefix="stream-dedup-wm-q-")
     src_dir = f"{workdir}/events"
     os.makedirs(src_dir)
-    ev = load_table(spark, sf_dir, "events").select(
+    ev = timed_events(spark, sf_dir).select(
         "event_id", "ts",
         F.round(F.col("value") * 100, 0).cast("long").alias("value_cents"))
     cut = ev.agg(F.timestamp_micros(

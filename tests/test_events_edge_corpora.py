@@ -77,6 +77,17 @@ EDGE_EVENTS = [
     (26, BASE + timedelta(minutes=36), 9, "view", 1.0, '{"k": " 7 "}'),
     (27, BASE + timedelta(minutes=37), 9, "view", 1.0,
      '{"k": 99999999999999999999}'),  # overflows BIGINT: NULL, not error
+    # u10 — NULL TIMESTAMPS (r12 ledger #6): time-ordered operators'
+    # contract is `ts IS NOT NULL` on BOTH engines (timed_events());
+    # without it the engines' opposite default null placement in
+    # window sorts diverges ~7 queries, and a session/as-of match at
+    # a NULL instant is meaningless.  One NULL-ts event for a user
+    # with real events, one for a NULL user, one whose user has ONLY
+    # NULL-ts events.  Non-time queries (sketches, projections,
+    # jsonpath) must still see these rows.
+    (28, None, 1, "click", 3.5, '{"k": 28}'),
+    (29, None, None, "view", 1.0, '{"k": 29}'),
+    (30, None, 10, "purchase", 9.0, '{"k": 30}'),
 ]
 
 QUERIES = [
@@ -89,6 +100,8 @@ QUERIES = [
     "sk_hll_registers", "sk_kmv_distinct", "sk_cms_registers",
     "sk_cms_point_queries", "sk_bottomk_quantiles", "sk_kmv_set_ops",
     "x_jsonpath", "p2_nonnull_projection",
+    "w1_position_numbering", "w2_latest_entry", "w3_timer_scan",
+    "s_alias_diff_except",
 ]
 
 
