@@ -731,6 +731,7 @@ WITH o AS (
          epoch_us(o_orderdate) AS t, o_orderkey,
          lag(o_orderpriority) OVER w AS prev
   FROM orders
+  WHERE o_orderdate IS NOT NULL
   WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate), o_orderkey)
 ), chg AS (
   -- SCD2 version-open events (same dimension build as s4)
@@ -740,6 +741,7 @@ WITH o AS (
   SELECT o2.o_custkey, epoch_us(l.l_shipdate) AS t,
          CAST(round(l.l_quantity * 100, 0) AS BIGINT) AS qty
   FROM lineitem l JOIN orders o2 ON l.l_orderkey = o2.o_orderkey
+  WHERE l.l_shipdate IS NOT NULL
 ), tagged AS (
   SELECT o_custkey, t, o_orderkey AS seq, attr,
          NULL::BIGINT AS qty, 0 AS is_fact
@@ -792,8 +794,9 @@ def j8_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                    "attr",
                    F.lit(None).cast("long").alias("qty"),
                    F.lit(0).alias("is_fact")))
-    facts = (li.join(o.select("o_orderkey", "o_custkey"),
-                     li.l_orderkey == F.col("o_orderkey"))
+    facts = (li.where(F.col("l_shipdate").isNotNull())
+             .join(o.select("o_orderkey", "o_custkey"),
+                   F.col("l_orderkey") == F.col("o_orderkey"))
              .select("o_custkey", F.unix_micros("l_shipdate").alias("t"),
                      F.lit(None).cast("long").alias("seq"),
                      F.lit(None).cast("string").alias("attr"),

@@ -1437,6 +1437,7 @@ WITH o AS (
          epoch_us(o_orderdate) AS t, o_orderkey,
          lag(o_orderpriority) OVER w AS prev
   FROM orders
+  WHERE o_orderdate IS NOT NULL
   WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate), o_orderkey)
 ), chg AS (
   SELECT o_custkey, attr, t, o_orderkey
@@ -1487,8 +1488,15 @@ def scd2_change_rows(orders: DataFrame) -> DataFrame:
     Shared by `s4_scd2_dimension`, `j8_temporal_join` and
     `stream_scd2_enrich` so the same-timestamp tie-break (orderkey in
     the sort — without it two same-instant orders make the window
-    engine-dependent) lives in exactly one place."""
-    o = orders.select(
+    engine-dependent) lives in exactly one place.
+
+    UNDATED changelog rows (NULL o_orderdate) are out of contract,
+    exactly like ledger #6's untimestamped events: a version that
+    opens at a NULL instant has no place in the validity order, and
+    the engines would sort it to OPPOSITE ends (Spark NULLS FIRST,
+    DuckDB NULLS LAST — measured divergence, r12 orders corpus).
+    Both oracles state the same o_orderdate IS NOT NULL."""
+    o = orders.where(F.col("o_orderdate").isNotNull()).select(
         "o_custkey", F.col("o_orderpriority").alias("attr"),
         F.unix_micros("o_orderdate").alias("t"), "o_orderkey")
     w = Window.partitionBy("o_custkey").orderBy("t", "o_orderkey")

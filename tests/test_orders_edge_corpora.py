@@ -26,7 +26,8 @@ QUERIES = [
     "w7_rolling_revenue", "a11_rfm_segments", "s4_scd2_dimension",
     "sort_limit_topn", "q2_min_cost_supplier", "q15_top_supplier",
     "q1_pricing_summary", "q3_shipping_priority", "q4_priority_semi",
-    "q13_order_distribution", "q18_large_orders",
+    "q13_order_distribution", "q18_large_orders", "j8_temporal_join",
+    "q22_idle_customers_anti",
 ]
 
 
@@ -59,6 +60,19 @@ def edge_sf_dir(spark):
         # Rows 9-11: half-cent prices (rounding fenceposts).
         for j, price in zip(tail[9:], (0.005, 99.995, 12345.675)):
             df.loc[j, "o_totalprice"] = price
+        # Appended rows (r12): an UNDATED order (NULL o_orderdate — out
+        # of the SCD2 changelog contract, see scd2_change_rows; the
+        # engines would sort it to opposite ends of the validity
+        # order) and a NULL price / NULL priority order (aggregation
+        # NULL propagation; a changelog row whose attr is NULL).
+        extra = pd.DataFrame([
+            dict(o_orderkey=900001, o_custkey=one_cust, o_orderdate=None,
+                 o_totalprice=777.77, o_orderpriority="3-MEDIUM"),
+            dict(o_orderkey=900002, o_custkey=one_cust, o_orderdate=instant,
+                 o_totalprice=None, o_orderpriority=None),
+        ]).reindex(columns=list(df.columns))
+        df = pd.concat([df, extra], ignore_index=True)
+        df["o_orderdate"] = df["o_orderdate"].astype("datetime64[us]")
         df.to_parquet(workdir / "orders.parquet")
         yield str(workdir)
     finally:
