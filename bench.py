@@ -407,11 +407,15 @@ class ReplayPeer:
         import re
         pinned = os.environ.get("SPARK_GRAFT_REPLAY_COMMIT")
         if pinned:
+            # --verify + ^{commit}: a bare `rev-parse <bogus>` echoes the
+            # argument to stdout (exit 128), which would slip the bogus
+            # string past the empty-check and blow up later in
+            # `git worktree add` (ADVICE r12).
             rev = subprocess.run(
-                ["git", "rev-parse", pinned], cwd=self.repo,
-                capture_output=True, text=True, timeout=60)
+                ["git", "rev-parse", "--verify", f"{pinned}^{{commit}}"],
+                cwd=self.repo, capture_output=True, text=True, timeout=60)
             self.commit = rev.stdout.strip()
-            if not self.commit:
+            if rev.returncode != 0 or not self.commit:
                 self.error = f"unresolvable replay commit: {pinned}"
                 return
             self.subject = f"(pinned: {pinned})"

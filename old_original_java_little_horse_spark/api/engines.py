@@ -53,13 +53,16 @@ def detect_checkpoint_engine(ckpt_dir: Path) -> bool | None:
 
     # Offsets filenames are batch ids; sort NUMERICALLY so batch 10
     # outranks batch 9 (lexicographic order would scan '9' first once
-    # ids pass one digit — ADVICE r11).  Non-numeric names (none today)
-    # sort after the numeric ones, by name.
+    # ids pass one digit — ADVICE r11).  Non-numeric names sort FIRST
+    # so `reversed(files)` reads genuinely newest-batch-first — a
+    # stray non-numeric file must never shadow the newest batch's
+    # provider record (ADVICE r12); Spark batch ids are always
+    # numeric, so these are never authoritative.
     def _batch_key(p: Path):
         try:
-            return (0, int(p.name), p.name)
+            return (1, int(p.name), p.name)
         except ValueError:
-            return (1, 0, p.name)
+            return (0, 0, p.name)
 
     try:
         files = sorted((p for p in offsets.iterdir()

@@ -264,13 +264,23 @@ def x_mutation_remove_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x_jsonpath",
     oracle="""
 WITH kx AS (
-  SELECT event_id, props,
-         CASE WHEN json_valid(props)
-               AND regexp_matches(trim(json_extract_string(props, '$.k')),
-                                  '^[+-]?[0-9]+$')
-              THEN TRY_CAST(trim(json_extract_string(props, '$.k')) AS BIGINT)
-         END AS k_value
+  SELECT event_id,
+         CASE WHEN json_valid(props) THEN
+           trim(json_extract_string(props, '$.k'),
+                ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))
+         END AS k_raw,
+         CASE WHEN json_valid(props) THEN
+           trim(json_extract_string(props, '$.missing'),
+                ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))
+         END AS m_raw
   FROM events
+), kv AS (
+  SELECT event_id,
+         CASE WHEN regexp_matches(k_raw, '^[+-]?[0-9]+$')
+              THEN TRY_CAST(k_raw AS BIGINT) END AS k_value,
+         CASE WHEN regexp_matches(m_raw, '^[+-]?[0-9]+$')
+              THEN TRY_CAST(m_raw AS BIGINT) END AS m_value
+  FROM kx
 )
 SELECT event_id, k_value,
        CASE WHEN k_value IS NOT NULL THEN
@@ -278,15 +288,8 @@ SELECT event_id, k_value,
            '{"run":{"meta":{"k":' || CAST(k_value AS VARCHAR) || '}}}',
            '$.run.meta.k') AS BIGINT)
        END AS nested_k,
-       COALESCE(
-         CASE WHEN json_valid(props)
-               AND regexp_matches(
-                     trim(json_extract_string(props, '$.missing')),
-                     '^[+-]?[0-9]+$')
-              THEN TRY_CAST(trim(json_extract_string(props, '$.missing'))
-                            AS BIGINT)
-         END, -1) AS with_default
-FROM kx
+       COALESCE(m_value, -1) AS with_default
+FROM kv
 """,
 )
 def x_jsonpath(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -307,7 +310,11 @@ def x_jsonpath(spark: SparkSession, sf_dir: str) -> DataFrame:
     (2) DuckDB TRY_CASTs '1.5' to 2 (rounds) where Spark's
     string→BIGINT grammar yields NULL → integral-string regex gate;
     (3) DuckDB casts JSON true to 1 where Spark stringifies to
-    'true' → NULL — the same regex gate covers it.
+    'true' → NULL — the same regex gate covers it;
+    (4) Spark's try_cast string→BIGINT trims ALL whitespace/control
+    chars where DuckDB's bare trim() strips spaces only → the oracle
+    trims with the explicit ' \\t\\n\\r\\v\\f' set (ADVICE r12; the
+    tab/newline-padded corpus values pin it).
     """
     e = load_table(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k").try_cast("bigint")

@@ -120,9 +120,31 @@ def ship_package(spark: SparkSession) -> None:
     for p in sources:
         digest.update(str(p.relative_to(pkg_dir)).encode())
         digest.update(p.read_bytes())
-    zip_path = (pathlib.Path(tempfile.gettempdir())
+    tmp_dir = pathlib.Path(tempfile.gettempdir())
+    zip_path = (tmp_dir
                 / f"{pkg_dir.name}_pyfiles-{digest.hexdigest()[:16]}.zip")
     if not zip_path.exists():
+        # Opportunistic GC (ADVICE r12): content-addressed zips from
+        # superseded trees — and .tmp files orphaned by a crash
+        # between write and rename — otherwise accumulate forever.
+        # AGE-GATED, not unconditional: Spark's file server serves an
+        # addPyFile'd zip from its ORIGINAL path, so unlinking a
+        # different-digest sibling that a concurrently-live session
+        # (the interleaved A/B peer, exactly the r12 race) just
+        # shipped would break that session's next fetch.  A bench
+        # window lives minutes; anything hours-old is a fossil.
+        import time
+
+        now = time.time()
+        for stale in tmp_dir.glob(f"{pkg_dir.name}_pyfiles-*"):
+            if stale == zip_path or stale.suffix not in (".tmp", ".zip"):
+                continue
+            age_limit = 3600 if stale.suffix == ".tmp" else 6 * 3600
+            try:
+                if now - stale.stat().st_mtime > age_limit:
+                    stale.unlink()
+            except OSError:
+                pass  # racing unlink / foreign owner: harmless
         tmp = zip_path.with_suffix(f".{os.getpid()}.tmp")
         with zipfile.ZipFile(tmp, "w") as z:
             for p in sources:

@@ -813,8 +813,13 @@ def stream_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = scd2_intervals(o).persist()
     dim.count()  # materialize once; micro-batches reuse the cached blocks
 
-    facts = (li.join(o.select("o_orderkey", "o_custkey"),
-                     li.l_orderkey == F.col("o_orderkey"))
+    # Explicit, not incidental: j8's oracle fact CTE filters
+    # `l_shipdate IS NOT NULL`, and without this .where the NULL-ship
+    # facts would only drop because both slice predicates below
+    # (`t <= cut` / `t > cut`) happen to reject NULL t (ADVICE r12).
+    facts = (li.where(F.col("l_shipdate").isNotNull())
+             .join(o.select("o_orderkey", "o_custkey"),
+                   li.l_orderkey == F.col("o_orderkey"))
              .select("o_custkey", F.unix_micros("l_shipdate").alias("t"),
                      F.round(F.col("l_quantity") * 100, 0)
                      .cast("long").alias("qty")))

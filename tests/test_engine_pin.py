@@ -82,6 +82,11 @@ def test_detection_reads_newest_offsets_numerically(tmp_path):
     # non-numeric names don't crash detection
     (ckpt / "offsets" / "metadata-ish").write_text("v1\n{}\n{}\n")
     assert detect_checkpoint_engine(ckpt) is True
+    # ADVICE r12: a stray non-numeric file CARRYING a provider record
+    # must not shadow the newest numeric batch — non-numeric names
+    # sort before every batch id, so batch 12's RocksDB record wins.
+    (ckpt / "offsets" / "zz-stray").write_text(_HDFS_OFFSETS)
+    assert detect_checkpoint_engine(ckpt) is True
 
 
 def test_custom_marker_location(tmp_path):

@@ -77,6 +77,12 @@ EDGE_EVENTS = [
     (26, BASE + timedelta(minutes=36), 9, "view", 1.0, '{"k": " 7 "}'),
     (27, BASE + timedelta(minutes=37), 9, "view", 1.0,
      '{"k": 99999999999999999999}'),  # overflows BIGINT: NULL, not error
+    # tab/newline/CR-padded quoted ints (ADVICE r12): Spark's try_cast
+    # string→BIGINT trims all whitespace/control chars, DuckDB's bare
+    # trim() strips spaces only — x_jsonpath's oracle must trim the
+    # full ' \t\n\r\v\f' set or these yield 7/8 on Spark, NULL there.
+    (31, BASE + timedelta(minutes=38), 9, "view", 1.0, '{"k": "7\\t"}'),
+    (32, BASE + timedelta(minutes=39), 9, "view", 1.0, '{"k": "\\n 8 \\r"}'),
     # u10 — NULL TIMESTAMPS (r12 ledger #6): time-ordered operators'
     # contract is `ts IS NOT NULL` on BOTH engines (timed_events());
     # without it the engines' opposite default null placement in

@@ -55,3 +55,37 @@ def test_zip_name_is_content_addressed_and_idempotent():
         names = set(z.namelist())
     assert f"{pkg_name}/session.py" in names
     assert f"{pkg_name}/registry.py" in names
+
+
+def test_stale_sibling_gc_is_age_gated():
+    """ADVICE r12: superseded-digest zips and crash-orphaned .tmp
+    files must be collected on the next build — but ONLY hours-old
+    ones, because Spark serves an addPyFile'd zip from its original
+    path and a concurrently-live peer session (the interleaved A/B)
+    may have shipped a different-digest sibling minutes ago."""
+    import os
+    import time
+
+    s = _FakeSession()
+    ship_package(s)
+    path = pathlib.Path(s.sparkContext.added[0])
+    base = path.parent / path.stem.rsplit("-", 1)[0]
+    old_zip = pathlib.Path(f"{base}-{'0' * 16}.zip")
+    old_tmp = pathlib.Path(f"{base}-{'1' * 16}.4242.tmp")
+    fresh_zip = pathlib.Path(f"{base}-{'2' * 16}.zip")
+    for p in (old_zip, old_tmp, fresh_zip):
+        p.write_bytes(b"stale")
+    now = time.time()
+    os.utime(old_zip, (now - 7 * 3600, now - 7 * 3600))  # past 6h limit
+    os.utime(old_tmp, (now - 2 * 3600, now - 2 * 3600))  # past 1h limit
+    try:
+        path.unlink()  # force a rebuild so the GC sweep runs
+        ship_package(_FakeSession())
+        assert path.exists()
+        assert not old_zip.exists(), "hours-old superseded zip survived GC"
+        assert not old_tmp.exists(), "crash-orphaned .tmp survived GC"
+        assert fresh_zip.exists(), "GC deleted a minutes-old live sibling"
+    finally:
+        fresh_zip.unlink(missing_ok=True)
+        old_zip.unlink(missing_ok=True)
+        old_tmp.unlink(missing_ok=True)
