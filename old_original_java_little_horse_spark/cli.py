@@ -422,6 +422,40 @@ def cmd_process(args) -> int:
     return 0
 
 
+def cmd_import(args) -> int:
+    """Bulk-import an event backlog (a topic dump, a restart backlog)
+    into a LIVE engine's events dir with catch-up admission control:
+    the backlog is spooled, segmented in offset order, and released at
+    most `--rows-per-trigger` rows ahead of what the engine has
+    committed — read from the engine checkpoint's own `commits/` +
+    `sources/0/` write-ahead record, so this works from a separate
+    process with no query handle.  Freshly POSTed runs keep idle-grade
+    latency instead of waiting behind one giant catch-up batch
+    (`streaming/admission.py`; the reference's per-record scheduler
+    never queues new work behind a batch,
+    scheduler/SchedulerProcessor.java:63-86)."""
+    import pyarrow.parquet as pq
+
+    from .streaming.admission import CatchUpAdmission
+
+    tbl = pq.read_table(args.file)
+    adm = CatchUpAdmission(
+        args.events_dir,
+        checkpoint_dir=args.checkpoint_dir,
+        max_rows_per_trigger=args.rows_per_trigger)
+    try:
+        n_seg = adm.spool_bulk(tbl)
+        print(f"spooled {tbl.num_rows} events in {n_seg} segments")
+        if not adm.drain(timeout=args.timeout):
+            print(f"timed out with {adm.pending_rows()} rows still "
+                  "spooled (engine stalled or stopped?)")
+            return 1
+        print("released; engine will fold the tail in-flight")
+        return 0
+    finally:
+        adm.close()
+
+
 def cmd_compile(args) -> int:
     """SDK workflow → JSON spec (reference `handle_compile.py:26-38`):
     import `module.path:function`, call it (it returns a built spec
@@ -728,6 +762,18 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("--events-dir")
     e.add_argument("--api", help="API base URL (HTTP-client mode)")
     e.set_defaults(fn=cmd_event)
+
+    im = sub.add_parser("import", help="bulk-import an event backlog "
+                        "with catch-up admission control")
+    im.add_argument("--file", required=True,
+                    help="parquet file of WF events (the topic dump)")
+    im.add_argument("--events-dir", required=True)
+    im.add_argument("--checkpoint-dir", required=True,
+                    help="the live engine's checkpoint (paces the "
+                         "release off its commits/sources record)")
+    im.add_argument("--rows-per-trigger", type=int, default=25_000)
+    im.add_argument("--timeout", type=float, default=3600.0)
+    im.set_defaults(fn=cmd_import)
 
     cp = sub.add_parser("compile", help="SDK workflow -> JSON spec")
     cp.add_argument("wf_func", help="module.path:function returning a "

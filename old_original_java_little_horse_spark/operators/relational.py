@@ -310,11 +310,11 @@ def j3_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH a AS (
   SELECT user_id, event_id AS wait_event_id,
          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-  FROM events WHERE event_type = 'click'
+  FROM events WHERE event_type = 'click' AND ts IS NOT NULL
 ), b AS (
   SELECT user_id, event_id AS ext_event_id,
          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-  FROM events WHERE event_type = 'purchase'
+  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
 )
 SELECT a.user_id, a.rn AS seq, a.wait_event_id, b.ext_event_id
 FROM a JOIN b ON a.user_id = b.user_id AND a.rn = b.rn
@@ -327,8 +327,15 @@ def j4_fifo_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     waiting node per key consumes the k-th buffered event.  Both
     row_number windows and the join share one hash-partitioning on
     user_id, so Catalyst plans a single exchange per side.
+
+    TIMED-EVENTS CONTRACT (ledger #6): the FIFO rank rides on ts
+    order, and a correlation at a NULL instant has no defined place
+    in the queue — the engines' opposite NULL sort placement (Spark
+    NULLS FIRST, DuckDB NULLS LAST) would shift every later rank.
+    Found r13 by the ledger-partition audit: j4 was the one
+    rank-on-ts query still reading the raw table.
     """
-    e = load_table(spark, sf_dir, "events")
+    e = timed_events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     a = (
         e.where(F.col("event_type") == "click")

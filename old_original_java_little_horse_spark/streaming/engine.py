@@ -590,7 +590,8 @@ def start_continuous(spark: SparkSession, events_dir: str, spec: dict,
                      tombstone_ttl_ms: int | None = None,
                      serving_dir: str | None = None,
                      use_tws: bool = False,
-                     state_partitions: int | None = None):
+                     state_partitions: int | None = None,
+                     max_files_per_trigger: int | None = None):
     """Start the engine as a continuously-running query (ProcessingTime
     trigger ~ the reference's 1 s punctuator cadence, Constants.java:36).
 
@@ -616,10 +617,25 @@ def start_continuous(spark: SparkSession, events_dir: str, spec: dict,
     waits out in-flight batches).  Size to the deployment's run-rate:
     a keyspace of thousands of concurrent runs wants the default
     analytic fanout or more; a serving-latency deployment wants few.
-    Scoped to this query's start — the session default is restored."""
+    Scoped to this query's start — the session default is restored.
+
+    `max_files_per_trigger`: the file source's coarse admission cap
+    (Kafka's `maxOffsetsPerTrigger` twin at FILE granularity) — with
+    one-file-per-command production it bounds how much of a restart
+    backlog any single micro-batch folds, keeping batch time (and so
+    the read-your-writes barrier) bounded during catch-up.  FIFO file
+    order is preserved, so a live command still queues behind
+    remaining backlog files; for row-granular pacing that keeps new
+    runs at idle-grade latency, wrap the bulk import in
+    `streaming.admission.CatchUpAdmission` instead (source-side, so
+    it applies identically to the tws engine)."""
     from ..engine.batch import WF_EVENT_SCHEMA
 
-    events = spark.readStream.schema(WF_EVENT_SCHEMA).parquet(events_dir)
+    reader = spark.readStream.schema(WF_EVENT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
+    events = reader.parquet(events_dir)
     tagged = streaming_engine(events, spec, executor=executor,
                               native_timers=native_timers,
                               evict_completed=evict_completed,
@@ -683,6 +699,7 @@ def start_continuous(spark: SparkSession, events_dir: str, spec: dict,
             .start()
         )
     q._lh_fresh_start = fresh  # see await_read_your_writes
+    q._lh_capped_admission = max_files_per_trigger is not None
     return q
 
 
@@ -704,7 +721,8 @@ def start_continuous_shared(spark: SparkSession, events_dir: str,
                             executor: TaskExecutor | None = None,
                             trigger_seconds: float = 0.5,
                             use_tws: bool = False,
-                            state_partitions: int | None = None):
+                            state_partitions: int | None = None,
+                            max_files_per_trigger: int | None = None):
     """ONE engine for ALL deployed specs (SURVEY §7 ops profile: 100
     specs should not need 100 checkpoints/state stores).
 
@@ -729,7 +747,13 @@ def start_continuous_shared(spark: SparkSession, events_dir: str,
     from ..engine.fold import make_spec_registry
 
     registry = make_spec_registry(specs)
-    events = spark.readStream.schema(WF_EVENT_SCHEMA).parquet(events_dir)
+    reader = spark.readStream.schema(WF_EVENT_SCHEMA)
+    if max_files_per_trigger is not None:
+        # Coarse catch-up admission cap — see start_continuous; the
+        # row-granular pacer is streaming.admission.CatchUpAdmission.
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
+    events = reader.parquet(events_dir)
     tagged = streaming_engine(events, registry, executor=executor,
                               native_timers=True, evict_completed=True,
                               use_tws=use_tws)
@@ -796,6 +820,7 @@ def start_continuous_shared(spark: SparkSession, events_dir: str,
             .start()
         )
     q._lh_fresh_start = fresh  # see await_read_your_writes
+    q._lh_capped_admission = max_files_per_trigger is not None
     return q
 
 
@@ -807,11 +832,26 @@ def await_read_your_writes(query, timeout: float = 60.0) -> None:
     the produce offset, 50 ms at a time
     (`APIStreamsContext.java:168-222`, poll at 200-203).  On a
     micro-batch engine the equivalent is: wait for a completed trigger
-    that *started* after this call and *listed the source fresh*.  The
-    engine's continuous queries never cap maxFilesPerTrigger, so such
-    a trigger consumed every file visible at its start — including
-    this call's write — whether it read zero rows (someone else's
-    batch already drained it) or many (it carried the write itself).
+    that *started* after this call and *listed the source fresh*.  An
+    UNCAPPED continuous query (the default) consumes every file
+    visible at a trigger's start — including this call's write —
+    whether it read zero rows (someone else's batch already drained
+    it) or many (it carried the write itself).
+
+    When the starter capped admission (`max_files_per_trigger`, the
+    coarse catch-up knob — stamped as `_lh_capped_admission`), a
+    post-write trigger may have taken only older backlog files, so
+    "started after the call" proves nothing.  The sufficient capped
+    condition is a post-write batch with ZERO input rows: under FIFO
+    file admission an empty batch means the source listing was empty,
+    i.e. every earlier file — this write included — was already
+    consumed.  That makes the barrier wait out the whole backlog,
+    which is exactly what a capped FIFO source means; deployments
+    that need idle-grade POST latency during catch-up should pace the
+    backlog through `streaming.admission.CatchUpAdmission` (spooled
+    events become barrier-visible only after release — call its
+    `drain()` first when barriering on a spooled key) and leave the
+    reader uncapped.
 
     Two progress entries must NOT satisfy the barrier:
 
@@ -842,6 +882,7 @@ def await_read_your_writes(query, timeout: float = 60.0) -> None:
     from datetime import datetime, timezone
 
     trust_head = getattr(query, "_lh_fresh_start", False)
+    capped = getattr(query, "_lh_capped_admission", False)
     t0 = datetime.now(timezone.utc)
     deadline = _time.monotonic() + timeout
     while _time.monotonic() < deadline:
@@ -851,8 +892,10 @@ def await_read_your_writes(query, timeout: float = 60.0) -> None:
             started = datetime.strptime(
                 p["timestamp"], "%Y-%m-%dT%H:%M:%S.%fZ"
             ).replace(tzinfo=timezone.utc)
-            if started > t0 and (trust_head
-                                 or p["batchId"] > recent[0]["batchId"]):
+            if (started > t0
+                    and (trust_head
+                         or p["batchId"] > recent[0]["batchId"])
+                    and (not capped or p.get("numInputRows", 0) == 0)):
                 return
         _time.sleep(0.05)  # the reference's 50 ms poll
     raise TimeoutError("read-your-writes barrier timed out")

@@ -304,7 +304,7 @@ WITH o AS (
 ), m AS (
   SELECT user_id, ts, value,
          SUM(CASE WHEN prev IS NULL
-                    OR epoch_us(ts) - epoch_us(prev) >= {SESSION_GAP_US}
+                    OR epoch_us(ts) - epoch_us(prev) > {SESSION_GAP_US}
                   THEN 1 ELSE 0 END)
            OVER (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS UNBOUNDED PRECEDING) AS session_idx
@@ -325,12 +325,16 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     live telemetry pipeline runs (the batch twin is `w4_sessionize`'s
     lag+running-sum plan).
 
-    Semantics note: `session_window` starts a NEW session when the
-    inter-event gap is >= the gap duration (an event extends a session
-    only while it lands strictly inside it), so the oracle's break
-    rule is `>=` — `w4_sessionize`'s window formulation uses strict
-    `>`; the two agree on any data without exact-gap pairs and both
-    rules are published in their oracles.
+    Semantics note: `session_window`'s window end is INCLUSIVE — an
+    event arriving at exactly prev_ts + gap still EXTENDS the session
+    (measured r13 on the straddled edge corpus: two events exactly
+    30 min apart merged into one session; the earlier prose here
+    claimed the opposite).  The oracle's break rule is therefore
+    strict `>`, the SAME rule as `w4_sessionize`'s batch
+    formulation — the two twins agree on exact-gap pairs, pinned by
+    `tests/test_stream_edge_replay.py`'s exact-gap rows (one timed
+    user, one NULL-user pair — NULL users are ONE session key in both
+    engines' grouping).
 
     Scale shape: ONE stateful exchange on (user_id) with per-key
     session state; events stage over three micro-batches

@@ -98,6 +98,9 @@ EDGE_EVENTS = [
 
 QUERIES = [
     "w4_sessionize", "j5_asof_join", "w5_length_quantiles", "a6_funnel",
+    "j4_fifo_correlation",  # r13: joined the timed-events contract —
+    # the NULL-ts corpus rows (28-30, clicks/purchases among them)
+    # would shift its FIFO ranks oppositely on the two engines
     "j6_range_count", "a7_event_rate_windows", "j7_interval_overlap",
     "w6_cohort_retention", "w7_rolling_revenue", "a8_anomaly_hours",
     "w8_gap_fill", "j8_temporal_join", "a9_markov_transitions",

@@ -97,3 +97,22 @@ def test_missing_artifacts_fall_back_to_insertion_order(tmp_path, monkeypatch):
     assert _driver_evidence_rounds() == {}
     ordered = list(all_queries())
     assert ordered == list(registry._REGISTRY)
+
+
+def test_ghost_evidence_names_are_inert(monkeypatch):
+    """VERDICT r12 item 6: retired names live on in old artifacts
+    (`s2_changelog_upsert` r6 -> superseded by `s4_scd2_dimension`;
+    `d_edit_distance_pairs` r8 -> `d_edit_segment_pairs`).  The
+    ranking keys evidence lookups on LIVE registry names only, so a
+    ghost row can never shift the rotation — pinned by injecting a
+    ghost with the freshest evidence of all and observing an
+    unchanged order."""
+    real = dict(registry._REGISTRY)
+    names = list(real)
+    base = {n: 5 for n in names}
+    monkeypatch.setattr(registry, "_driver_evidence_rounds", lambda: base)
+    without_ghost = list(all_queries())
+    with_ghost = dict(base, s2_changelog_upsert=99, d_edit_distance_pairs=1)
+    monkeypatch.setattr(registry, "_driver_evidence_rounds",
+                        lambda: with_ghost)
+    assert list(all_queries()) == without_ghost
