@@ -1,0 +1,65 @@
+"""The preloading worker daemon (session.py + pydaemon.py).
+
+Spark reaps idle Python workers after a hardcoded minute; without the
+daemon preload every respawned worker re-imports numpy/pandas/pyarrow
+inside its first Arrow UDF call (measured 2.5x on pandas-UDF queries
+whose runs are spaced minutes apart).  These tests pin the wiring —
+the conf reaches the session, the daemon module is importable by a
+bare worker Python, and the opt-out works — while the whole suite
+exercises the daemon itself (every pandas-UDF test forks from it).
+"""
+
+from __future__ import annotations
+
+import importlib
+import os
+import subprocess
+import sys
+
+
+def test_pydaemon_importable_and_delegates():
+    mod = importlib.import_module(
+        "old_original_java_little_horse_spark.pydaemon")
+    # Delegation target is pyspark's real daemon loop.
+    from pyspark.daemon import manager
+
+    assert mod.manager is manager
+    # The preload actually happened in this process too.
+    assert "numpy" in sys.modules and "pandas" in sys.modules
+
+
+def test_pydaemon_importable_by_bare_worker_python():
+    """A worker Python with only PYTHONPATH (no sys.path bootstrap)
+    must resolve the module — this is exactly how the daemon launches."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, PYTHONPATH=repo)
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import old_original_java_little_horse_spark.pydaemon as d; "
+         "print(callable(d.manager))"],
+        env=env, capture_output=True, text=True, timeout=120)
+    assert out.returncode == 0, out.stderr[-500:]
+    assert out.stdout.strip() == "True"
+
+
+def test_session_sets_daemon_module(spark):
+    assert spark.conf.get("spark.python.daemon.module") == \
+        "old_original_java_little_horse_spark.pydaemon"
+
+
+def test_export_respects_opt_out(monkeypatch):
+    from old_original_java_little_horse_spark import session
+
+    monkeypatch.setenv("SPARK_GRAFT_NO_DAEMON_PRELOAD", "1")
+    assert session._export_daemon_preload() is False
+
+
+def test_export_adds_repo_root_to_pythonpath(monkeypatch):
+    from old_original_java_little_horse_spark import session
+
+    monkeypatch.delenv("SPARK_GRAFT_NO_DAEMON_PRELOAD", raising=False)
+    monkeypatch.setenv("PYTHONPATH", "/nonexistent")
+    assert session._export_daemon_preload() is True
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    parts = os.environ["PYTHONPATH"].split(os.pathsep)
+    assert repo in parts and "/nonexistent" in parts
