@@ -700,9 +700,7 @@ def _ivf_cells_udf(centroids, nprobe: int):
     """
     import numpy as np
 
-    cids = np.array([c for c, _ in centroids], dtype=np.int64)   # (C,)
-    C = np.array([v for _, v in centroids], dtype=np.int64)      # (C, DIM)
-    cnorm = np.einsum("ij,ij->i", C, C)                          # (C,)
+    cids, C, cnorm = _ivf_consts(centroids)
 
     @F.pandas_udf("array<bigint>")
     def cells(v):
@@ -712,12 +710,70 @@ def _ivf_cells_udf(centroids, nprobe: int):
         if len(v) == 0:
             return pd.Series([], dtype=object)
         V = np.vstack(v.to_numpy()).astype(np.int64)   # (n, DIM)
-        d2 = (np.einsum("ij,ij->i", V, V)[:, None]
-              - 2 * (V @ C.T) + cnorm[None, :])        # (n, C) exact int64
-        order = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
+        order = _ivf_cells_batch(V, C, cnorm, nprobe)
         return pd.Series(cids[order].tolist())
 
     return cells
+
+
+def _ivf_consts(centroids):
+    import numpy as np
+
+    cids = np.array([c for c, _ in centroids], dtype=np.int64)   # (C,)
+    C = np.array([v for _, v in centroids], dtype=np.int64)      # (C, DIM)
+    return cids, C, np.einsum("ij,ij->i", C, C)                  # + (C,)
+
+
+def _ivf_cells_batch(V, C, cnorm, nprobe):
+    """Positions (not cids) of the `nprobe` nearest centroids per row
+    — the shared assignment kernel of `_ivf_cells_udf` and
+    `_ivf_lloyd_sums`: d² = |v|² − 2·V@C.T + |c|² in exact int64,
+    stable argsort over cid-ascending rows so ties break on the lower
+    cell id, the oracle's (d2, cid) window order."""
+    import numpy as np
+
+    d2 = (np.einsum("ij,ij->i", V, V)[:, None]
+          - 2 * (V @ C.T) + cnorm[None, :])            # (n, C) exact int64
+    return np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
+
+
+def _ivf_lloyd_sums(e, centroids):
+    """One Lloyd round's (cid, pos) component sums/counts as a single
+    `mapInPandas` pass — assignment and accumulation fused per Arrow
+    batch (`np.add.at` over the nearest-cell positions), emitting the
+    bounded C·DIM partial grid instead of posexploding every vector
+    to DIM rows through codegen (the same §2.3 partial-aggregation
+    rewrite as `_pq_lloyd_sums`; exact int64 both ways, so the
+    collected totals — and the oracle's FLOOR(s/n) replay — are
+    bit-identical)."""
+    import numpy as np
+
+    cids, C, cnorm = _ivf_consts(centroids)
+
+    def partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.vstack(pdf["v"].to_numpy()).astype(np.int64)
+            near = _ivf_cells_batch(V, C, cnorm, 1)[:, 0]    # positions
+            S = np.zeros((len(cids), V.shape[1]), dtype=np.int64)
+            N = np.zeros(len(cids), dtype=np.int64)
+            np.add.at(S, near, V)
+            np.add.at(N, near, 1)
+            live = np.nonzero(N)[0]
+            dim = V.shape[1]
+            yield pd.DataFrame({
+                "cid": np.repeat(cids[live], dim),
+                "pos": np.tile(np.arange(dim), len(live)),
+                "s": S[live].reshape(-1),
+                "n": np.repeat(N[live], dim)})
+    return (e.select("v")
+            .mapInPandas(partials, "cid long, pos int, s long, n long")
+            .groupBy("cid", "pos")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n")))
 
 
 def _ivf_train(e) -> list:
@@ -731,18 +787,14 @@ def _ivf_train(e) -> list:
     partial-agg shuffle whose output is C*DIM rows — corpus-size
     independent — and a bounded driver fetch; floor division matches
     the oracle's FLOOR(s/n)."""
+    from ..session import ship_package
+
+    ship_package(e.sparkSession)  # Arrow stages unpickle module kernels
     cent_rows = (e.where(F.col("vec_id").between(IVF_SEED_LO, IVF_SEED_HI))
                   .select("vec_id", "v").collect())
     cents = {int(r.vec_id) - IVF_SEED_LO: list(r.v) for r in cent_rows}
     for _ in range(IVF_LLOYD_ROUNDS):
-        assign0 = e.select(
-            "v",
-            _ivf_cells_udf(sorted(cents.items()), 1)(F.col("v"))[0]
-            .alias("cid"))
-        sums = (assign0.select("cid", F.posexplode("v").alias("pos", "x"))
-                .groupBy("cid", "pos")
-                .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
-                .collect())
+        sums = _ivf_lloyd_sums(e, sorted(cents.items())).collect()
         for r in sums:  # floor division == the oracle's FLOOR(s/n)
             cents[r.cid][r.pos] = r.s // r.n
     return sorted(cents.items())
@@ -1025,9 +1077,12 @@ SELECT query_id, neighbor_id, rnk, adc_d2 FROM (
 """
 
 
-def _pq_encode_udf(cb):
-    """codes = per-subspace argmin over the codebook (first-min tie =
-    lowest code, matching the oracle's ORDER BY d2, k).
+def _pq_encode_batch(V, CBf, cnorm):
+    """codes (n, M) = per-subspace argmin over the codebook for a
+    batch of quantized vectors V (n, DIM) — the shared encode kernel
+    of `_pq_encode_udf`, `_pq_lloyd_partials` and `_pq_adc_udf`
+    (first-min tie = lowest code, matching the oracle's
+    ORDER BY d2, k).
 
     argmin_k |v - c_k|² = argmin_k (|c_k|² - 2 v·c_k): the expansion
     drops the per-row constant |v|², turns the kernel into one
@@ -1040,8 +1095,21 @@ def _pq_encode_udf(cb):
     first-minimum rule still selects the lowest code."""
     import numpy as np
 
+    Vr = V.astype(np.float64).reshape(len(V), PQ_M, PQ_SUB)  # (n, M, SUB)
+    dot = np.einsum("nms,mks->nmk", Vr, CBf, optimize=True)
+    return np.argmin(cnorm[None, :, :] - 2.0 * dot, axis=2)  # (n, M)
+
+
+def _pq_consts(cb):
+    import numpy as np
+
     CBf = np.array(cb, dtype=np.int64).astype(np.float64)  # (M, K, SUB)
-    cnorm = (CBf ** 2).sum(axis=2)                          # (M, K)
+    return CBf, (CBf ** 2).sum(axis=2)                      # + (M, K)
+
+
+def _pq_encode_udf(cb):
+    """Arrow-batched `_pq_encode_batch` as a column UDF."""
+    CBf, cnorm = _pq_consts(cb)
 
     @F.pandas_udf("array<int>")
     def encode(v):
@@ -1050,13 +1118,90 @@ def _pq_encode_udf(cb):
 
         if len(v) == 0:
             return pd.Series([], dtype=object)
-        V = np.vstack(v.to_numpy()).astype(np.float64)
-        V = V.reshape(len(V), PQ_M, PQ_SUB)           # (n, M, SUB)
-        dot = np.einsum("nms,mks->nmk", V, CBf, optimize=True)
-        return pd.Series(
-            np.argmin(cnorm[None, :, :] - 2.0 * dot, axis=2).tolist())
+        V = np.vstack(v.to_numpy())
+        return pd.Series(_pq_encode_batch(V, CBf, cnorm).tolist())
 
     return encode
+
+
+def _pq_lloyd_sums(e, cb):
+    """The Lloyd-round cell statistics — per-(m, k, j) component sums
+    and counts over the corpus encoded under `cb` — as ONE
+    `mapInPandas` pass emitting M·K·SUB partial rows per Arrow batch.
+
+    The r12 form encoded with `_pq_encode_udf`, posexploded every
+    vector to DIM rows and partial-aggregated (m, k, j) — profiled as
+    the query's single biggest job (1.7 s of a 3.8 s warm run at
+    sf0.1: a second Python boundary plus a DIM× row explode through
+    codegen just to regroup what numpy can accumulate in-batch).
+    Here encode and accumulate happen in the SAME batch loop
+    (`np.add.at` over the codes), so the per-batch output is the
+    bounded (m, k, j) grid — corpus-size independent, exactly the
+    partial-aggregation the guide's §2.3 "aggregate before you
+    shuffle" asks for, with the explode gone entirely.  Sums and
+    counts are exact int64 either way, so the collected totals are
+    bit-identical to the r12 plan and to the oracle's FLOOR(s/n)
+    replay."""
+    import numpy as np
+
+    CBf, cnorm = _pq_consts(cb)
+
+    def partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.vstack(pdf["v"].to_numpy()).astype(np.int64)
+            codes = _pq_encode_batch(V, CBf, cnorm)          # (n, M)
+            Vr = V.reshape(len(V), PQ_M, PQ_SUB)             # (n, M, SUB)
+            S = np.zeros((PQ_M, PQ_K, PQ_SUB), dtype=np.int64)
+            N = np.zeros((PQ_M, PQ_K), dtype=np.int64)
+            for m in range(PQ_M):
+                np.add.at(S[m], codes[:, m], Vr[:, m, :])
+                np.add.at(N[m], codes[:, m], 1)
+            m_idx, k_idx = np.nonzero(N)
+            rows = {"m": np.repeat(m_idx, PQ_SUB),
+                    "k": np.repeat(k_idx, PQ_SUB),
+                    "j": np.tile(np.arange(PQ_SUB), len(m_idx)),
+                    "s": S[m_idx, k_idx].reshape(-1),
+                    "n": np.repeat(N[m_idx, k_idx], PQ_SUB)}
+            yield pd.DataFrame(rows)
+
+    return (e.select("v")
+            .mapInPandas(partials, "m int, k int, j int, s long, n long")
+            .groupBy("m", "k", "j")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n")))
+
+
+def _pq_adc_udf(cb, lut, nq):
+    """Fused encode + ADC lookup: ONE Arrow pass computes each
+    vector's codes (shared kernel) and immediately sums the per-query
+    LUT entries — the r12 plan chained two ArrowEvalPython nodes
+    (encode → adc), shipping the (n, M) code arrays across the Python
+    boundary twice for no reason (plan `sim_pq_adc_topk_before.txt`
+    nodes (3)+(5)); one node does both at identical output (exact
+    int64 LUT sums)."""
+    import numpy as np
+
+    CBf, cnorm = _pq_consts(cb)
+
+    @F.pandas_udf("array<bigint>")
+    def adc_from_v(v):
+        import numpy as np
+        import pandas as pd
+
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        V = np.vstack(v.to_numpy())
+        C = _pq_encode_batch(V, CBf, cnorm)                  # (n, M)
+        marange = np.arange(PQ_M)
+        out = np.stack([lut[qi][marange, C].sum(axis=1)
+                        for qi in range(nq)], axis=1)        # (n, |Q|)
+        return pd.Series(out.tolist())
+
+    return adc_from_v
 
 
 @query("sim_pq_adc_topk", oracle=_PQ_ORACLE)
@@ -1090,6 +1235,9 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     and ADC bit-for-bit."""
     import numpy as np
 
+    from ..session import ship_package
+
+    ship_package(spark)  # the Arrow stages unpickle module kernels
     e = positional_vectors(spark, sf_dir)
     # ONE bounded collect for both driver artifacts (seeds + queries)
     art_rows = sorted(
@@ -1115,17 +1263,10 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = cb.reshape(PQ_K, PQ_M, PQ_SUB).transpose(1, 0, 2)  # (M, K, SUB)
 
     for _ in range(PQ_LLOYD_ROUNDS):
-        assign0 = e.select(_pq_encode_udf(cb)(F.col("v")).alias("code"), "v")
-        # (m, k, j) partial sums: M*K*SUB rows out of the shuffle,
+        # (m, k, j) partial sums in the encode pass itself
+        # (`_pq_lloyd_sums`): M*K*SUB rows out of the shuffle,
         # corpus-size independent; floor division == oracle FLOOR(s/n)
-        sums = (assign0.select(F.posexplode("v").alias("pos", "x"), "code")
-                .select((F.col("pos") / PQ_SUB).cast("int").alias("m"),
-                        (F.col("pos") % PQ_SUB).alias("j"), "x", "code")
-                .select("m", "j", "x",
-                        F.element_at("code", F.col("m") + 1).alias("k"))
-                .groupBy("m", "k", "j")
-                .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
-                .collect())                           # M*K*SUB rows, bounded
+        sums = _pq_lloyd_sums(e, cb).collect()        # M*K*SUB rows, bounded
         for r in sums:
             cb[r.m][r.k][r.j] = r.s // r.n
 
@@ -1136,23 +1277,10 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     lut = ((Qm[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(axis=3)
     nq = len(qids)
 
-    @F.pandas_udf("array<bigint>")
-    def adc(codes):
-        import numpy as np
-        import pandas as pd
-
-        if len(codes) == 0:
-            return pd.Series([], dtype=object)
-        C = np.vstack(codes.to_numpy()).astype(np.int64)  # (n, M)
-        marange = np.arange(PQ_M)
-        out = np.stack([lut[qi][marange, C].sum(axis=1)
-                        for qi in range(nq)], axis=1)      # (n, |Q|)
-        return pd.Series(out.tolist())
-
     qid_arr = F.array(*[F.lit(q) for q in qids])
-    scored = (e.select("vec_id", _pq_encode_udf(cb)(F.col("v")).alias("code"))
-              .select("vec_id", F.posexplode(adc(F.col("code")))
-                      .alias("qpos", "adc_d2"))
+    scored = (e.select("vec_id",
+                       F.posexplode(_pq_adc_udf(cb, lut, nq)(F.col("v")))
+                       .alias("qpos", "adc_d2"))
               .select(F.element_at(qid_arr, F.col("qpos") + 1)
                       .alias("query_id"),
                       F.col("vec_id").alias("neighbor_id"), "adc_d2")
