@@ -24,9 +24,11 @@ Scale design: each round is one shuffle join (edges ⋈ labels on node)
 plus one partial-agg groupBy — both on the node key, so AQE coalesces
 and the hot keys are bounded by cluster degree, not corpus size.
 `localCheckpoint` truncates the per-round lineage (on a real cluster,
-use a reliable `checkpoint` dir instead); the convergence probe is an
-`isEmpty()` on a changed-labels anti-filter, which short-circuits on
-the first changed partition.  Nothing is ever collected to the driver.
+use a reliable `checkpoint` dir instead); the convergence probe is
+fused into the round itself — the old label rides the min-aggregate
+and the action that materializes the round's (lazy) checkpoint is a
+count of changed labels, so each round costs exactly one Spark job.
+Nothing is ever collected to the driver (the count is a scalar).
 
 Reference anchor: the reference engine has no corpus operators — this
 family extends it for training-data pipelines (BASELINE.json north
@@ -70,27 +72,54 @@ def connected_components(edges: DataFrame,
 
         def ckpt(df: DataFrame) -> DataFrame:
             return df.checkpoint()
+
+        lazy_ckpt = ckpt  # reliable path stays eager (cluster-loss safety)
     else:
         def ckpt(df: DataFrame) -> DataFrame:
             return df.localCheckpoint()
+
+        def lazy_ckpt(df: DataFrame) -> DataFrame:
+            # materialized by the round's own count() action — one
+            # Spark job per round instead of ckpt-job + probe-job
+            return df.localCheckpoint(eager=False)
 
     both = ckpt(edges.select("src", "dst")
                 .union(edges.select(F.col("dst").alias("src"),
                                     F.col("src").alias("dst")))
                 .distinct())
-    labels = ckpt(both.select(F.col("src").alias("node")).distinct()
-                  .withColumn("label", F.col("node")))
+    # Each round fuses label propagation, the new-label aggregate AND
+    # the convergence probe into ONE job: the old label rides the
+    # groupBy as `max(when(is_old, label))` (labels holds exactly one
+    # row per node, so the conditional max recovers it), the round's
+    # frame is lazily checkpointed, and the materializing action IS the
+    # changed-label count — where the previous shape paid an eager-
+    # checkpoint job plus a separate join+isEmpty probe job per round
+    # (plus an up-front identity-labels checkpoint, folded into round 1
+    # below: `both` is symmetric, so every node appears as src and
+    # (src → label src) is the identity labeling).
+    labels = None
     converged = False
     for _ in range(max_rounds):
-        prop = (both.join(labels, both.src == labels.node)
-                .select(F.col("dst").alias("node"), "label"))
-        new = ckpt(labels.union(prop).groupBy("node")
-                   .agg(F.min("label").alias("label")))
-        changed = (new.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .where(F.col("n.label") != F.col("o.label")))
-        converged = changed.isEmpty()
-        labels = new
+        if labels is None:  # round 1: labels(v) = v, no join needed
+            cand = (both.select(F.col("src").alias("node"),
+                                F.col("src").alias("label"),
+                                F.lit(1).alias("is_old"))
+                    .union(both.select(F.col("dst").alias("node"),
+                                       F.col("src").alias("label"),
+                                       F.lit(0).alias("is_old"))))
+        else:
+            prop = (both.join(labels, both.src == labels.node)
+                    .select(F.col("dst").alias("node"), "label",
+                            F.lit(0).alias("is_old")))
+            cand = labels.withColumn("is_old", F.lit(1)).union(prop)
+        new = lazy_ckpt(
+            cand.groupBy("node")
+            .agg(F.min("label").alias("label"),
+                 F.max(F.when(F.col("is_old") == 1, F.col("label")))
+                 .alias("old_label")))
+        converged = (new.where(F.col("label") != F.col("old_label"))
+                     .count() == 0)
+        labels = new.select("node", "label")
         if converged:
             break
     if not converged:
@@ -134,20 +163,35 @@ def connected_components_star(edges: DataFrame,
 
         def ckpt(df: DataFrame) -> DataFrame:
             return df.checkpoint()
+
+        lazy_ckpt = ckpt  # reliable path stays eager (cluster-loss safety)
     else:
         def ckpt(df: DataFrame) -> DataFrame:
             return df.localCheckpoint()
 
-    nodes = ckpt(edges.select(F.col("src").alias("node"))
-                 .union(edges.select(F.col("dst").alias("node")))
-                 .distinct())
-    # canonical (lo, hi), self-loops dropped
-    e = ckpt(edges.select(F.least("src", "dst").alias("lo"),
-                          F.greatest("src", "dst").alias("hi"))
-             .where(F.col("lo") != F.col("hi"))
-             .distinct())
+        def lazy_ckpt(df: DataFrame) -> DataFrame:
+            # materialized by the round's own count() action — one
+            # job per round instead of ckpt-job + count-job
+            return df.localCheckpoint(eager=False)
 
-    converged = e.isEmpty()
+    # nodes is consumed exactly once (the final left join) — a
+    # checkpoint would be a pure extra materialization job
+    nodes = (edges.select(F.col("src").alias("node"))
+             .union(edges.select(F.col("dst").alias("node")))
+             .distinct())
+    # canonical (lo, hi), self-loops dropped
+    e = lazy_ckpt(edges.select(F.least("src", "dst").alias("lo"),
+                               F.greatest("src", "dst").alias("hi"))
+                  .where(F.col("lo") != F.col("hi"))
+                  .distinct())
+
+    # Each round's count() both materializes the lazy checkpoint and
+    # feeds the set-equality test; the previous round's count is
+    # remembered, so cardinality comparison costs no extra job and the
+    # anti-join probe only runs on candidate-fixpoint rounds (equal
+    # counts).
+    e_cnt = e.count()
+    converged = e_cnt == 0
     rounds = 0
     while not converged and rounds < max_rounds:
         rounds += 1
@@ -170,11 +214,12 @@ def connected_components_star(edges: DataFrame,
                         .select(F.col("m").alias("lo"), F.col("hi")))
                  .where(F.col("lo") != F.col("hi"))
                  .distinct())
-        new = ckpt(small)
+        new = lazy_ckpt(small)
         # set equality: same cardinality + nothing in new missing from e
-        converged = (new.count() == e.count()
+        new_cnt = new.count()
+        converged = (new_cnt == e_cnt
                      and new.join(e, ["lo", "hi"], "left_anti").isEmpty())
-        e = new
+        e, e_cnt = new, new_cnt
     if not converged:
         raise RuntimeError(
             f"connected_components_star did not converge within "
