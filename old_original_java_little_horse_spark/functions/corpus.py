@@ -901,7 +901,11 @@ def t_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import shingle_rows_df
 
     d = load_table(spark, sf_dir, "documents")
-    ss = shingle_rows_df(d, _OVERLAP_K).select("source", "s").distinct()
+    # distinct=False: the (source, s) distinct right here subsumes the
+    # per-doc one — shingles flow from the explode straight into THIS
+    # distinct's map-side partial agg, one exchange instead of two.
+    ss = (shingle_rows_df(d, _OVERLAP_K, distinct=False)
+          .select("source", "s").distinct())
     c = ss.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     a, b = ss.alias("a"), ss.alias("b")
     p = (a.join(b, (F.col("a.s") == F.col("b.s"))

@@ -125,35 +125,61 @@ def shingle_rows(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     return shingle_rows_df(load_table(spark, sf_dir, "documents"), k)
 
 
-def shingle_rows_df(d: DataFrame, k: int) -> DataFrame:
+def shingle_rows_df(d: DataFrame, k: int, distinct: bool = True) -> DataFrame:
     """Distinct (doc_id, source, s) k-word shingle rows.
 
-    Built as posexplode(words) + window `lead` instead of a
-    `transform(sequence, i -> concat_ws(slice(...)))` array
-    expression: Spark evaluates higher-order functions interpreted
-    (outside whole-stage codegen) and that measured ~25x slower.
-    Here everything — split, explode, lead, concat — stays in
-    codegen; the only exchange is the hash partition on doc_id, which
-    the downstream distinct/groupBy reuse.
-    """
-    from pyspark.sql import Window
+    ``distinct=False`` skips the (doc_id, source, s) dedup — and with
+    it the subtree's ONLY exchange, which carries k-word STRINGS (~k×
+    the text bytes, §2.3).  Correct whenever the consumer's own
+    aggregate is duplicate-insensitive: `sigs_from_md5` (min),
+    `sets_from_md5` (collect_set), a downstream coarser `.distinct()`
+    (t_source_overlap).  Those paths become explode → project →
+    partial-agg with zero shuffle before their own exchange.
 
-    w = d.select(
+    Built PER ROW — `arrays_zip` of the k shifted `slice`s of the
+    word array, exploded and `concat_ws`-joined — so tokenization
+    never leaves the scan task: the first (and only) exchange of the
+    subtree is the distinct's, carrying already-map-side-deduped
+    shingles.  Two rejected shapes, both measured:
+
+    - `transform(sequence, i -> concat_ws(slice(...)))` (r9):
+      higher-order functions evaluate interpreted with a lambda per
+      shingle — ~25x slower.
+    - posexplode(words) + window `lead` (r10-r12): codegen-fast, but
+      the window hash-partitions and sorts the EXPLODED TOKEN STREAM
+      (several times the text bytes, §2.3) — a full-corpus shuffle
+      per shingle subtree that exists only to see each word's k-1
+      successors, which are row-local to begin with.  r13 parity vs
+      this form: byte-identical output, local wall parity, one
+      Exchange + one Sort gone from every consumer (§2.4).
+
+    The word array is materialized in its own projection BEFORE the
+    generator: inlining it would re-evaluate split+regexp once per
+    slice reference (11x per row at k=5 — measured 2.4x slower).
+    Non-lambda collection expressions (slice/arrays_zip/concat_ws)
+    stay inside whole-stage codegen.
+    """
+    base = d.select(
         "doc_id", "source",
-        F.posexplode(F.split(normalized_text(F.col("text")), " ")).alias("pos", "w"),
+        F.split(normalized_text(F.col("text")), " ").alias("_wa"),
     )
-    win = Window.partitionBy("doc_id").orderBy("pos")
-    parts = [F.col("w")] + [F.lead("w", i).over(win) for i in range(1, k)]
-    return (
-        w.select(
+    w = F.col("_wa")
+    # All k slices share one length so position i zips words
+    # i..i+k-1; docs shorter than k words yield no complete shingle
+    # (L=0 -> empty zip -> explode drops the doc, matching the old
+    # `_tail IS NOT NULL` filter and the oracles' len(w) >= k guard).
+    length = F.greatest(F.size(w) - F.lit(k - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(w, j + 1, length) for j in range(k)])
+    out = (
+        base.select("doc_id", "source", F.explode(zipped).alias("_t"))
+        .select(
             "doc_id", "source",
-            F.concat_ws(" ", *parts).alias("s"),
-            F.lead("w", k - 1).over(win).alias("_tail"),
+            F.concat_ws(
+                " ", *[F.col("_t").getField(str(j)) for j in range(k)]
+            ).alias("s"),
         )
-        .where(F.col("_tail").isNotNull())  # drop incomplete trailing shingles
-        .select("doc_id", "source", "s")
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 def _hashed_shingle_sets(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
@@ -179,8 +205,15 @@ def shingle_md5_rows_df(docs: DataFrame, k: int) -> DataFrame:
     verification shingle sets (8 hex chars).  A consumer that needs
     both (the streaming incremental index) computes this once,
     persists it, and derives each, instead of re-shingling the corpus
-    twice."""
-    return shingle_rows_df(docs, k).withColumn("h", F.md5("s")).drop("s")
+    twice.
+
+    NOT string-distinct (r13): both derivations dedup after hashing —
+    `sigs_from_md5` takes a min, `sets_from_md5` a collect_set — so
+    rows here flow straight from the explode into each consumer's
+    map-side partial aggregate; a string-level distinct would add a
+    full shingle-string exchange that buys nothing."""
+    return (shingle_rows_df(docs, k, distinct=False)
+            .withColumn("h", F.md5("s")).drop("s"))
 
 
 def sets_from_md5(rows: DataFrame) -> DataFrame:
