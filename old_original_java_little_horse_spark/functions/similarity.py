@@ -713,7 +713,13 @@ def _ivf_cells_udf(centroids, nprobe: int):
         order = _ivf_cells_batch(V, C, cnorm, nprobe)
         return pd.Series(cids[order].tolist())
 
-    return cells
+    # The function is pure, but marked non-deterministic as an
+    # optimizer fence (guide §4.4): the consumers join on cells(v)[0],
+    # and the join's isnotnull null-rejection filter pushed BELOW the
+    # projection re-evaluates the UDF — the corpus assignment matmul
+    # ran 2x in sim_ivf_ann and 4x in sim_kmeans_assign (plan nodes
+    # duplicated around the pushed filter, plans/r13/*_before.txt).
+    return cells.asNondeterministic()
 
 
 def _ivf_consts(centroids):
