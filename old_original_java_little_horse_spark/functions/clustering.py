@@ -542,6 +542,17 @@ def g_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     # order would silently un-cache this call's registration too.
     # (The cache earns its keep within one invocation: the
     # 5-iteration lineage references edges 5× in the final job.)
+    # r13 NOTE (measured, kept as-is): attaching outdeg with a window
+    # over src — to pin the cached edges to the per-round join layout —
+    # A/B'd 1.56x SLOWER locally (plans/r13/ab_change6.json): the
+    # window pays a full raw exchange + sort where this groupBy is
+    # map-side combined and its join-back broadcasts.  At SMJ scale the
+    # shape below is already layout-optimal with no further work: the
+    # raw⋈deg join exchanges raw on src and emits it SORTED on src, so
+    # the cache enters every Pregel round satisfying both the
+    # distribution and the ordering of the round's edges⋈pr sort-merge
+    # join — each round shuffles only rank rows and partial-agg
+    # contributions, never the edge list.
     while _PR_PINNED:
         try:
             _PR_PINNED.pop().unpersist()
@@ -655,7 +666,16 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     the count aggregates); without pinning, each branch replays the
     distinct/groupBy exchange chain (~5×).  Persist both — the memo
     evicts the PREVIOUS invocation's blocks, same convention as
-    `_EDGE_MEMO`/`_PR_PINNED`."""
+    `_EDGE_MEMO`/`_PR_PINNED`.
+
+    The ORIENTED edge list (`dirt`) is deliberately NOT pinned
+    (r13, measured): both wedge-join branches are projections of it,
+    but AQE's runtime exchange reuse already dedups the orientation
+    chain's identical shuffle stages across the branches, so the only
+    duplicated work is post-shuffle merge CPU — and pinning it
+    (plain persist: A/B ratio 1.09; repartition+sort on the pivot:
+    1.31, plans/r13/ab_change6*.json) pays cache materialization that
+    exceeds the saved recompute at every measured point."""
     und = (edges.select(F.least("src", "dst").alias("u"),
                         F.greatest("src", "dst").alias("v"))
            .where(F.col("u") != F.col("v")).distinct())
