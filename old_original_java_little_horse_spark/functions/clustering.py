@@ -530,9 +530,16 @@ def g_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select(F.concat(F.lit("c:"), "o_custkey").alias("c"),
                      F.concat(F.lit("s:"), "l_suppkey").alias("s"))
              .distinct())
-    raw = (pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
-           .unionByName(
-               pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))))
+    # Both directions via a row-local explode, not a self-union: the
+    # union form evaluated the `pairs` subtree (orders⋈lineitem +
+    # distinct) once per branch — and `raw` feeds two consumers (deg,
+    # edges), so the persist-materialization job paid the join+distinct
+    # up to 4x.  Explode emits both directions from ONE evaluation;
+    # same rows out (r13, sim_neardup_topk precedent).
+    raw = (pairs.select(F.explode(F.array(
+        F.struct(F.col("c").alias("src"), F.col("s").alias("dst")),
+        F.struct(F.col("s").alias("src"), F.col("c").alias("dst")),
+    )).alias("_e")).select("_e.src", "_e.dst"))
     deg = raw.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # Same convention as the dup-edge memo above: repeated invocations
     # (driver gate, sweeps, bench) must not accumulate pinned cache —

@@ -349,6 +349,16 @@ def _cos_pairs_udf():
     int64 dot products are exact, and float64 divide/sqrt on the same
     inputs produce the same IEEE doubles Spark's long→double cast
     path does (rounding to 4 decimals stays Spark-side either way).
+
+    Returned `.asNondeterministic()` — a pure function, marked ND only
+    as the guide-§4.4 optimizer fence (the `_ivf_cells_udf` precedent,
+    r13 change 5): the verify queries filter on `cos >= 0.3`, and the
+    pushed-down filter otherwise re-evaluates the matmul below the
+    projection that produces the column (measured plans: 2 back-to-back
+    ArrowEvalPython nodes in `sim_label_blocked_neardup` and BOTH union
+    branches of `sim_neardup_topk`).  The unfiltered consumers
+    (`sim_lsh_bucketed_ann`, `sim_ivf_ann` — window-ranked, no
+    predicate on the column) plan identically either way.
     """
     @F.pandas_udf("double")
     def cos(xv, yv, xn, yn):
@@ -362,7 +372,7 @@ def _cos_pairs_udf():
         dot = np.einsum("ij,ij->i", X, Y).astype(np.float64)
         return pd.Series(dot / np.sqrt(xn.to_numpy() * yn.to_numpy()))
 
-    return cos
+    return cos.asNondeterministic()
 
 
 def _table_sig_sql(col: str, table: int, one_based: bool, bits: int,
@@ -596,12 +606,20 @@ def sim_neardup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .where(F.col("cos") >= 0.3)
                 .select("vec_a", "vec_b", "label",
                         F.round(F.col("cos") * 10000).cast("long").alias("cosine_e4")))
+    # Direct each surviving pair both ways by EXPLODING two structs per
+    # row instead of a self-union: a union duplicates the whole verify
+    # subtree (bucket UDF + neighbor window + candidate dedup + both
+    # hash joins + the cosine matmul ran ONCE PER BRANCH — measured
+    # plan: 6 ArrowEvalPython / 5 Window nodes), while the explode is a
+    # row-local generator over the single evaluation.  Same rows out.
     directed = verified.select(
-        F.col("vec_a").alias("vec_id"), F.col("vec_b").alias("partner_id"),
-        "label", "cosine_e4",
-    ).unionByName(verified.select(
-        F.col("vec_b").alias("vec_id"), F.col("vec_a").alias("partner_id"),
-        "label", "cosine_e4"))
+        F.explode(F.array(
+            F.struct(F.col("vec_a").alias("vec_id"),
+                     F.col("vec_b").alias("partner_id")),
+            F.struct(F.col("vec_b").alias("vec_id"),
+                     F.col("vec_a").alias("partner_id")),
+        )).alias("_d"), "label", "cosine_e4",
+    ).select("_d.vec_id", "_d.partner_id", "label", "cosine_e4")
     w = Window.partitionBy("vec_id").orderBy(
         F.col("cosine_e4").desc(), F.col("partner_id"))
     return (directed

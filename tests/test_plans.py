@@ -87,6 +87,22 @@ def test_ivf_ann_arrow_stage_and_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in ops, ops
 
 
+def test_neardup_topk_single_verify_subtree(spark):
+    """sim_neardup_topk directs each verified pair both ways by
+    EXPLODING two structs over one evaluation (r13): a self-union here
+    re-ran the whole verify subtree per branch (bucket UDF + neighbor
+    window + dedup + joins + cosine — measured 6 ArrowEvalPython
+    nodes), and the filter on the UDF-computed cosine must not
+    re-evaluate it below the projection (guide §4.4 ND fence on
+    `_cos_pairs_udf`).  Exactly 2 Python stages: bucket ids + cosine."""
+    from collections import Counter
+
+    df = Q["sim_neardup_topk"].fn(spark, SF_SMOKE)
+    ops = Counter(physical_ops(df))
+    assert ops["ArrowEvalPython"] == 2, ops
+    assert ops["Generate"] >= 1, ops  # the both-directions explode
+
+
 def test_pair_queries_equi_join_only(spark):
     """Every near-dup pair generator must candidate via an equi-join
     on a bucket key (grid-sub-bucketed) — a nested-loop join here is
@@ -329,6 +345,12 @@ def test_pagerank_no_cartesian_and_reused_edges(spark):
     assert "CartesianProduct" not in ops, ops
     assert "InMemoryTableScan" in txt or "InMemoryRelation" in txt, \
         "edges/nodes not persisted across iterations"
+    # r13: both edge directions come from ONE evaluation of the
+    # orders⋈lineitem+distinct subtree via explode — a self-union here
+    # re-ran that subtree once per branch per consumer (scans 88→50 in
+    # the committed capture, plans/r13/g_pagerank_purchases_*.txt).
+    assert "Generate" in ops, ops
+    assert "Union" not in ops, ops
 
 
 def test_cms_registers_bounded_partial_agg(spark):
