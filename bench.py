@@ -25,10 +25,15 @@ judge-side re-runs:
   samples alike and cancels in the per-query ratio — a burst can no
   longer land entirely inside one side's block.  Skipped when
   $SPARK_GRAFT_NO_REPLAY is set.
-- ``per_query_ratio`` (its own stdout line, sized to survive the
-  driver's ~2000-char tail capture): median-of-passes HEAD/replay
-  ratio per query, so the artifact itself carries the per-query
-  round-over-round verdict, not just the totals.
+- ``per_query_ratio`` (its own stdout line): median-of-passes
+  HEAD/replay ratio per query, so the artifact itself carries the
+  per-query round-over-round verdict, not just the totals.  Since
+  round 14 the FINAL summary line carries the per-query seconds dict
+  (2-decimal) and takes tail-capture priority — the driver's PERF
+  per_query/scaling blocks come from it (VERDICT r13 item 2) — and
+  the full artifact is ALSO written core-count-suffixed
+  (``BENCH_LASTRUN_c{N}.json``) so a scaling re-run at another core
+  count cannot clobber the committed window.
 
 Timing counts full execution (collect) but not session startup.
 """
@@ -214,9 +219,19 @@ def main() -> None:
         out["head_errors"] = head_errors
     if replay is not None:
         out["replay_prev"] = replay
-    try:  # full artifact to disk too — immune to stdout tail capture
-        Path(__file__).resolve().parent.joinpath(
-            "BENCH_LASTRUN_FULL.json").write_text(json.dumps(out, indent=1))
+    try:  # full artifact to disk too — immune to stdout tail capture.
+        # Written BOTH to the legacy fixed name AND a core-count-
+        # suffixed one (VERDICT r13 item 2): the driver re-runs the
+        # bench at a lower core count for its scaling measurement, and
+        # the fixed name self-overwrote — the committed 32-core window
+        # was clobbered by the 8-core run.
+        full = json.dumps(out, indent=1)
+        here = Path(__file__).resolve().parent
+        here.joinpath("BENCH_LASTRUN_FULL.json").write_text(full)
+        from old_original_java_little_horse_spark.session import (
+            default_parallelism)
+        here.joinpath(
+            f"BENCH_LASTRUN_c{default_parallelism()}.json").write_text(full)
     except Exception:
         pass
     print(json.dumps(out))
@@ -228,19 +243,21 @@ def main() -> None:
 
 def per_query_ratio_line(out: dict) -> str | None:
     """Own stdout line with the per-query HEAD/replay ratio dict
-    (VERDICT r9 item 2): the driver keeps only a ~2000-char stdout
-    tail, and in r9 only the REPLAY per-query dict happened to survive
-    it — the artifact carried no per-query HEAD evidence at all.  This
-    line plus the final summary must fit the window together, so
-    ratios are 2-decimal and the key is terse."""
+    (VERDICT r9 item 2).  Since round 14 the FINAL summary line carries
+    the per-query seconds dict (VERDICT r13 item 2) and takes priority
+    in the driver's ~2000-char stdout tail, so this line may be sliced
+    by the capture window; it stays for humans reading full logs, and
+    the authoritative per-query replay data is in the committed
+    ``BENCH_LASTRUN_c{N}.json`` artifact (``queries`` +
+    ``replay_prev.queries``), from which these ratios are exactly
+    reconstructible."""
     replay = out.get("replay_prev") or {}
     rq = replay.get("queries") or {}
     hq = out.get("queries") or {}
     ratios = {n: round(hq[n] / rq[n], 2) for n in hq if rq.get(n)}
     if not ratios:
         return None
-    line = json.dumps({"per_query_ratio": ratios}, separators=(",", ":"))
-    return line if len(line) + len(summary_line(out)) < 1990 else None
+    return json.dumps({"per_query_ratio": ratios}, separators=(",", ":"))
 
 
 def summary_line(out: dict) -> str:
@@ -249,8 +266,15 @@ def summary_line(out: dict) -> str:
     grew past it in round 7 (samples + replay_prev ≈ 7 KB), slicing
     the headline `value` off the FRONT of the single line →
     BENCH_r07 "parsed": null.  The last line printed must therefore
-    always be a self-contained summary well under the capture window
-    (<500 bytes); the full line above it stays for humans/the judge."""
+    always be a self-contained summary under the capture window; the
+    full line above it stays for humans/the judge.
+
+    Since round 14 the summary INCLUDES the per-query seconds dict at
+    2 decimals (VERDICT r13 item 2: the r13 compact line dropped it
+    and the driver's PERF artifact lost all per-query and scaling
+    evidence — `per_query: {}`).  Measured worst case: 62 queries ≈
+    1.9 KB total, still inside the tail; the <1990 assertion below
+    guards the budget the way <500 did before."""
     summary = {
         "metric": out["metric"],
         "value": out["value"],
@@ -277,8 +301,11 @@ def summary_line(out: dict) -> str:
                 summary["head_vs_replay_ratio"] = replay["ratio"]
                 summary["head_value_common"] = replay.get("head_value_common")
                 summary["n_common"] = replay.get("n_common")
+    if out.get("queries"):
+        summary["queries"] = {n: round(v, 2)
+                              for n, v in out["queries"].items()}
     line = json.dumps(summary, separators=(",", ":"))
-    assert len(line) < 500, f"summary line grew to {len(line)} bytes"
+    assert len(line) < 1990, f"summary line grew to {len(line)} bytes"
     return line
 
 

@@ -5,6 +5,13 @@ JSON line and the driver captures only a ~2000-char stdout tail, so
 the headline `value` was sliced off the front (VERDICT r7, "What's
 wrong" #1).  The fix is a compact self-contained summary as the FINAL
 stdout line; these tests pin its contract without running Spark.
+
+Round 14 (VERDICT r13 item 2): the summary line additionally carries
+the per-query seconds dict at 2 decimals — the r13 compact line
+dropped it and the driver's PERF artifact lost every per-query and
+scaling number (`per_query: {}`, `geomean: null`).  The budget
+assertion moves from <500 to <1990 (the measured worst case with all
+62 headline queries is ~1.9 KB, still inside the capture tail).
 """
 
 import json
@@ -41,8 +48,35 @@ def test_summary_line_carries_replay_value():
                              "queries": {"q1": 1.0}})
     parsed = json.loads(bench.summary_line(out))
     assert parsed["replay_prev_value"] == 52.49
-    # The bulky per-query replay detail must NOT leak into the summary.
+    # The REPLAY per-query detail must not leak into the summary (the
+    # HEAD per-query dict rides in under the top-level "queries" key —
+    # see test_summary_line_carries_per_query_seconds).
     assert "queries" not in parsed
+
+
+def test_summary_line_carries_per_query_seconds():
+    """VERDICT r13 item 2: the driver computes PERF per_query and
+    scaling.per_query from the parsed final line, so the HEAD
+    per-query seconds must ride in it, 2-decimal."""
+    out = _base(queries={"q1": 1.2345, "q2": 0.678})
+    parsed = json.loads(bench.summary_line(out))
+    assert parsed["queries"] == {"q1": 1.23, "q2": 0.68}
+    # The headline total stays FIRST so a front-slice cannot lose it.
+    line = bench.summary_line(out)
+    assert line.index('"value"') < line.index('"queries"')
+
+
+def test_summary_line_with_all_headline_queries_fits_capture_window():
+    names = bench.HEADLINE
+    out = _base(queries={n: 12.345 for n in names},
+                replay_prev={"commit": "abc123def", "value": 68.9,
+                             "head_value_common": 76.5, "ratio": 1.11,
+                             "n_common": len(names)},
+                task_roundtrip_ms={"p50_ms": 1304.9, "p95_ms": 1543.2,
+                                   "runs": 20, "trigger_ms": 200})
+    line = bench.summary_line(out)
+    assert len(line) < 1990
+    assert json.loads(line)["queries"]["q1_pricing_summary"] == 12.35
 
 
 def test_summary_line_carries_interleaved_ratio():
@@ -60,10 +94,12 @@ def test_summary_line_carries_interleaved_ratio():
     assert parsed["n_common"] == 62
 
 
-def test_per_query_ratio_line_fits_capture_window_with_summary():
+def test_per_query_ratio_line_full_headline_shape():
     # Worst realistic shape: every headline query present on both
-    # sides with 2-decimal ratios; the ratio line plus the final
-    # summary must fit the driver's ~2000-char stdout tail together.
+    # sides.  Since r14 the SUMMARY carries the per-query seconds and
+    # owns the tail budget; the ratio line is printed unconditionally
+    # (it may be sliced by the capture window — its data is exactly
+    # reconstructible from the committed BENCH_LASTRUN_c{N}.json).
     names = bench.HEADLINE
     head_q = {n: 1.234 for n in names}
     replay_q = {n: 1.111 for n in names}
@@ -78,7 +114,8 @@ def test_per_query_ratio_line_fits_capture_window_with_summary():
     parsed = json.loads(line)
     assert set(parsed["per_query_ratio"]) == set(names)
     assert all(v == 1.11 for v in parsed["per_query_ratio"].values())
-    assert len(line) + len(bench.summary_line(out)) < 1990
+    # The summary alone must still fit the capture tail.
+    assert len(bench.summary_line(out)) < 1990
 
 
 def test_per_query_ratio_line_skips_missing_and_zero_replay():

@@ -63,3 +63,33 @@ def test_export_adds_repo_root_to_pythonpath(monkeypatch):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     parts = os.environ["PYTHONPATH"].split(os.pathsep)
     assert repo in parts and "/nonexistent" in parts
+
+
+def test_pydaemon_importable_from_shipped_pyfiles_zip_alone(spark, tmp_path):
+    """VERDICT r13 item 7: on a real cluster the daemon launcher's
+    Python resolves `spark.python.daemon.module` from whatever is on
+    the worker's path — in this repo's deploy story that is the
+    content-addressed pyfiles zip `ship_package` ships, NOT the repo
+    checkout.  A misimport there fails worker startup outright rather
+    than degrading, so the cluster claim in pydaemon's docstring must
+    be load-bearing: the module must import through the zip ALONE,
+    with the repo scrubbed from every path."""
+    from old_original_java_little_horse_spark.session import ship_package
+
+    ship_package(spark)
+    zip_path = spark._oojlh_shipped
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PYTHONPATH"] = zip_path
+    probe = (
+        "import os, sys; repo = %r; "
+        "sys.path = [p for p in sys.path "
+        "            if os.path.abspath(p or os.getcwd()) != repo]; "
+        "assert any(p.endswith('.zip') for p in sys.path), sys.path; "
+        "import old_original_java_little_horse_spark.pydaemon as d; "
+        "print(callable(d.manager))" % repo)
+    out = subprocess.run(
+        [sys.executable, "-c", probe], env=env, cwd=str(tmp_path),
+        capture_output=True, text=True, timeout=120)
+    assert out.returncode == 0, out.stderr[-500:]
+    assert out.stdout.strip() == "True"
