@@ -176,3 +176,22 @@ def test_stacked_carry_rejects_out_name_and_duplicate_collisions(spark):
     with _pytest.raises(ValueError, match="collide"):
         exact_ntile_stacked(df, 3, [("s", F.col("v"))],
                             key="c_custkey", carry=("score", "score"))
+
+
+def test_offsets_are_prefix_scanned_not_triangular_joined(spark):
+    """VERDICT r13 item 5: the prefix offsets must come from a
+    cumulative window over the count table, never the O(P²) triangular
+    `_bpid < _pid` self-join (which planned as a LeftOuter join and
+    got worse with `spark.sql.shuffle.partitions`)."""
+    from old_original_java_little_horse_spark.operators.analytics import (
+        exact_ntile_stacked,
+    )
+
+    df = _frame(spark, 101, 5)
+    stacked = exact_ntile_stacked(df, 5, [("s", F.col("v"))],
+                                  key="c_custkey", scope="t:planshape")
+    plan = stacked._jdf.queryExecution().executedPlan().toString()
+    assert "LeftOuter" not in plan, plan
+    ranked = exact_global_rank(df, ["v", "c_custkey"], scope="t:planshape2")
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    assert "LeftOuter" not in plan, plan
