@@ -761,6 +761,69 @@ def _ivf_cells_batch(V, C, cnorm, nprobe):
     return np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
 
 
+def _ivf_scores_udf(centroids, queries, nprobe: int = IVF_NPROBE):
+    """Fused corpus-side IVF scorer: ONE Arrow pass from vector to
+    per-query candidate cosines (VERDICT r13 item 3; guide §4.1/§4.2).
+
+    The r13 plan spent three ArrowEvalPython stages on this query —
+    probe-cell explode (query side), corpus cell assignment, and the
+    pair cosine — plus a pair-level SortAggregate dedup whose exchange
+    carried BOTH 64-long vectors per candidate pair.  All of it is one
+    numpy pass per batch once the probe sets live driver-side: assign
+    the corpus row to its cell (shared `_ivf_cells_batch` kernel, same
+    tie rule), look the cell up in the (|Q| × IVF_NPROBE)-cell probe
+    table — `queries` and `centroids` are both bounded driver
+    artifacts already, the PQ query's precedent — and emit the exact
+    cosine against every query probing that cell.
+
+    The emitted pair set is identical to the old probes⋈corpus
+    broadcast join: a corpus vector has exactly ONE cell, so each
+    (query, neighbor) pair matched at most once and the old
+    dropDuplicates was a no-op that still planned a SortAggregate +
+    Exchange over vector payloads.  Cosine is bit-identical to
+    `_cos_pairs_udf`: the same exact-int64 dot and norms, the same
+    float64 sqrt/divide (IEEE multiplication commutes, and int64 →
+    float64 rounds identically to Spark's long→double cast)."""
+    import numpy as np
+
+    cids, C, cnorm = _ivf_consts(centroids)
+    qids = np.array([q for q, _ in queries], dtype=np.int64)
+    Q = (np.array([v for _, v in queries], dtype=np.int64)
+         if queries else np.zeros((0, DIM), dtype=np.int64))
+    qn2 = np.einsum("ij,ij->i", Q, Q).astype(np.float64)
+    probed = np.zeros((max(len(cids), 1), len(qids)), dtype=bool)
+    if len(cids) and len(qids):
+        # nprobe nearest cells per query, computed ONCE on the driver
+        # with the shared kernel — positions index `probed` directly.
+        probe_pos = _ivf_cells_batch(Q, C, cnorm, nprobe)   # (|Q|, nprobe)
+        probed[probe_pos, np.arange(len(qids))[:, None]] = True
+
+    @F.pandas_udf("array<struct<query_id:bigint,cosine:double>>")
+    def scores(v):
+        import numpy as np
+        import pandas as pd
+
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        V = np.vstack(v.to_numpy()).astype(np.int64)
+        if not (len(cids) and len(qids)):
+            return pd.Series([[] for _ in range(len(V))])
+        near = _ivf_cells_batch(V, C, cnorm, 1)[:, 0]        # positions
+        match = probed[near]                                 # (n, |Q|)
+        dot = (V @ Q.T).astype(np.float64)                   # exact int64
+        n2 = np.einsum("ij,ij->i", V, V).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            # zero-norm corpus rows divide by zero exactly like the
+            # old pair UDF did (positional family keeps zero vectors)
+            cos = dot / np.sqrt(qn2[None, :] * n2[:, None])
+        out = [[{"query_id": int(qids[j]), "cosine": float(cos[i, j])}
+                for j in np.nonzero(match[i])[0]]
+               for i in range(len(V))]
+        return pd.Series(out)
+
+    return scores
+
+
 def _ivf_lloyd_sums(e, centroids):
     """One Lloyd round's (cid, pos) component sums/counts as a single
     `mapInPandas` pass — assignment and accumulation fused per Arrow
@@ -846,39 +909,38 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     the better fit for very uniform data; both scale paths are
     provided because at 100 TB the choice is data-dependent.
 
-    Scale notes: assignment is ONE Arrow-batched matmul pass over the
-    corpus (no shuffle); candidates shuffle once on cell id, with cell
-    population tracking data density exactly like the LSH buckets; the
-    probe side is a broadcast.  This is the textbook IVF plan — at
-    100 TB you raise IVF_C so cells stay executor-sized and persist
-    the assignment as the index.  All arithmetic is exact int64, so
-    the DuckDB oracle reproduces assignment, training, probing, and
-    ranking bit-for-bit.
+    Scale notes (r14 form, VERDICT r13 item 3): the corpus is scanned
+    ONCE by a single fused Arrow stage (`_ivf_scores_udf`) that
+    assigns each vector to its cell, membership-tests the cell against
+    the driver-computed probe sets (|Q| queries × IVF_NPROBE cells —
+    queries and centroids are bounded training artifacts, collected
+    exactly like the PQ codebook), and emits the exact cosine per
+    probing query — so the only shuffle left is the final top-k
+    window on (query_id, neighbor_id, cosine) rows of 3 scalars.  The
+    r13 plan ran THREE Arrow stages and deduped candidate pairs
+    through a SortAggregate whose exchange carried both 64-long
+    vectors per pair; the dedup was provably a no-op (one cell per
+    corpus vector ⇒ each pair matched once).  At 100 TB you raise
+    IVF_C so cells stay executor-sized and persist the assignment as
+    the index.  All arithmetic is exact int64, so the DuckDB oracle
+    reproduces assignment, training, probing, and ranking
+    bit-for-bit.
     """
-    e = positional_vectors(spark, sf_dir).withColumn(
-        "norm2", dot_q(F.col("v"), F.col("v")).cast("double"))
+    e = positional_vectors(spark, sf_dir)
     centroids = _ivf_train(e)
-    corpus = e.select(
-        "vec_id", "v", "norm2",
-        _ivf_cells_udf(centroids, 1)(F.col("v"))[0].alias("cid"),
-    )
-    probes = (
-        e.where(F.col("vec_id") < N_QUERIES)
-        .select(
-            F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
-            F.col("norm2").alias("qnorm2"),
-            F.explode(_ivf_cells_udf(centroids, IVF_NPROBE)(F.col("v"))).alias("cid"),
-        )
-    )
-    cand = (
-        F.broadcast(probes)
-        .join(corpus, (probes.cid == corpus.cid) & (F.col("query_id") != F.col("vec_id")))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"),
-                "qv", "qnorm2", "v", "norm2")
-        .dropDuplicates(["query_id", "neighbor_id"])
-    )
-    cos = _cos_pairs_udf()(F.col("qv"), F.col("v"), F.col("qnorm2"), F.col("norm2"))
-    scored = cand.select("query_id", "neighbor_id", cos.alias("cosine"))
+    queries = sorted(
+        (int(r.vec_id), list(r.v))
+        for r in e.where(F.col("vec_id") < N_QUERIES)
+                  .select("vec_id", "v").collect())
+    scored = (
+        e.select(
+            "vec_id",
+            F.explode(_ivf_scores_udf(centroids, queries)(F.col("v")))
+            .alias("_s"))
+        .select(F.col("_s.query_id").alias("query_id"),
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("_s.cosine").alias("cosine"))
+        .where(F.col("query_id") != F.col("neighbor_id")))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
