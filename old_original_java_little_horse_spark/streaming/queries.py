@@ -29,6 +29,23 @@ from .engine import run_streaming_availablenow
 # default) cuts per-micro-batch fixed cost (state commits + Arrow
 # Python round-trips) 8x without changing any result — partition
 # count is a physical knob, the fold is partition-agnostic.
+#
+# Measured and NOT changed further (r14, VERDICT r13 item 4): the
+# guide-§5/§9 state-store knobs were A/B'd on stream_doc_dedup's
+# 3-batch run.  Same-session variant sweep
+# (plans/r14/ab_stream_state.json, 7 interleaved passes): RocksDB
+# provider 1.01x (JNI + snapshot machinery dwarfs these tiny states),
+# RocksDB+changelog 0.95x, 2 state partitions 0.88x, 1 partition
+# 0.90x.  But the stricter cross-process interleaved A/B of the
+# 2-partition wiring vs the unmodified tree
+# (plans/r14/ab_stream_wire.json, 7 passes, alternating order per
+# cell) REFUTED the win: stream_doc_dedup 0.995, engine folds
+# 1.05-1.06, stream_sessionize 1.10 — the same-session sweep's gain
+# was session-warming bias, and halving partitions also halves the
+# stateful stages' parallelism, which costs the busier replays
+# (sessionize) more than the saved commits.  4 stays.  On a real
+# topology this is sized to keyspace x throughput via the same
+# scoped_conf, per the session docstring.
 _STREAM_PARTS = 4
 
 
