@@ -57,8 +57,18 @@ def main() -> None:
         "smj_bloom": {
             "spark.sql.autoBroadcastJoinThreshold": "-1",
             "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
-            # the local dims are far under the default 10m creation-side
-            # threshold, so the default sizing applies unchanged
+            # At defaults the filter NEVER fires here: the application
+            # side's scan must exceed applicationSideScanSizeThreshold
+            # (10 GB) — sf0.1 scans are ~200 MB, so the optimizer
+            # itself guards the regime.  Zeroing the floor (and
+            # raising the creation-side cap) forces the injection so
+            # the local A/B can measure the filter's cost/benefit
+            # shape; the firing condition at scale is the documented
+            # boundary.
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold": "0",
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "creationSideThreshold": "64MB",
         },
         "smj_nobloom": {
             "spark.sql.autoBroadcastJoinThreshold": "-1",
